@@ -1,38 +1,185 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship BM25 top-k on sf0.001.
+queries()    — one entry per implemented operator (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL per query (same column names/types).
+
+Tokenizer semantics are FROZEN in gazetteer_spark/analyzer.py; the SQL
+oracles re-express the identical chain in DuckDB dialect (regexp_replace
+needs the 'g' flag and \\1 backrefs there; Spark uses $1 and is global by
+default).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gazetteer_spark.analyzer import postings_sql, py_tokenize, tokens_expr
+from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+# DuckDB-side canonical tokenizer (keep in sync with analyzer.py FROZEN regexes)
+_DUCK_TOKENS = (
+    r"list_filter(string_split_regex(lower(regexp_replace(regexp_replace({col},"
+    r" '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), '([a-z0-9])([A-Z])', '\1 \2', 'g')),"
+    r" '[^a-z0-9]+'), x -> x <> '')"
+)
+
+_DUCK_POSTINGS = (
+    "WITH tok AS (SELECT doc_id AS docid, t.term AS term FROM documents, "
+    "LATERAL unnest(" + _DUCK_TOKENS.format(col="text") + ") AS t(term)), "
+    "postings AS (SELECT docid, term, CAST(count(*) AS INT) AS tf "
+    "FROM tok GROUP BY docid, term)"
+)
+
+# the fixed reference query batch used by BM25 catalog entries
+FT_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join merge"),
+    (1, "window"),
+    (2, "customer filter group sort"),
+    (3, "batch stream vector"),
+    (4, "the"),
+    (5, "hash aggregate zz_absent"),
+]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return postings_sql(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _query_values_sql() -> str:
+    rows = []
+    for qid, text in FT_QUERIES:
+        for t in sorted(set(py_tokenize(text))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_ft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (docid, term, tf) postings over documents (analyzer + map-side agg)."""
+    return _postings(spark, sf_dir)
+
+
+def q_ft_docstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_stats(_postings(spark, sf_dir))
+
+
+def q_ft_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_stats(_postings(spark, sf_dir)).select(
+        "term", "df", F.col("cf").cast("long").alias("cf")
+    )
+
+
+def q_ft_termstats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted reduce (hot-term skew path) — must equal unsalted."""
+    return term_stats(_postings(spark, sf_dir), salted=True).select(
+        "term", "df", F.col("cf").cast("long").alias("cf")
+    )
+
+
+def q_ft_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(doc_stats(_postings(spark, sf_dir))).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl")
+    )
+
+
+def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = _postings(spark, sf_dir)
+    return score_queries(spark, postings, doc_stats(postings), FT_QUERIES, k=10)
+
+
+def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: docs containing every query term."""
+    terms = sorted(set(py_tokenize("customer filter group")))
+    p = _postings(spark, sf_dir)
+    return (
+        p.filter(F.col("term").isin(terms))
+        .groupBy("docid")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("docid")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ft_tokens": q_ft_tokens,
+        "ft_docstats": q_ft_docstats,
+        "ft_termstats": q_ft_termstats,
+        "ft_termstats_salted": q_ft_termstats_salted,
+        "ft_corpus_stats": q_ft_corpus_stats,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_boolean_and": q_ft_boolean_and,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    termstats = (
+        _DUCK_POSTINGS
+        + " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf"
+        " FROM postings GROUP BY term"
+    )
+    bm25 = (
+        _DUCK_POSTINGS + ", "
+        "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
+        "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+        f"q(query_id, term) AS (VALUES {_query_values_sql()}), "
+        "tstat AS (SELECT term, count(*) AS df FROM postings "
+        "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+        "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
+        "  FROM tstat t, cs), "
+        "scored AS (SELECT q.query_id, p.docid, "
+        "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+        "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+        "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
+        "  JOIN ds ON ds.docid = p.docid, cs GROUP BY q.query_id, p.docid) "
+        "SELECT query_id, rank, docid, score FROM ("
+        "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+        "  docid, round(s, 4) AS score FROM scored) WHERE rank <= 10"
+    )
+    return {
+        "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",
+        "ft_docstats": _DUCK_POSTINGS
+        + " SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid",
+        "ft_termstats": termstats,
+        "ft_termstats_salted": termstats,
+        "ft_corpus_stats": _DUCK_POSTINGS
+        + ", ds AS (SELECT docid, sum(tf) AS doclen FROM postings GROUP BY docid)"
+        " SELECT count(*) AS n_docs, round(avg(doclen), 6) AS avgdl FROM ds",
+        "ft_bm25_topk": bm25,
+        "ft_boolean_and": _DUCK_POSTINGS
+        + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
+        " GROUP BY docid HAVING count(DISTINCT term) = 3",
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: BM25 top-k over the sf0.001 documents table."""
+    return q_ft_bm25_topk(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,163 @@
+"""Analyzer chain: canonical tokenization for the full-text engine.
+
+Reference parity: this plays the role of gazetteer's name/address
+normalizer chain — Lucene ASCII folding + lowercase
+(`addresses/AddressesUtils.java:24-31`), bidirectional containment matching
+(`addresses/impl/NamesMatcherImpl.java:38-46`) and the address-scheme
+explode that fans one property map into N rows
+(`addresses/impl/AddressesSchemesParserImpl.java:25-154`). For source code
+the analogous normalization is camelCase/snake_case identifier splitting.
+
+Canonical semantics (FROZEN — all three implementations must agree, and the
+DuckDB oracle SQL in __spark_entry__ re-expresses the same chain):
+
+1. acronym boundary:  ``([A-Z]+)([A-Z][a-z])`` → ``$1 $2``   (HTTPServer → HTTP Server)
+2. camel boundary:    ``([a-z0-9])([A-Z])``    → ``$1 $2``   (parseHttp → parse Http)
+3. lowercase
+4. split on ``[^a-z0-9]+`` (this also handles snake_case, punctuation, whitespace)
+5. drop empty tokens
+
+Three implementations:
+- :func:`tokens_expr` — pure JVM Column expression (whole-stage codegen,
+  zero Python in the hot path). Used by oracle-checkable queries.
+- :func:`analyze_pdf` — Arrow-vectorized pandas UDF returning per-row
+  ``array<struct<term,tf>>`` (one shuffle saved vs explode+groupBy; this is
+  the index-build hot path mandated by BASELINE input_hint: vectorized
+  pandas/Arrow UDFs, no per-row Python UDFs).
+- :func:`py_tokenize` — pure-Python, used by the oracle scorer in
+  :mod:`gazetteer_spark.oracle` and by golden-file tests.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Frozen regex pieces (keep in sync with oracle_sql in __spark_entry__.py).
+ACRONYM_PAT = r"([A-Z]+)([A-Z][a-z])"
+CAMEL_PAT = r"([a-z0-9])([A-Z])"
+SPLIT_PAT = r"[^a-z0-9]+"
+
+_ACRONYM_RE = re.compile(ACRONYM_PAT)
+_CAMEL_RE = re.compile(CAMEL_PAT)
+_SPLIT_RE = re.compile(SPLIT_PAT)
+
+
+# ---------------------------------------------------------------------------
+# JVM-native path (whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def tokens_expr(content: Column) -> Column:
+    """``array<string>`` of analyzed tokens, fully JVM-side."""
+    decamel = F.regexp_replace(
+        F.regexp_replace(content, ACRONYM_PAT, r"$1 $2"), CAMEL_PAT, r"$1 $2"
+    )
+    arr = F.split(F.lower(decamel), SPLIT_PAT)
+    return F.array_remove(arr, "")
+
+
+def term_rows(df, id_col: str = "docid", content_col: str = "content"):
+    """(docid, term) one row per token occurrence — JVM explode.
+
+    Downstream ``groupBy(docid, term).count()`` benefits from Catalyst's
+    partial (map-side) aggregation, so the shuffle carries distinct
+    (docid, term, tf) triples, not raw token occurrences.
+    """
+    return df.select(
+        F.col(id_col).alias("docid"),
+        F.explode(tokens_expr(F.col(content_col))).alias("term"),
+    )
+
+
+def postings_sql(df, id_col: str = "docid", content_col: str = "content"):
+    """(docid, term, tf) via the JVM path. One shuffle (partial-agg combined)."""
+    return (
+        term_rows(df, id_col, content_col)
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def doclen_expr(content: Column) -> Column:
+    """Document length (token count) without materializing term rows."""
+    return F.size(tokens_expr(content)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Arrow path (index-build hot path)
+# ---------------------------------------------------------------------------
+
+_TERMTF = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Pure-Python canonical tokenizer (oracle / golden tests)."""
+    if not text:
+        return []
+    s = _CAMEL_RE.sub(r"\1 \2", _ACRONYM_RE.sub(r"\1 \2", text))
+    return [t for t in _SPLIT_RE.split(s.lower()) if t]
+
+
+def py_term_counts(text: str) -> dict[str, int]:
+    return dict(Counter(py_tokenize(text)))
+
+
+@pandas_udf(_TERMTF)
+def analyze_pdf(content: pd.Series) -> pd.Series:
+    """Arrow-batched analyzer: content → [(term, tf)…], tf counted in-row.
+
+    Saves the (docid, term)-occurrence shuffle entirely: the only shuffle
+    left in the index build is the doc-shard repartition. Batches arrive as
+    Arrow arrays; the per-batch loop is over documents, not characters, and
+    regex/Counter work happens in C.
+    """
+    acro, camel, split = _ACRONYM_RE, _CAMEL_RE, _SPLIT_RE
+
+    def one(text):
+        if not text:
+            return []
+        s = camel.sub(r"\1 \2", acro.sub(r"\1 \2", text)).lower()
+        c = Counter(t for t in split.split(s) if t)
+        return [(t, int(n)) for t, n in c.items()]
+
+    return content.map(one)
+
+
+def postings_arrow(df, id_col: str = "docid", content_col: str = "content"):
+    """(docid, term, tf) via the Arrow analyzer — zero-shuffle token counting."""
+    exploded = df.select(
+        F.col(id_col).alias("docid"),
+        F.explode(analyze_pdf(F.col(content_col))).alias("tt"),
+    )
+    return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """n-token shingles (space-joined) from a token array, JVM-side.
+
+    Used by n-gram Jaccard dedup; empty array when the doc has < n tokens.
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    made = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(n)]
+        ),
+    )
+    # Spark's sequence(1, x) is DESCENDING for x < 1 — guard short docs.
+    return F.when(F.size(tokens) >= n, made).otherwise(
+        F.array().cast(T.ArrayType(T.StringType()))
+    )

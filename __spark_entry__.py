@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from gazetteer_spark.analyzer import postings_sql, py_tokenize, tokens_expr
 from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
+from gazetteer_spark.index import spimi, wand
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -106,6 +107,29 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_queries(spark, postings, doc_stats(postings), FT_QUERIES, k=10)
 
 
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the segment index over documents."""
+    if sf_dir not in _INDEX_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gz_idx_")
+        spimi.build_index(
+            spark, _docs(spark, sf_dir), d, n_shards=8,
+            id_col="doc_id", content_col="text",
+        )
+        _INDEX_CACHE[sf_dir] = d
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_ft_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max top-k over compressed doc-sharded segments — must equal the
+    exact scorer (and the DuckDB oracle) rank-for-rank."""
+    return wand.topk(spark, _index_dir(spark, sf_dir), FT_QUERIES, k=10)
+
+
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing every query term."""
     terms = sorted(set(py_tokenize("customer filter group")))
@@ -127,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termstats_salted": q_ft_termstats_salted,
         "ft_corpus_stats": q_ft_corpus_stats,
         "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_wand_topk": q_ft_wand_topk,
         "ft_boolean_and": q_ft_boolean_and,
     }
 
@@ -170,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         + ", ds AS (SELECT docid, sum(tf) AS doclen FROM postings GROUP BY docid)"
         " SELECT count(*) AS n_docs, round(avg(doclen), 6) AS avgdl FROM ds",
         "ft_bm25_topk": bm25,
+        "ft_wand_topk": bm25,
         "ft_boolean_and": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",

@@ -1,0 +1,103 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the engine's headline operations at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- index_build:   full SPIMI segment build over documents (files/sec)
+- wand_batch:    block-max top-k for the 6-query batch (one job)
+- query_p50:     per-query top-k latency, p50 over the batch run singly
+- exact_batch:   exact (non-index) DataFrame BM25 for the same batch
+- tokens_agg:    analyzer+postings aggregation throughput
+
+Scaling-efficiency evidence (N vs 4N parallelism) lives in
+tools/bench_scaling.py → BENCH.md, since it needs two JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gazetteer_spark.bm25 import doc_stats, score_queries  # noqa: E402
+from gazetteer_spark.analyzer import postings_sql  # noqa: E402
+from gazetteer_spark.index import spimi, wand  # noqa: E402
+from gazetteer_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    (0, "spark join merge"),
+    (1, "window"),
+    (2, "customer filter group sort"),
+    (3, "batch stream vector"),
+    (4, "the"),
+    (5, "hash aggregate scan"),
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("gazetteer_bench", cores=int(cpus))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    timings: dict[str, float] = {}
+
+    idx_dir = tempfile.mkdtemp(prefix="gz_bench_idx_")
+    try:
+        t0 = time.time()
+        spimi.build_index(spark, docs, idx_dir, n_shards=int(cpus),
+                          id_col="doc_id", content_col="text")
+        timings["index_build"] = time.time() - t0
+        files_per_sec = n_docs / timings["index_build"]
+
+        # warm (JIT/code cache) then measure the batch as one job
+        wand.topk(spark, idx_dir, QUERIES[:1], k=10).collect()
+        t0 = time.time()
+        wand.topk(spark, idx_dir, QUERIES, k=10).collect()
+        timings["wand_batch"] = time.time() - t0
+
+        lat = []
+        for q in QUERIES:
+            t0 = time.time()
+            wand.topk(spark, idx_dir, [q], k=10).collect()
+            lat.append(time.time() - t0)
+        timings["query_p50"] = statistics.median(lat)
+
+        postings = postings_sql(docs, "doc_id", "text")
+        ds = doc_stats(postings)
+        t0 = time.time()
+        score_queries(spark, postings, ds, QUERIES, k=10).collect()
+        timings["exact_batch"] = time.time() - t0
+
+        t0 = time.time()
+        postings.groupBy("term").count().count()
+        timings["tokens_agg"] = time.time() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + BM25 top-k wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "n_docs": n_docs,
+                "files_per_sec": round(files_per_sec, 1),
+                "query_p50_sec": round(timings["query_p50"], 3),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Block-max top-k query execution over doc-sharded segments.
+
+The candidate-then-verify shape is the reference's envelope-query-then-exact
+-predicate pattern (`join/JoinSliceRunable.many2ManyJoin:1071-1087`, buffered
+covers test `JoinBoundariesExecutor.java:323-348`): a cheap upper bound
+prunes, exact BM25 scores the survivors.
+
+Algorithm per (shard, query): vectorized term-at-a-time MaxScore with
+block-max bounds —
+
+1. terms sorted by upper bound ``ub_t = idf_t * (k1+1) * max_tfnorm_t``
+   descending (max_tfnorm from the per-block metadata, so the bound uses the
+   exact scoring float ops and can never under-estimate);
+2. while the remaining-ub suffix can still beat the running threshold θ
+   (k'-th best partial score), a term may introduce new candidate docs;
+   once it can't, its postings only update existing candidates
+   (numpy ``searchsorted`` intersection);
+3. candidates whose partial score + remaining ub < θ - ε are dropped;
+4. survivors get exact scores by construction (every term they contain was
+   added); local top-k' = k + pad protects rounded-score/docid tie-breaks.
+
+Global result = union of per-shard top-k' → window (score desc, docid asc).
+Docs live in exactly one shard, so the merge is exact.
+
+Scale notes: the segment scan prunes by parquet min/max on ``term`` and by
+the ``kind`` dictionary filter; the only shuffle is the per-shard top-k'
+union (≤ shards × queries × k' rows). The driver never sees posting lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .. import B, K1
+from ..analyzer import py_tokenize
+from .codec import decode_block_meta, decode_postings
+from .spimi import load_stats
+
+EPS = 1e-9
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _score_shard(
+    pdf: pd.DataFrame,
+    qplans: list[tuple[int, list[tuple[str, float]]]],
+    avgdl: float,
+    kprime: int,
+) -> pd.DataFrame:
+    """One shard's relevant segment rows → local top-k' per query."""
+    post_rows = {
+        r.term: (r.postings, r.blockmeta)
+        for r in pdf[pdf["kind"] == "post"].itertuples()
+    }
+    docs_row = pdf[pdf["kind"] == "docs"]
+    if docs_row.empty or not post_rows:
+        return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+            {"query_id": "int32", "docid": "int64", "score": "float64"}
+        )
+    shard = int(pdf["shard"].iloc[0])
+    all_ids, all_lens = decode_postings(docs_row["postings"].iloc[0])
+    norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
+
+    decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+    for term, (pbuf, bbuf) in post_rows.items():
+        ids, tfs = decode_postings(pbuf)
+        _, bmax = decode_block_meta(bbuf)
+        decoded[term] = (ids, tfs, float(bmax.max()) if len(bmax) else 0.0)
+
+    out_q, out_d, out_s = [], [], []
+    for qid, weighted_terms in qplans:
+        terms = [(t, idf) for t, idf in weighted_terms if t in decoded]
+        if not terms:
+            continue
+        # ub_t exact-safe: idf * (k1+1) * max tfnorm seen in any block
+        ubs = np.array(
+            [idf * (K1 + 1.0) * decoded[t][2] for t, idf in terms], dtype=np.float64
+        )
+        order = np.argsort(-ubs, kind="stable")
+        suffix = np.zeros(len(order) + 1)
+        suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
+
+        cand_ids = np.zeros(0, dtype=np.int64)
+        cand_scores = np.zeros(0, dtype=np.float64)
+        theta = -np.inf
+        for oi, ti in enumerate(order):
+            term, idf = terms[ti]
+            rem = suffix[oi + 1]
+            ids, tfs, _ = decoded[term]
+            pos = np.searchsorted(all_ids, ids)
+            contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
+            can_introduce = not np.isfinite(theta) or (ubs[ti] + rem >= theta - EPS)
+            if can_introduce:
+                merged = np.union1d(cand_ids, ids)
+                new_scores = np.zeros(len(merged))
+                new_scores[np.searchsorted(merged, cand_ids)] = cand_scores
+                new_scores[np.searchsorted(merged, ids)] += contrib
+                cand_ids, cand_scores = merged, new_scores
+            else:
+                # existing candidates only (exactness: survivors still get
+                # every contribution they contain)
+                hit = np.searchsorted(cand_ids, ids)
+                hit_ok = (hit < len(cand_ids)) & (
+                    cand_ids[np.minimum(hit, len(cand_ids) - 1)] == ids
+                )
+                cand_scores[hit[hit_ok]] += contrib[hit_ok]
+            # update θ and prune hopeless candidates
+            if len(cand_ids) >= kprime:
+                theta = np.partition(cand_scores, -kprime)[-kprime]
+                keep = cand_scores + rem >= theta - EPS
+                cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+        if len(cand_ids) == 0:
+            continue
+        k_eff = min(kprime, len(cand_ids))
+        # top-k' by (score desc, docid asc)
+        sel = np.lexsort((cand_ids, -cand_scores))[:k_eff]
+        out_q.extend([qid] * k_eff)
+        out_d.extend(cand_ids[sel].tolist())
+        out_s.extend(cand_scores[sel].tolist())
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "docid": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        }
+    )
+
+
+def topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    pad: int = 16,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — block-max top-k over the index."""
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    qterms: dict[int, list[str]] = {
+        qid: sorted(set(py_tokenize(text))) for qid, text in queries
+    }
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+
+    tstats = (
+        spark.read.parquet(f"{index_dir}/termstats")
+        .filter(F.col("term").isin(all_terms))
+        .collect()
+    )
+    df_by_term = {r["term"]: r["df"] for r in tstats}
+    qplans = [
+        (
+            qid,
+            [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term],
+        )
+        for qid, ts in qterms.items()
+    ]
+    qplans = [(qid, ts) for qid, ts in qplans if ts]
+    if not qplans:
+        return spark.createDataFrame([], "query_id int, rank int, docid long, score double")
+    kprime = k + pad
+
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(all_terms))
+        | (F.col("kind") == "docs")
+    )
+    local = relevant.groupBy("shard").applyInPandas(
+        lambda pdf: _score_shard(pdf, qplans, avgdl, kprime),
+        "query_id int, docid long, score double",
+    )
+    score = (
+        F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
+    )
+    scored = local.select("query_id", "docid", score.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )

@@ -1,0 +1,61 @@
+"""spark-submit entry point: build the inverted index.
+
+Usage:
+  spark-submit --py-files gazetteer_spark.zip scripts/build_index.py \
+      --source /path/to/source_parquet --out /path/to/index \
+      [--n-shards 256] [--resume] [--batch-shards 32] \
+      [--id-cols repo,path,commit] [--content-col content]
+
+The source table is the BASELINE input shape
+(repo, path, commit, lang, content); ``--id-cols`` picks the natural key
+from which the deterministic 64-bit docid is derived. For tables that
+already carry an integer id (e.g. documents.doc_id), pass --docid-col.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-shards", type=int, default=32)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--batch-shards", type=int, default=None)
+    ap.add_argument("--id-cols", default="repo,path,commit")
+    ap.add_argument("--docid-col", default=None)
+    ap.add_argument("--content-col", default="content")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from gazetteer_spark.docs import build_doc_registry, docid_expr
+    from gazetteer_spark.index import spimi
+
+    spark = SparkSession.builder.appName("gazetteer_build_index").getOrCreate()
+    src = spark.read.parquet(args.source)
+    t0 = time.time()
+    if args.docid_col:
+        docs = src
+        id_col = args.docid_col
+    else:
+        key = tuple(args.id_cols.split(","))
+        docs = src.withColumn("docid", docid_expr(*key))
+        id_col = "docid"
+    stats = spimi.build_index(
+        spark, docs, args.out, n_shards=args.n_shards, id_col=id_col,
+        content_col=args.content_col, resume=args.resume,
+        batch_shards=args.batch_shards,
+    )
+    dt = time.time() - t0
+    print(json.dumps({"built": args.out, "sec": round(dt, 2),
+                      "files_per_sec": round(stats["n_docs"] / dt, 1), **stats}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

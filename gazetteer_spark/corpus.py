@@ -54,12 +54,12 @@ def make_file(i: int, seed: int = SEED) -> tuple[str, str, str, str, str]:
 
     lines = []
     kws = KEYWORDS[lang]
-    n_funcs = 2 + rng.randrange(4)
+    n_funcs = 5 + rng.randrange(8)
     for f_i in range(n_funcs):
         name = VOCAB[rng.randrange(len(VOCAB))]
         arg = VOCAB[rng.randrange(len(VOCAB))]
         lines.append(f"{kws[0]} {name}({arg}):")
-        body_len = 3 + rng.randrange(6)
+        body_len = 8 + rng.randrange(14)
         for _ in range(body_len):
             # mid-frequency terms: ~10% of files share each
             ident = VOCAB[(i // 10 + rng.randrange(40)) % len(VOCAB)]
@@ -74,7 +74,8 @@ def source_files(spark: SparkSession, n_files: int, seed: int = SEED,
     """Distributed generation: the per-row function runs inside mapInPandas-free
     Spark range + UDF-less python via parallelize of indices (generation is
     test-scale only; the engine itself never generates data)."""
-    parts = partitions or max(8, n_files // 5000)
+    # enough input splits that a 32-core build is never file-bound
+    parts = partitions or max(64, n_files // 2000)
     rdd = spark.sparkContext.parallelize(range(n_files), parts).map(
         lambda i: make_file(i, seed)
     )

@@ -22,12 +22,12 @@ BLOCK = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def _varbyte_encode(values: np.ndarray) -> bytes:
-    """values: uint64 array → varbyte bytes (7 data bits, MSB=continuation)."""
+def _varbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """values: uint64 array → (uint8 byte array, per-value END byte offsets)."""
     v = values.astype(np.uint64, copy=False)
     n = len(v)
     if n == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (v >= t).astype(np.int64)
@@ -43,6 +43,12 @@ def _varbyte_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[pos] = chunk.astype(np.uint8) | cont
+    return out, ends
+
+
+def _varbyte_encode(values: np.ndarray) -> bytes:
+    """values: uint64 array → varbyte bytes (7 data bits, MSB=continuation)."""
+    out, _ = _varbyte_encode_offsets(values)
     return out.tobytes()
 
 
@@ -111,24 +117,100 @@ def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return docids.astype(np.int64), tfs.astype(np.int32)
 
 
-def block_meta(docids: np.ndarray, tfnorm: np.ndarray) -> bytes:
-    """Per-block (last_docid int64, max_tfnorm float64), block=128 postings."""
+_BLOCK_DT = np.dtype([("last", "<i8"), ("max_tf", "<i4"), ("min_dl", "<i4")])
+
+
+def _zigzag_vec(d: np.ndarray) -> np.ndarray:
+    """int64 array → zigzag uint64 (vectorized, wrap-safe)."""
+    u = d.astype(np.uint64)
+    return (u << np.uint64(1)) ^ (d >> 63).astype(np.uint64)
+
+
+def encode_postings_grouped(
+    docids: np.ndarray, tfs: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    docids/tfs are the concatenation of all lists (each list sorted
+    ascending); (starts[i], ends[i]) is list i's row range. Output bytes are
+    identical to calling :func:`encode_postings` per list — the whole-shard
+    SPIMI analog of the reference's page-at-a-time external sort
+    (`MMapBBIndex.java:290-405`), minus the per-page Python.
+    """
+    n = len(docids)
+    if n == 0:
+        return [b"" for _ in starts]
+    d = docids.astype(np.int64, copy=False)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (d[1:].astype(np.uint64) - d[:-1].astype(np.uint64))  # wraps ok
+    deltas[starts] = _zigzag_vec(d[starts])
+    lens = ends - starts
+    # value stream: per list, its deltas then its tfs → global positions
+    s_row = np.repeat(starts, lens)
+    e_row = np.repeat(ends, lens)
+    idx = np.arange(n, dtype=np.int64)
+    vals = np.empty(2 * n, dtype=np.uint64)
+    vals[idx + s_row] = deltas
+    vals[idx + e_row] = tfs.astype(np.uint64)
+    buf, vends = _varbyte_encode_offsets(vals)
+    vstarts = np.concatenate([[0], vends])  # start offset of value i = vstarts[i]
+    mv = memoryview(buf.tobytes())
+    out = []
+    for s, e in zip(starts, ends):
+        out.append(bytes(mv[vstarts[2 * s] : vstarts[2 * e]]))
+    return out
+
+
+def block_meta_grouped(
+    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray,
+    starts: np.ndarray, ends: np.ndarray,
+) -> list[bytes]:
+    """Per-list block-max metadata, vectorized for the common 1-block case."""
+    lens = ends - starts
+    single = lens <= BLOCK
+    out: list[bytes | None] = [None] * len(starts)
+    if single.any():
+        # reduceat segments are [starts[j], starts[j+1]) — valid because the
+        # lists tile the row range contiguously; then select the 1-block ones
+        max_all = np.maximum.reduceat(tfs, starts)
+        min_all = np.minimum.reduceat(doclens, starts)
+        e1 = ends[single]
+        arr = np.empty(int(single.sum()), dtype=_BLOCK_DT)
+        arr["last"] = docids[e1 - 1]
+        arr["max_tf"] = max_all[single]
+        arr["min_dl"] = min_all[single]
+        raw = arr.tobytes()
+        isz = _BLOCK_DT.itemsize
+        for j, i in enumerate(np.nonzero(single)[0]):
+            out[i] = raw[j * isz : (j + 1) * isz]
+    for i in np.nonzero(~single)[0]:
+        s, e = starts[i], ends[i]
+        out[i] = block_meta(docids[s:e], tfs[s:e], doclens[s:e])
+    return out  # type: ignore[return-value]
+
+
+def block_meta(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> bytes:
+    """Per-block (last_docid, max_tf, min_dl), block=128 postings.
+
+    The BM25 per-term contribution ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
+    is monotone increasing in tf and decreasing in dl, so
+    ``f(max_tf, min_dl)`` is an exact-safe block upper bound — and it is
+    avgdl-free, which lets the segment build run in a single pass (no
+    corpus-stats pre-pass).
+    """
     n = len(docids)
     if n == 0:
         return b""
     nblocks = (n + BLOCK - 1) // BLOCK
-    last = np.empty(nblocks, dtype=np.int64)
-    mx = np.empty(nblocks, dtype=np.float64)
+    out = np.empty(nblocks, dtype=_BLOCK_DT)
     for bi in range(nblocks):
         sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
-        last[bi] = docids[sl][-1]
-        mx[bi] = tfnorm[sl].max()
-    out = np.empty(nblocks, dtype=[("last", "<i8"), ("max", "<f8")])
-    out["last"] = last
-    out["max"] = mx
+        out["last"][bi] = docids[sl][-1]
+        out["max_tf"][bi] = tfs[sl].max()
+        out["min_dl"][bi] = doclens[sl].min()
     return out.tobytes()
 
 
-def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    arr = np.frombuffer(buf, dtype=[("last", "<i8"), ("max", "<f8")])
-    return arr["last"].copy(), arr["max"].copy()
+def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    arr = np.frombuffer(buf, dtype=_BLOCK_DT)
+    return arr["last"].copy(), arr["max_tf"].copy(), arr["min_dl"].copy()

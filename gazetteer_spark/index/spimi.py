@@ -27,8 +27,10 @@ data, never from execution order.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -37,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import B, K1
 from ..analyzer import postings_arrow
-from .codec import block_meta, encode_postings
+from .codec import block_meta_grouped, encode_postings, encode_postings_grouped
 
 ANALYZER_VERSION = "tok-v1"  # bump when analyzer semantics change
 
@@ -51,43 +53,78 @@ def shard_expr(docid_col, n_shards: int):
     return F.pmod(F.xxhash64(docid_col), F.lit(n_shards)).cast("int")
 
 
-def _build_shard(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
+def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFrame:
     """One shard's postings (docid, term, tf) → segment rows. Runs inside
     applyInPandas: numpy array-at-a-time, Python loop only over the shard's
     vocabulary (each iteration vectorized over that term's postings)."""
     shard = int(pdf["shard"].iloc[0])
-    # doclen per doc: every posting of a doc is in its shard (doc-sharded)
-    dl = pdf.groupby("docid", sort=True)["tf"].sum()
-    doc_ids = dl.index.to_numpy(dtype=np.int64)
-    doc_lens = dl.to_numpy(dtype=np.int64)
+    raw_ids = pdf["docid"].to_numpy(dtype=np.int64)
+    raw_tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    raw_terms = pdf["term"].to_numpy()
 
-    srt = pdf.sort_values(["term", "docid"], kind="mergesort")
-    terms = srt["term"].to_numpy()
-    docids = srt["docid"].to_numpy(dtype=np.int64)
-    tfs = srt["tf"].to_numpy(dtype=np.int64)
-    # tfnorm with the exact scoring float ops (block-max bound is exact-safe)
+    # doclen per doc: every posting of a doc is in its shard (doc-sharded)
+    doc_order = np.argsort(raw_ids, kind="stable")
+    sorted_ids = raw_ids[doc_order]
+    doc_bounds = np.nonzero(sorted_ids[1:] != sorted_ids[:-1])[0] + 1
+    doc_starts = np.concatenate([[0], doc_bounds])
+    doc_ids = sorted_ids[doc_starts]
+    doc_lens = np.add.reduceat(raw_tfs[doc_order], doc_starts)
+
+    # sort by (term, docid): terms via stable argsort on the object array
+    order = np.lexsort((raw_ids, raw_terms))
+    terms = raw_terms[order]
+    docids = raw_ids[order]
+    tfs = raw_tfs[order]
     dlen = doc_lens[np.searchsorted(doc_ids, docids)]
-    tfnorm = (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dlen / avgdl))
 
     bounds = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(terms)]])
-    rows = []
-    for s, e in zip(starts, ends):
-        ids, fs, tn = docids[s:e], tfs[s:e], tfnorm[s:e]
-        rows.append(
-            (
-                shard, "post", terms[s], int(e - s), int(fs.sum()),
-                encode_postings(ids, fs), block_meta(ids, tn),
-            )
-        )
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [len(terms)]]).astype(np.int64)
+
+    posts = encode_postings_grouped(docids, tfs, starts, ends)
+    metas = block_meta_grouped(docids, tfs, dlen, starts, ends)
+    dfs = (ends - starts).astype(np.int64)
+    cfs = np.add.reduceat(tfs, starts)
+    rows = [
+        (shard, "post", terms[s], int(df), int(cf), p, m)
+        for s, df, cf, p, m in zip(starts, dfs, cfs, posts, metas)
+    ]
     # docmeta row: packed (docid, doclen) for query-time doclen lookup
-    rows.append(
-        (
-            shard, "docs", None, int(len(doc_ids)), int(doc_lens.sum()),
-            encode_postings(doc_ids, doc_lens), b"",
-        )
+    docs_row = (
+        shard, "docs", None, int(len(doc_ids)), int(doc_lens.sum()),
+        encode_postings(doc_ids, doc_lens), b"",
     )
+    rows.append(docs_row)
+
+    # shard manifest computed here, while the data is in memory — avoids a
+    # second full read+hash of the postings bytes. Checksum = sha256 over
+    # rows in term-sorted order (deterministic: in-shard order derives from
+    # data). The metrics land as a tiny side file under manifest_pending/ —
+    # the Iceberg pattern: tasks write data + metadata files, the driver
+    # commit promotes metadata. Rewrites on task retry are byte-identical
+    # (content is a pure function of the shard's data), so this is safe.
+    h = hashlib.sha256()
+    n_bytes = 0
+    for r in rows:
+        h.update((r[2] or "").encode())
+        h.update(r[5])
+        h.update(r[6])
+        n_bytes += len(r[5]) + len(r[6])
+    metrics = {
+        "shard": shard,
+        "n_terms": len(rows) - 1,
+        "n_postings": int(tfs.size),
+        "n_docs": int(len(doc_ids)),
+        "sum_doclen": int(doc_lens.sum()),
+        "n_bytes": n_bytes,
+        "checksum": h.hexdigest(),
+    }
+    if pending_dir is not None:
+        os.makedirs(pending_dir, exist_ok=True)
+        tmp = f"{pending_dir}/.shard_{shard}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(metrics, f, sort_keys=True)
+        os.replace(tmp, f"{pending_dir}/shard_{shard}.json")
     return pd.DataFrame(
         rows, columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"]
     )
@@ -103,45 +140,42 @@ def build_index(
     resume: bool = False,
     batch_shards: int | None = None,
 ) -> dict:
-    """Build (or resume) the index. Returns the stats dict."""
+    """Build (or resume) the index. Returns the stats dict.
+
+    Single-pass: the block-max metadata is avgdl-free (codec.block_meta), so
+    no corpus-stats pre-pass is needed — corpus stats are aggregated from the
+    committed manifest afterwards.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    stats_path = f"{out_dir}/stats.json"
+    build_path = f"{out_dir}/build.json"
     seg_path = f"{out_dir}/segments"
     man_path = f"{out_dir}/manifest"
+    params = {"n_shards": n_shards, "analyzer_version": ANALYZER_VERSION,
+              "k1": K1, "b": B}
 
     committed: set[int] = set()
-    if resume and os.path.exists(man_path) and os.path.exists(stats_path):
-        with open(stats_path) as f:
-            stats = json.load(f)
-        if stats["n_shards"] != n_shards or stats["analyzer_version"] != ANALYZER_VERSION:
+    if resume and os.path.exists(man_path) and os.path.exists(build_path):
+        with open(build_path) as f:
+            prev = json.load(f)
+        if prev != params:
             raise ValueError("resume with incompatible build parameters")
-        committed = {
-            r["shard"]
-            for r in spark.read.parquet(man_path).select("shard").collect()
-        }
-    else:
-        # corpus stats pass: no shuffle (map + global agg)
-        from ..analyzer import doclen_expr
+        import pyarrow.parquet as pq
 
-        row = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(doclen_expr(F.col(content_col))).alias("avgdl"),
-        ).collect()[0]
-        stats = {
-            "n_docs": int(row["n"]),
-            "avgdl": float(row["avgdl"]),
-            "n_shards": n_shards,
-            "analyzer_version": ANALYZER_VERSION,
-            "k1": K1,
-            "b": B,
-        }
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
+        committed = set(
+            pq.read_table(man_path, columns=["shard"])["shard"].to_pylist()
+        )
+    else:
+        with open(build_path, "w") as f:
+            json.dump(params, f)
 
     todo = sorted(set(range(n_shards)) - committed)
     if todo:
-        avgdl = stats["avgdl"]
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # pre-clean uncommitted shard dirs (a killed run may have written
+        # segment data whose manifest commit never landed)
+        for s in todo:
+            d = f"{seg_path}/shard={s}"
+            if os.path.exists(d):
+                shutil.rmtree(d)
         postings_all = postings_arrow(docs, id_col, content_col).withColumn(
             "shard", shard_expr(F.col("docid"), n_shards)
         )
@@ -154,13 +188,23 @@ def build_index(
             p = postings_all
             if len(batch) < n_shards:
                 p = p.filter(F.col("shard").isin(batch))
-            segments = (
-                p.repartition(len(batch), "shard")
-                .groupBy("shard")
-                .applyInPandas(lambda pdf: _build_shard(pdf, avgdl), SEGMENT_SCHEMA)
+            # groupBy itself shuffles on the group key — an explicit
+            # repartition would be a second, redundant shuffle. With
+            # shuffle.partitions > n_shards the hash collisions that would
+            # otherwise double-load some reduce tasks spread out, and AQE
+            # coalesces the empties. Append mode: shard dirs are disjoint
+            # across batches, so no overwrite machinery (listing + per-dir
+            # renames on the driver) is paid.
+            pending = f"{out_dir}/manifest_pending"
+
+            def build_with_pending(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _build_shard(pdf, pending_dir=pending)
+
+            segments = p.groupBy("shard").applyInPandas(
+                build_with_pending, SEGMENT_SCHEMA
             )
-            # segments land first; the manifest partition is the commit point
-            segments.write.mode("overwrite").partitionBy("shard").parquet(seg_path)
+            segments.write.mode("append").partitionBy("shard").parquet(seg_path)
+            # segments land first; the manifest row is the commit point
             _commit_manifest(spark, out_dir, batch)
 
     # global term stats — derived from committed segments (cheap relative to
@@ -175,30 +219,44 @@ def build_index(
         .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").alias("cf"))
     )
     ts.write.mode("overwrite").parquet(f"{out_dir}/termstats")
+
+    # corpus stats from the committed manifest (n_docs, avgdl) — driver-side
+    import pyarrow.parquet as pq
+
+    mt = pq.read_table(f"{out_dir}/manifest", columns=["n_docs", "sum_doclen"])
+    n = sum(mt["n_docs"].to_pylist())
+    total_len = sum(mt["sum_doclen"].to_pylist())
+    stats = {
+        "n_docs": int(n),
+        "avgdl": float(total_len) / float(n) if n else 0.0,
+        **params,
+    }
+    with open(f"{out_dir}/stats.json", "w") as f:
+        json.dump(stats, f)
     return stats
 
 
 def _commit_manifest(spark: SparkSession, out_dir: str, shards: list[int]) -> None:
-    """Write manifest rows for ``shards`` from their WRITTEN segment data —
-    metrics + order-insensitive checksum + lineage."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    seg = spark.read.parquet(f"{out_dir}/segments").filter(F.col("shard").isin(shards))
-    man = (
-        seg.groupBy("shard")
-        .agg(
-            F.sum(F.when(F.col("kind") == "post", 1).otherwise(0)).alias("n_terms"),
-            F.sum(F.when(F.col("kind") == "post", F.col("df"))).alias("n_postings"),
-            F.max(F.when(F.col("kind") == "docs", F.col("df"))).alias("n_docs"),
-            F.sum(F.length("postings") + F.length("blockmeta")).alias("n_bytes"),
-            # order-insensitive checksum; bit_xor never overflows (ANSI mode)
-            F.bit_xor(
-                F.xxhash64("kind", "term", "df", "cf", "postings", "blockmeta")
-            ).alias("checksum"),
-        )
-        .withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
-        .withColumn("status", F.lit("committed"))
-    )
-    man.write.mode("overwrite").partitionBy("shard").parquet(f"{out_dir}/manifest")
+    """Promote the pending per-task metadata files of ``shards`` to the
+    manifest table — the durable commit point. Pure driver-side metadata
+    I/O (the Iceberg commit pattern): no Spark job, no data-file reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    recs = []
+    for s in shards:
+        with open(f"{out_dir}/manifest_pending/shard_{s}.json") as f:
+            m = json.load(f)
+        assert m["shard"] == s
+        m["analyzer_version"] = ANALYZER_VERSION
+        m["status"] = "committed"
+        recs.append(m)
+    table = pa.Table.from_pylist(recs)
+    os.makedirs(f"{out_dir}/manifest", exist_ok=True)
+    # one small file per commit batch; committed shard sets are disjoint
+    tmp = f"{out_dir}/manifest/.batch_{min(shards)}_{max(shards)}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{out_dir}/manifest/batch_{min(shards)}_{max(shards)}.parquet")
 
 
 def load_termstats(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -51,7 +51,9 @@ def _score_shard(
     pdf: pd.DataFrame,
     qplans: list[tuple[int, list[tuple[str, float]]]],
     avgdl: float,
-    kprime: int,
+    k: int,
+    round_to: int | None,
+    cap: int,
 ) -> pd.DataFrame:
     """One shard's relevant segment rows → local top-k' per query."""
     post_rows = {
@@ -70,18 +72,29 @@ def _score_shard(
     decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
     for term, (pbuf, bbuf) in post_rows.items():
         ids, tfs = decode_postings(pbuf)
-        _, bmax = decode_block_meta(bbuf)
-        decoded[term] = (ids, tfs, float(bmax.max()) if len(bmax) else 0.0)
+        _, bmax_tf, bmin_dl = decode_block_meta(bbuf)
+        if len(bmax_tf):
+            # exact-safe bound: tfnorm is monotone ↑tf, ↓dl — evaluate with
+            # the same float ops as scoring at (max_tf, min_dl) per block
+            bub = (bmax_tf * (K1 + 1.0)) / (
+                bmax_tf + K1 * (1.0 - B + B * bmin_dl.astype(np.float64) / avgdl)
+            )
+            tmax = float(bub.max())
+        else:
+            tmax = 0.0
+        decoded[term] = (ids, tfs, tmax)
+
+    # pruning must never drop a doc that could TIE the k-th result after
+    # rounding: two rounding ulps of slack covers round(x) vs round(kth)
+    margin = (2.0 * 10.0 ** (-round_to) if round_to is not None else 0.0) + EPS
 
     out_q, out_d, out_s = [], [], []
     for qid, weighted_terms in qplans:
         terms = [(t, idf) for t, idf in weighted_terms if t in decoded]
         if not terms:
             continue
-        # ub_t exact-safe: idf * (k1+1) * max tfnorm seen in any block
-        ubs = np.array(
-            [idf * (K1 + 1.0) * decoded[t][2] for t, idf in terms], dtype=np.float64
-        )
+        # ub_t exact-safe: idf * max block tfnorm bound (includes the k1+1 factor)
+        ubs = np.array([idf * decoded[t][2] for t, idf in terms], dtype=np.float64)
         order = np.argsort(-ubs, kind="stable")
         suffix = np.zeros(len(order) + 1)
         suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
@@ -95,7 +108,7 @@ def _score_shard(
             ids, tfs, _ = decoded[term]
             pos = np.searchsorted(all_ids, ids)
             contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
-            can_introduce = not np.isfinite(theta) or (ubs[ti] + rem >= theta - EPS)
+            can_introduce = not np.isfinite(theta) or (ubs[ti] + rem >= theta - margin)
             if can_introduce:
                 merged = np.union1d(cand_ids, ids)
                 new_scores = np.zeros(len(merged))
@@ -110,19 +123,28 @@ def _score_shard(
                     cand_ids[np.minimum(hit, len(cand_ids) - 1)] == ids
                 )
                 cand_scores[hit[hit_ok]] += contrib[hit_ok]
-            # update θ and prune hopeless candidates
-            if len(cand_ids) >= kprime:
-                theta = np.partition(cand_scores, -kprime)[-kprime]
-                keep = cand_scores + rem >= theta - EPS
+            # update θ (k-th best exact, only grows) and prune hopeless docs
+            if len(cand_ids) >= k:
+                theta = np.partition(cand_scores, -k)[-k]
+                keep = cand_scores + rem >= theta - margin
                 cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
         if len(cand_ids) == 0:
             continue
-        k_eff = min(kprime, len(cand_ids))
-        # top-k' by (score desc, docid asc)
-        sel = np.lexsort((cand_ids, -cand_scores))[:k_eff]
-        out_q.extend([qid] * k_eff)
-        out_d.extend(cand_ids[sel].tolist())
-        out_s.extend(cand_scores[sel].tolist())
+        # local emission must use the SAME ordering as the global merge:
+        # (rounded score desc, docid asc). Emit every doc whose rounded
+        # score ties the k-th largest rounded value — rounding is monotone,
+        # so docs below that bar can never enter the global top-k.
+        rounded = np.round(cand_scores, round_to) if round_to is not None else cand_scores
+        if len(cand_ids) > k:
+            bar = np.partition(rounded, -k)[-k]
+            sel_mask = rounded >= bar
+        else:
+            sel_mask = np.ones(len(cand_ids), dtype=bool)
+        ids_e, raw_e, rnd_e = cand_ids[sel_mask], cand_scores[sel_mask], rounded[sel_mask]
+        order_e = np.lexsort((ids_e, -rnd_e))[:cap]
+        out_q.extend([qid] * len(order_e))
+        out_d.extend(ids_e[order_e].tolist())
+        out_s.extend(raw_e[order_e].tolist())
     return pd.DataFrame(
         {
             "query_id": pd.Series(out_q, dtype="int32"),
@@ -138,7 +160,7 @@ def topk(
     queries: list[tuple[int, str]],
     k: int = 10,
     round_to: int | None = 4,
-    pad: int = 16,
+    tie_cap: int = 4096,
 ) -> DataFrame:
     """(query_id, rank, docid, score) — block-max top-k over the index."""
     stats = load_stats(index_dir)
@@ -167,7 +189,6 @@ def topk(
     qplans = [(qid, ts) for qid, ts in qplans if ts]
     if not qplans:
         return spark.createDataFrame([], "query_id int, rank int, docid long, score double")
-    kprime = k + pad
 
     seg = spark.read.parquet(f"{index_dir}/segments")
     relevant = seg.filter(
@@ -175,7 +196,7 @@ def topk(
         | (F.col("kind") == "docs")
     )
     local = relevant.groupBy("shard").applyInPandas(
-        lambda pdf: _score_shard(pdf, qplans, avgdl, kprime),
+        lambda pdf: _score_shard(pdf, qplans, avgdl, k, round_to, tie_cap),
         "query_id int, docid long, score double",
     )
     score = (

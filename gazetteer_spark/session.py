@@ -45,7 +45,29 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Tokenization costs ~10-50 MB/s/core — far below parquet scan rates —
+        # so input splits must be sized for CPU, not I/O: small
+        # maxPartitionBytes, and openCost = maxPartitionBytes so small files
+        # are never packed into a handful of fat partitions that cap the
+        # analyzer stage's parallelism.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(16 * 1024 * 1024)),
+        )
     )
+    # Shuffle/spill on the fastest local medium (cluster analog: executor
+    # NVMe via spark.local.dir). The sandbox root disk does ~250 MB/s, which
+    # would serialize every shuffle; /dev/shm is RAM-backed.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

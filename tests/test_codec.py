@@ -79,8 +79,9 @@ def test_varbyte_property(vals):
 def test_block_meta():
     n = BLOCK * 2 + 10
     docids = np.arange(n, dtype=np.int64)
-    tfnorm = np.linspace(0.1, 2.0, n)
-    last, mx = decode_block_meta(block_meta(docids, tfnorm))
+    tfs = np.arange(1, n + 1, dtype=np.int64)
+    dls = np.arange(100, 100 + n, dtype=np.int64)
+    last, max_tf, min_dl = decode_block_meta(block_meta(docids, tfs, dls))
     assert last.tolist() == [BLOCK - 1, 2 * BLOCK - 1, n - 1]
-    assert mx[0] == tfnorm[:BLOCK].max()
-    assert mx[2] == tfnorm[2 * BLOCK:].max()
+    assert max_tf.tolist() == [BLOCK, 2 * BLOCK, n]
+    assert min_dl.tolist() == [100, 100 + BLOCK, 100 + 2 * BLOCK]

@@ -87,18 +87,28 @@ def test_wand_oov_empty(spark, index_dir):
     assert wand.topk(spark, index_dir, [(0, "zzz_not_here")], k=5).count() == 0
 
 
-def test_resume_after_kill(spark, documents, tmp_path_factory):
+def test_resume_after_kill(spark, documents, tmp_path_factory, monkeypatch):
     full = str(tmp_path_factory.mktemp("idx_full"))
     spimi.build_index(spark, documents, full, n_shards=8, id_col="doc_id",
                       content_col="text")
 
+    # simulate a kill: the 3rd batch commit dies mid-build (segments for the
+    # batch may be on disk, but their manifest rows never landed)
     killed = str(tmp_path_factory.mktemp("idx_killed"))
-    spimi.build_index(spark, documents, killed, n_shards=8, id_col="doc_id",
-                      content_col="text")
-    # simulate a kill: drop the manifest commit (and data) for 3 shards
-    for s in (1, 4, 6):
-        shutil.rmtree(f"{killed}/manifest/shard={s}")
-        shutil.rmtree(f"{killed}/segments/shard={s}")
+    real_commit = spimi._commit_manifest
+    calls = {"n": 0}
+
+    def flaky_commit(spark_, out_dir, shards):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated kill")
+        real_commit(spark_, out_dir, shards)
+
+    monkeypatch.setattr(spimi, "_commit_manifest", flaky_commit)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        spimi.build_index(spark, documents, killed, n_shards=8, id_col="doc_id",
+                          content_col="text", batch_shards=3)
+    monkeypatch.setattr(spimi, "_commit_manifest", real_commit)
 
     spimi.build_index(spark, documents, killed, n_shards=8, id_col="doc_id",
                       content_col="text", resume=True)

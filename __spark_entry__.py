@@ -144,6 +144,8 @@ def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from gazetteer_spark.catalog import ops_queries
+
     return {
         "ft_tokens": q_ft_tokens,
         "ft_docstats": q_ft_docstats,
@@ -153,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_wand_topk": q_ft_wand_topk,
         "ft_boolean_and": q_ft_boolean_and,
+        **ops_queries(),
     }
 
 
@@ -161,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from gazetteer_spark.catalog import ops_oracles
+
     termstats = (
         _DUCK_POSTINGS
         + " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf"
@@ -199,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean_and": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",
+        **ops_oracles(),
     }
 
 

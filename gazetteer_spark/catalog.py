@@ -1,0 +1,652 @@
+"""Query catalog: training-data pipeline ops + relational operator demos.
+
+Each entry has a Spark implementation (built on gazetteer_spark.ops / plain
+DataFrame API) and a DuckDB oracle producing identical column names, types,
+and values (floats rounded on both sides). Relational entries exercise the
+SURVEY §2 operator inventory (joins J1/J6/J8/J12, aggregations A2/A4/A5,
+sorts O1/O7, predicates P6, functions F5, window patterns) on the TPC-H-ish
+test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .ops import HASH_PRIME, dedup, multimodal, similarity, textstats
+from .ops.dedup import MINHASH_A, MINHASH_B, N_HASHES
+
+# ---------------------------------------------------------------------------
+# DuckDB building blocks (keep in sync with analyzer.py / ops constants)
+# ---------------------------------------------------------------------------
+
+DUCK_TOKENS = (
+    r"list_filter(string_split_regex(lower(regexp_replace(regexp_replace({col},"
+    r" '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'), '([a-z0-9])([A-Z])', '\1 \2', 'g')),"
+    r" '[^a-z0-9]+'), x -> x <> '')"
+)
+DUCK_MD5INT = "CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
+DUCK_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+
+
+def _duck_shingle_rows(src: str = "documents", idc: str = "doc_id", txt: str = "text") -> str:
+    toks = DUCK_TOKENS.format(col=txt)
+    return (
+        f"sh AS (SELECT {idc} AS docid, s.shingle AS shingle FROM {src}, "
+        f"LATERAL unnest(list_distinct({DUCK_SHINGLES.format(t=toks)})) AS s(shingle))"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dd_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dd_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_dd_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", 0.3)
+
+
+def q_dd_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), "doc_id", "text", 0.3)
+
+
+def q_dd_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _oracle_dd_exact():
+    return (
+        "SELECT doc_id AS docid, min(doc_id) OVER (PARTITION BY text) AS canonical,"
+        " CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS cluster_size"
+        " FROM documents"
+    )
+
+
+def _oracle_minhash_sigs() -> str:
+    h = DUCK_MD5INT.format(col="shingle") + f" % {HASH_PRIME}"
+    aggs = ", ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return (
+        f"WITH {_duck_shingle_rows()}, hs AS (SELECT docid, {h} AS h FROM sh) "
+        f"SELECT docid, {aggs} FROM hs GROUP BY docid"
+    )
+
+
+def _oracle_jaccard(threshold: float, with_lsh: bool) -> str:
+    base = f"WITH {_duck_shingle_rows()}, "
+    sizes = "sizes AS (SELECT docid, count(*) AS nsh FROM sh GROUP BY docid), "
+    inter = (
+        "inter AS (SELECT a.docid AS docid_a, b.docid AS docid_b, count(*) AS ninter"
+        " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid"
+        " GROUP BY a.docid, b.docid), "
+    )
+    if with_lsh:
+        h = DUCK_MD5INT.format(col="shingle") + f" % {HASH_PRIME}"
+        aggs = ", ".join(
+            f"min(({a} * h + {b}) % {HASH_PRIME}) AS sig_{i}"
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        )
+        rows = N_HASHES // 4
+        band_sel = " UNION ALL ".join(
+            "SELECT docid, {b} AS band, concat_ws('_', {cols}) AS key FROM sigs".format(
+                b=b,
+                cols=", ".join(f"sig_{b * rows + r}" for r in range(rows)),
+            )
+            for b in range(4)
+        )
+        lsh = (
+            f"hs AS (SELECT docid, {h} AS h FROM sh), "
+            f"sigs AS (SELECT docid, {aggs} FROM hs GROUP BY docid), "
+            f"bands AS ({band_sel}), "
+            "cand AS (SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b"
+            " FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key"
+            " AND a.docid < b.docid), "
+        )
+        inter_f = (
+            "interf AS (SELECT i.* FROM inter i JOIN cand c ON"
+            " i.docid_a = c.docid_a AND i.docid_b = c.docid_b), "
+        )
+        src = "interf"
+        base += lsh + sizes + inter + inter_f
+    else:
+        src = "inter"
+        base += sizes + inter
+    return (
+        base
+        + f"j AS (SELECT docid_a, docid_b, round(CAST(ninter AS DOUBLE) / "
+        "(sa.nsh + sb.nsh - ninter), 6) AS jaccard "
+        f"FROM {src} JOIN sizes sa ON sa.docid = docid_a "
+        "JOIN sizes sb ON sb.docid = docid_b) "
+        f"SELECT docid_a, docid_b, jaccard FROM j WHERE jaccard >= {threshold}"
+    )
+
+
+def _oracle_simhash() -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    h = DUCK_MD5INT.format(col="term") + " % 4294967296"
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id AS docid, t.term AS term FROM documents,"
+        f" LATERAL unnest({toks}) AS t(term)),"
+        " tf AS (SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term),"
+        f" hh AS (SELECT docid, tf, {h} AS h FROM tf),"
+        f" v AS (SELECT docid, {votes} FROM hh GROUP BY docid)"
+        f" SELECT docid, {packed} AS simhash FROM v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def q_ann_label_centroids(spark, sf_dir):
+    return similarity.pairwise_label_centroids(_emb(spark, sf_dir))
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _oracle_cosine_topk() -> str:
+    cos = _DUCK_COS.format(a="e.v", b="q.v")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " q AS (SELECT v FROM e WHERE vec_id = 0),"
+        f" s AS (SELECT e.vec_id, round({cos}, 6) AS sim FROM e, q WHERE e.vec_id != 0)"
+        " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,"
+        " vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+    )
+
+
+def _oracle_lsh_topk() -> str:
+    planes = similarity.hyperplanes(64)
+    plane_lits = ", ".join(
+        "[" + ",".join(f"{x!r}" for x in p) + "]::DOUBLE[]" for p in planes
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, planes[{i + 1}]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    cos = _DUCK_COS.format(a="e.v", b="q.v")
+    return (
+        f"WITH p AS (SELECT [{plane_lits}] AS planes),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        f" (SELECT {bucket} FROM p) AS bucket FROM embeddings),"
+        " q AS (SELECT v, bucket FROM e WHERE vec_id = 0),"
+        f" s AS (SELECT e.vec_id, round({cos}, 6) AS sim FROM e, q"
+        " WHERE e.bucket = q.bucket AND e.vec_id != 0)"
+        " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,"
+        " vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+    )
+
+
+def _oracle_label_centroids() -> str:
+    return (
+        "WITH d AS (SELECT label, i, avg(embedding[i]) AS m, count(*) AS n"
+        " FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)"
+        " GROUP BY label, i)"
+        " SELECT label, list(round(m, 6) ORDER BY i) AS centroid,"
+        " CAST(max(n) AS BIGINT) AS n FROM d GROUP BY label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+def q_tx_langid(spark, sf_dir):
+    return textstats.lang_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_tx_quality(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_tx_tokens(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_tx_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _oracle_langid() -> str:
+    toks = "list_distinct(" + DUCK_TOKENS.format(col="text") + ")"
+    cols = {
+        lang: (
+            f"len(list_intersect({toks}, "
+            + "[" + ",".join(f"'{m}'" for m in ms) + "]))"
+        )
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"n_{l}" for l in textstats.LANG_MARKERS) + ")"
+    guess = "'unknown'"
+    for lang in sorted(textstats.LANG_MARKERS, reverse=True):
+        guess = f"CASE WHEN n_{lang} = best AND best > 0 THEN '{lang}' ELSE {guess} END"
+    sel = ", ".join(f"{e} AS n_{l}" for l, e in cols.items())
+    return (
+        f"WITH s AS (SELECT doc_id AS docid, {sel} FROM documents),"
+        f" b AS (SELECT docid, n_en, n_de, n_fr, n_es, {best} AS best FROM s)"
+        f" SELECT docid, {guess} AS lang_guess, CAST(best AS INT) AS score FROM b"
+    )
+
+
+def _oracle_quality() -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    return (
+        f"WITH s AS (SELECT doc_id AS docid, {toks} AS t, text FROM documents),"
+        " m AS (SELECT docid, len(t) AS n_tokens,"
+        " CASE WHEN len(t) > 0 THEN CAST(list_aggregate(list_transform(t, x -> length(x)),"
+        " 'sum') AS DOUBLE) / len(t) ELSE 0.0 END AS avg_len,"
+        " CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)"
+        "   / greatest(length(text), 1) AS punct,"
+        " CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)"
+        "   / greatest(length(text), 1) AS upper FROM s)"
+        " SELECT docid, CAST(n_tokens AS INT) AS n_tokens,"
+        " round(avg_len, 6) AS avg_token_len, round(punct, 6) AS punct_ratio,"
+        " round(upper, 6) AS upper_ratio,"
+        " round(CAST((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END)"
+        " + (CASE WHEN avg_len >= 3 AND avg_len <= 12 THEN 0.3 ELSE 0.0 END)"
+        " + (CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END)"
+        " + (CASE WHEN upper < 0.3 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2)"
+        " AS quality FROM m"
+    )
+
+
+def _oracle_tokens() -> str:
+    return (
+        "SELECT doc_id AS docid,"
+        " CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT)"
+        "   AS ws_tokens,"
+        " CAST(len(list_filter(string_split_regex("
+        "regexp_replace(text, '([^A-Za-z0-9\\s])', ' \\1 ', 'g'), '\\s+'),"
+        " x -> x <> '')) AS INT) AS bpe_ish_tokens,"
+        " CAST(length(text) AS INT) AS chars FROM documents"
+    )
+
+
+def _oracle_fingerprint() -> str:
+    toks = "list_distinct(" + DUCK_TOKENS.format(col="text") + ")"
+    h = DUCK_MD5INT.format(col="t.term") + f" % {HASH_PRIME}"
+    return (
+        f"WITH tok AS (SELECT doc_id AS docid, {h} AS h FROM documents,"
+        f" LATERAL unnest({toks}) AS t(term))"
+        f" SELECT docid, CAST(sum(h) % {HASH_PRIME} AS BIGINT) AS fingerprint"
+        " FROM tok GROUP BY docid"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_mm_media_stats(spark, sf_dir):
+    media = multimodal.synth_media(_emb(spark, sf_dir))
+    payload = F.decode(F.expr("substring(media, 5, length(media) - 4)"), "utf-8")
+    return media.select(
+        "media_id",
+        F.length("media").cast("long").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.col("meta.format_tag").alias("format_tag"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(_emb(spark, sf_dir))
+    fr = multimodal.frame_sample(media, every=4)
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min(F.decode(F.col("frame"), "utf-8")).alias("min_frame"),
+    )
+
+
+_DUCK_PAYLOAD = (
+    "array_to_string(list_transform(embedding, x -> printf('%.6f', x)), ',')"
+)
+
+
+def _oracle_media_stats() -> str:
+    return (
+        f"WITH m AS (SELECT vec_id AS media_id, {_DUCK_PAYLOAD} AS payload"
+        " FROM embeddings)"
+        " SELECT media_id, CAST(length(payload) + 4 AS BIGINT) AS n_bytes,"
+        " md5(payload) AS payload_md5,"
+        " CAST(media_id % 4 AS INT) AS format_tag,"
+        " CAST((media_id % 16 + 1) * 8 AS INT) AS width FROM m"
+    )
+
+
+def _oracle_frame_sample() -> str:
+    return (
+        f"WITH m AS (SELECT vec_id AS media_id, string_split({_DUCK_PAYLOAD}, ',')"
+        " AS frames FROM embeddings),"
+        " f AS (SELECT media_id, t.i AS i, frames[t.i + 1] AS frame FROM m,"
+        " LATERAL unnest(generate_series(0, len(frames) - 1)) AS t(i)"
+        " WHERE t.i % 4 = 0)"
+        " SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,"
+        " min(frame) AS min_frame FROM f GROUP BY media_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operator demos (SURVEY §2 over TPC-H tables)
+# ---------------------------------------------------------------------------
+
+def q_rel_j1_revenue(spark, sf_dir):
+    """J1 sort-merge equi-join + A-series agg: revenue per order priority."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rel_j6_topk_tiebreak(spark, sf_dir):
+    """J6 kNN + deterministic tie-break: top-3 items per order by price
+    desc, linenumber asc (the reference's round+tiebreak rank pinning)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "rank", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_rel_j8_broadcast_chain(spark, sf_dir):
+    """J8 hash joins on ids: customer⋈nation⋈region broadcast chain."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_rel_j12_diff(spark, sf_dir):
+    """J12 full-outer diff join: first half vs second half of the event log
+    per user → '+' (new), '-' (gone), 'N' (changed), 'O' (same)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    old = ev.filter(F.col("event_id") <= mid).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    new = ev.filter(F.col("event_id") > mid).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = old.join(new, "user_id", "full_outer")
+    op = (
+        F.when(F.col("n_old").isNull(), F.lit("+"))
+        .when(F.col("n_new").isNull(), F.lit("-"))
+        .when(F.col("n_old") != F.col("n_new"), F.lit("N"))
+        .otherwise(F.lit("O"))
+    )
+    return j.select(
+        "user_id", op.alias("op"),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+
+
+def q_rel_a2_group_collect(spark, sf_dir):
+    """A2 sorted streaming group-by analog: users active in >1 event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") > 1)
+    )
+
+
+def q_rel_a4_latest_wins(spark, sf_dir):
+    """A4 latest-wins dedup: newest event per user (ts desc, id desc)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_rel_a5_distinct(spark, sf_dir):
+    """A5 distinct via hash: unique (user, event_type) pairs."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("user_id", "event_type").distinct()
+
+
+def q_rel_o1_global_sort(spark, sf_dir):
+    """O1/O2 external sort + O7 limit: top-50 orders, rank-pinned."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_rel_p6_classifier(spark, sf_dir):
+    """P6 decision-tree classifier: parts bucketed by type keywords."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cls = (
+        F.when(F.col("p_type").contains("BRASS"), "brass")
+        .when(F.col("p_type").contains("STEEL"), "steel")
+        .when(F.col("p_type").contains("COPPER"), "copper")
+        .otherwise("other")
+    )
+    return p.groupBy(cls.alias("class")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+def q_rel_f5_sequence_explode(spark, sf_dir):
+    """F5 interpolation analog: sequence + explode synthetic rows."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        p.select("p_brand", F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("i"))
+        .groupBy("p_brand")
+        .agg(F.sum("i").cast("long").alias("tri_sum"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_rel_w1_running(spark, sf_dir):
+    """Window running aggregate: cumulative spend per customer over time."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_rel_stream_window(spark, sf_dir):
+    """Streaming-style tumbling window agg (F.window works identically in
+    batch; the Structured Streaming path is exercised in tests)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def ops_queries():
+    return {
+        "dd_exact": q_dd_exact,
+        "dd_minhash_sigs": q_dd_minhash_sigs,
+        "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "dd_lsh_pairs": q_dd_lsh_pairs,
+        "dd_simhash": q_dd_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_label_centroids": q_ann_label_centroids,
+        "tx_langid": q_tx_langid,
+        "tx_quality": q_tx_quality,
+        "tx_tokens": q_tx_tokens,
+        "tx_fingerprint": q_tx_fingerprint,
+        "mm_media_stats": q_mm_media_stats,
+        "mm_frame_sample": q_mm_frame_sample,
+        "rel_j1_revenue": q_rel_j1_revenue,
+        "rel_j6_topk_tiebreak": q_rel_j6_topk_tiebreak,
+        "rel_j8_broadcast_chain": q_rel_j8_broadcast_chain,
+        "rel_j12_diff": q_rel_j12_diff,
+        "rel_a2_group_collect": q_rel_a2_group_collect,
+        "rel_a4_latest_wins": q_rel_a4_latest_wins,
+        "rel_a5_distinct": q_rel_a5_distinct,
+        "rel_o1_global_sort": q_rel_o1_global_sort,
+        "rel_p6_classifier": q_rel_p6_classifier,
+        "rel_f5_sequence_explode": q_rel_f5_sequence_explode,
+        "rel_w1_running": q_rel_w1_running,
+        "rel_stream_window": q_rel_stream_window,
+    }
+
+
+def ops_oracles():
+    return {
+        "dd_exact": _oracle_dd_exact(),
+        "dd_minhash_sigs": _oracle_minhash_sigs(),
+        "dd_jaccard_pairs": _oracle_jaccard(0.3, with_lsh=False),
+        "dd_lsh_pairs": _oracle_jaccard(0.3, with_lsh=True),
+        "dd_simhash": _oracle_simhash(),
+        "ann_cosine_topk": _oracle_cosine_topk(),
+        "ann_lsh_topk": _oracle_lsh_topk(),
+        "ann_label_centroids": _oracle_label_centroids(),
+        "tx_langid": _oracle_langid(),
+        "tx_quality": _oracle_quality(),
+        "tx_tokens": _oracle_tokens(),
+        "tx_fingerprint": _oracle_fingerprint(),
+        "mm_media_stats": _oracle_media_stats(),
+        "mm_frame_sample": _oracle_frame_sample(),
+        "rel_j1_revenue": (
+            "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            " AS revenue, count(*) AS n_items FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "rel_j6_topk_tiebreak": (
+            "SELECT l_orderkey, rank, l_linenumber, l_extendedprice FROM ("
+            " SELECT l_orderkey, l_linenumber, l_extendedprice,"
+            " CAST(row_number() OVER (PARTITION BY l_orderkey"
+            " ORDER BY l_extendedprice DESC, l_linenumber ASC) AS INT) AS rank"
+            " FROM lineitem) WHERE rank <= 3"
+        ),
+        "rel_j8_broadcast_chain": (
+            "SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4)"
+            " AS avg_acctbal FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "rel_j12_diff": (
+            "WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),"
+            " old AS (SELECT user_id, count(*) AS n_old FROM events, mid"
+            "   WHERE event_id <= m GROUP BY user_id),"
+            " new AS (SELECT user_id, count(*) AS n_new FROM events, mid"
+            "   WHERE event_id > m GROUP BY user_id)"
+            " SELECT coalesce(old.user_id, new.user_id) AS user_id,"
+            " CASE WHEN old.user_id IS NULL THEN '+'"
+            "      WHEN new.user_id IS NULL THEN '-'"
+            "      WHEN n_old != n_new THEN 'N' ELSE 'O' END AS op,"
+            " coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new"
+            " FROM old FULL OUTER JOIN new ON old.user_id = new.user_id"
+        ),
+        "rel_a2_group_collect": (
+            "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types"
+            " FROM events GROUP BY user_id HAVING count(DISTINCT event_type) > 1"
+        ),
+        "rel_a4_latest_wins": (
+            "SELECT user_id, event_id, event_type FROM ("
+            " SELECT user_id, event_id, event_type, row_number() OVER ("
+            " PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+            " FROM events) WHERE rn = 1"
+        ),
+        "rel_a5_distinct": "SELECT DISTINCT user_id, event_type FROM events",
+        "rel_o1_global_sort": (
+            "SELECT o_orderkey, o_totalprice FROM orders"
+            " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50"
+        ),
+        "rel_p6_classifier": (
+            "SELECT CASE WHEN p_type LIKE '%BRASS%' THEN 'brass'"
+            " WHEN p_type LIKE '%STEEL%' THEN 'steel'"
+            " WHEN p_type LIKE '%COPPER%' THEN 'copper' ELSE 'other' END AS class,"
+            " count(*) AS n, round(avg(p_retailprice), 4) AS avg_price"
+            " FROM part GROUP BY 1"
+        ),
+        "rel_f5_sequence_explode": (
+            "SELECT p_brand, CAST(sum(t.i) AS BIGINT) AS tri_sum,"
+            " count(*) AS n_rows FROM part,"
+            " LATERAL unnest(generate_series(1, p_size)) AS t(i) GROUP BY p_brand"
+        ),
+        "rel_w1_running": (
+            "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
+            " PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
+            " AS running_total FROM orders"
+        ),
+        "rel_stream_window": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,"
+            " count(*) AS n, round(sum(value), 4) AS total"
+            " FROM events GROUP BY 1, 2"
+        ),
+    }

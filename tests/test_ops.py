@@ -1,0 +1,182 @@
+"""Training-data pipeline operator tests (dedup / similarity / textstats /
+multimodal) — exact oracles computed in plain Python/numpy on small data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark.analyzer import py_tokenize
+from gazetteer_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near dup
+        (6, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text, n=3):
+    t = py_tokenize(text)
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def _jaccard(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["docid"]: (r["canonical"], r["cluster_size"])
+           for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2] == (2, 1)
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = {r["docid"]: tuple(r[f"sig_{i}"] for i in range(dedup.N_HASHES))
+            for r in dedup.minhash_signatures(docs, "doc_id", "text").collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+
+
+def test_jaccard_pairs_match_python(spark, docs):
+    got = {(r["docid_a"], r["docid_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(docs, "doc_id", "text", 0.3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                j = round(_jaccard(texts[a], texts[b]), 6)
+                if j >= 0.3:
+                    assert got.get((a, b)) == pytest.approx(j, abs=1e-6), (a, b)
+                else:
+                    assert (a, b) not in got
+
+
+def test_minhash_dedup_finds_planted_dups(spark, docs):
+    pairs = {(r["docid_a"], r["docid_b"])
+             for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect()}
+    assert (0, 1) in pairs            # exact dup always survives LSH
+    assert all(a < b for a, b in pairs)
+    # verified stage guarantees no false positives vs exact jaccard
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for a, b in pairs:
+        assert _jaccard(texts[a], texts[b]) >= 0.5
+
+
+def test_simhash(spark, docs):
+    h = {r["docid"]: r["simhash"] for r in
+         dedup.simhash(docs, "doc_id", "text").collect()}
+    assert h[0] == h[1]
+    assert 0 <= h[0] < 2**32
+    pairs = {(r["docid_a"], r["docid_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(docs, "doc_id", "text", 3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.cosine_topk(emb, query_id=0, k=10).orderBy("rank").collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = sorted(
+        (
+            (round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), -i)
+            for i, v in vecs.items() if i != 0
+        ),
+        reverse=True,
+    )[:10]
+    want = [(-i, s) for s, i in sims]
+    assert [(r["vec_id"], r["sim"]) for r in got] == [
+        (i, pytest.approx(s, abs=2e-6)) for i, s in want
+    ]
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.lsh_cosine_topk(emb, query_id=0, k=5).collect()
+    assert 0 < len(got) <= 5
+    assert all(r["vec_id"] != 0 for r in got)
+    # determinism
+    again = similarity.lsh_cosine_topk(emb, query_id=0, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_label_centroids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.pairwise_label_centroids(emb).collect()
+    assert len(out) == emb.select("label").distinct().count()
+    assert all(len(r["centroid"]) == 64 for r in out)
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in that house for now"),
+            (1, "der hund und die katze ist nicht ein problem"),
+            (2, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["docid"]: r["lang_guess"] for r in
+           textstats.lang_scores(df, "doc_id", "text").collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "unknown"
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "A normal sentence, with words of reasonable length and more.")],
+        "doc_id long, text string",
+    )
+    q = textstats.quality_scores(df, "doc_id", "text").collect()[0]
+    assert q["n_tokens"] == 10
+    assert q["quality"] >= 0.9
+    t = textstats.token_counts(df, "doc_id", "text").collect()[0]
+    assert t["ws_tokens"] == 10
+    assert t["bpe_ish_tokens"] == 12  # 10 words + ',' + '.' split as symbols
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r["docid"]: r["fingerprint"] for r in
+          textstats.fingerprints(df, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_roundtrip(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    media = multimodal.synth_media(emb)
+    stats = {r["media_id"]: r for r in multimodal.media_stats(media).collect()}
+    assert all(r["n_bytes"] > 4 for r in stats.values())
+
+    feats = {r["media_id"]: r for r in multimodal.decode_features(media).collect()}
+    assert len(feats) == 50
+    assert all(r["n_values"] == 64 for r in feats.values())
+
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows[:5]:
+        mean6 = round(
+            float(np.mean([float(f"{x:.6f}".replace(",", "")) for x in r["embedding"]])), 6
+        )
+        assert feats[r["vec_id"]]["mean_value"] == pytest.approx(mean6, abs=1e-5)
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, real_codecs=True)
+
+    fr = multimodal.frame_sample(media, every=4)
+    assert fr.groupBy("media_id").count().collect()[0]["count"] == 16

@@ -33,6 +33,10 @@ TABLES = [
 def _norm(v):
     if v is None:
         return "\0"
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -69,6 +69,16 @@ def main():
             lat.append(time.time() - t0)
         timings["query_p50"] = statistics.median(lat)
 
+        # warm serving path: segments + termstats pinned in memory
+        reader = wand.IndexReader(spark, idx_dir)
+        lat_warm = []
+        for q in QUERIES:
+            t0 = time.time()
+            reader.topk([q], k=10).collect()
+            lat_warm.append(time.time() - t0)
+        timings["query_p50_warm"] = statistics.median(lat_warm)
+        reader.close()
+
         postings = postings_sql(docs, "doc_id", "text")
         ds = doc_stats(postings)
         t0 = time.time()

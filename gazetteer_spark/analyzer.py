@@ -145,6 +145,24 @@ def postings_arrow(df, id_col: str = "docid", content_col: str = "content"):
     return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
 
 
+def ngram_tokens_expr(content: Column, n: int = 3) -> Column:
+    """Character n-grams of each analyzed token (identifier n-grams — the
+    fuzzy-matching analog of the reference's name normalizer variants).
+
+    Tokens shorter than n are emitted whole, so every token contributes at
+    least one gram. Fully JVM-side: flatten(transform(tokens, …substr…)).
+    """
+    toks = tokens_expr(content)
+
+    def grams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+        return F.when(
+            F.length(t) >= n, F.transform(idx, lambda i: F.substring(t, i, n))
+        ).otherwise(F.array(t))
+
+    return F.flatten(F.transform(toks, grams))
+
+
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
     """n-token shingles (space-joined) from a token array, JVM-side.
 

@@ -530,6 +530,86 @@ def q_rel_stream_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# analyzer variants + dataset checksum + set ops
+# ---------------------------------------------------------------------------
+
+def q_ft_ngram_tokens(spark, sf_dir):
+    """Identifier character-trigram analyzer variant (F.1-analog fuzzy
+    normalization): (docid, gram, n) counts."""
+    from .analyzer import ngram_tokens_expr
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.col("doc_id").alias("docid"),
+            F.explode(ngram_tokens_expr(F.col("text"), 3)).alias("gram"),
+        )
+        .groupBy("docid", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ft_dataset_checksum(spark, sf_dir):
+    """A7 analog: order-insensitive dataset hash — one row, the sum of
+    per-document fingerprints mod the hash prime (the reference's mtainf
+    dataset checksum, GazetteerOutWriter.java:1099-1108)."""
+    fp = textstats.fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+    return fp.agg(
+        F.pmod(F.sum("fingerprint"), F.lit(HASH_PRIME)).alias("dataset_checksum"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_rel_set_ops(spark, sf_dir):
+    """§2.7 set operations: per-user union/except/intersect of event types."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    click = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    u = click.union(buy).distinct().withColumn("setop", F.lit("union"))
+    e = click.subtract(buy).withColumn("setop", F.lit("except"))
+    i = click.intersect(buy).withColumn("setop", F.lit("intersect"))
+    return u.unionAll(e).unionAll(i).select("setop", "user_id")
+
+
+def _oracle_ngram_tokens() -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    return (
+        f"WITH tok AS (SELECT doc_id AS docid, t.term AS term FROM documents,"
+        f" LATERAL unnest({toks}) AS t(term)),"
+        " g AS (SELECT docid, CASE WHEN length(term) >= 3 THEN"
+        " list_transform(generate_series(1, length(term) - 2),"
+        " i -> substr(term, i, 3)) ELSE [term] END AS grams FROM tok),"
+        " ge AS (SELECT docid, u.gram AS gram FROM g, LATERAL unnest(grams) AS u(gram))"
+        " SELECT docid, gram, count(*) AS n FROM ge GROUP BY docid, gram"
+    )
+
+
+def _oracle_dataset_checksum() -> str:
+    toks = "list_distinct(" + DUCK_TOKENS.format(col="text") + ")"
+    h = DUCK_MD5INT.format(col="t.term") + f" % {HASH_PRIME}"
+    return (
+        f"WITH tok AS (SELECT doc_id AS docid, {h} AS h FROM documents,"
+        f" LATERAL unnest({toks}) AS t(term)),"
+        f" fp AS (SELECT docid, sum(h) % {HASH_PRIME} AS f FROM tok GROUP BY docid)"
+        f" SELECT CAST(sum(f) % {HASH_PRIME} AS BIGINT) AS dataset_checksum,"
+        " count(*) AS n_docs FROM fp"
+    )
+
+
+def _oracle_set_ops() -> str:
+    return (
+        "WITH click AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),"
+        " buy AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')"
+        " SELECT 'union' AS setop, user_id FROM (SELECT user_id FROM click"
+        "   UNION SELECT user_id FROM buy)"
+        " UNION ALL SELECT 'except', user_id FROM (SELECT user_id FROM click"
+        "   EXCEPT SELECT user_id FROM buy)"
+        " UNION ALL SELECT 'intersect', user_id FROM (SELECT user_id FROM click"
+        "   INTERSECT SELECT user_id FROM buy)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -561,6 +641,9 @@ def ops_queries():
         "rel_f5_sequence_explode": q_rel_f5_sequence_explode,
         "rel_w1_running": q_rel_w1_running,
         "rel_stream_window": q_rel_stream_window,
+        "ft_ngram_tokens": q_ft_ngram_tokens,
+        "ft_dataset_checksum": q_ft_dataset_checksum,
+        "rel_set_ops": q_rel_set_ops,
     }
 
 
@@ -649,4 +732,7 @@ def ops_oracles():
             " count(*) AS n, round(sum(value), 4) AS total"
             " FROM events GROUP BY 1, 2"
         ),
+        "ft_ngram_tokens": _oracle_ngram_tokens(),
+        "ft_dataset_checksum": _oracle_dataset_checksum(),
+        "rel_set_ops": _oracle_set_ops(),
     }

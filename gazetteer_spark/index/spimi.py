@@ -161,9 +161,11 @@ def build_index(
             raise ValueError("resume with incompatible build parameters")
         import pyarrow.parquet as pq
 
-        committed = set(
-            pq.read_table(man_path, columns=["shard"])["shard"].to_pylist()
-        )
+        t = pq.read_table(man_path, columns=["shard", "generation"])
+        committed = {
+            s for s, g in zip(t["shard"].to_pylist(), t["generation"].to_pylist())
+            if g == 0
+        }
     else:
         with open(build_path, "w") as f:
             json.dump(params, f)
@@ -173,7 +175,7 @@ def build_index(
         # pre-clean uncommitted shard dirs (a killed run may have written
         # segment data whose manifest commit never landed)
         for s in todo:
-            d = f"{seg_path}/shard={s}"
+            d = f"{seg_path}/gen=0/shard={s}"
             if os.path.exists(d):
                 shutil.rmtree(d)
         postings_all = postings_arrow(docs, id_col, content_col).withColumn(
@@ -188,31 +190,80 @@ def build_index(
             p = postings_all
             if len(batch) < n_shards:
                 p = p.filter(F.col("shard").isin(batch))
-            # groupBy itself shuffles on the group key — an explicit
-            # repartition would be a second, redundant shuffle. With
-            # shuffle.partitions > n_shards the hash collisions that would
-            # otherwise double-load some reduce tasks spread out, and AQE
-            # coalesces the empties. Append mode: shard dirs are disjoint
-            # across batches, so no overwrite machinery (listing + per-dir
-            # renames on the driver) is paid.
-            pending = f"{out_dir}/manifest_pending"
+            _write_generation(spark, p, out_dir, batch, generation=0)
 
-            def build_with_pending(pdf: pd.DataFrame) -> pd.DataFrame:
-                return _build_shard(pdf, pending_dir=pending)
+    _refresh_derived(spark, out_dir, params)
+    return load_stats(out_dir)
 
-            segments = p.groupBy("shard").applyInPandas(
-                build_with_pending, SEGMENT_SCHEMA
-            )
-            segments.write.mode("append").partitionBy("shard").parquet(seg_path)
-            # segments land first; the manifest row is the commit point
-            _commit_manifest(spark, out_dir, batch)
 
-    # global term stats — derived from committed segments (cheap relative to
-    # the build; always reflects what is on disk). Salt not needed here:
-    # per-shard df/cf are already one row per (shard, term), so the groupBy
-    # input is pre-reduced — this IS the two-level (salted-by-doc-shard)
-    # reduce, with shard as the salt.
-    seg = spark.read.parquet(seg_path)
+def add_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> dict:
+    """Incremental (append-only) index update: a new segment GENERATION.
+
+    The reference's diff/append lifecycle (`diff/Diff.java:132-235`,
+    `split --append` Split.java:34-74) re-expressed: new docs become
+    per-shard delta segments under ``segments/gen=N``; queries merge all
+    COMMITTED generations per (shard, term). Docids must be new (append-only
+    — updates/deletes need tombstones, a later generation feature); the
+    caller can enforce with an anti-join on the doc registry.
+    """
+    with open(f"{out_dir}/build.json") as f:
+        params = json.load(f)
+    n_shards = params["n_shards"]
+    if params["analyzer_version"] != ANALYZER_VERSION:
+        raise ValueError("analyzer version changed — full rebuild required")
+    gens = committed_generations(out_dir)
+    generation = max(gens) + 1
+
+    p = postings_arrow(docs, id_col, content_col).withColumn(
+        "shard", shard_expr(F.col("docid"), n_shards)
+    )
+    # a generation commits atomically (single batch, all shards)
+    gen_dir = f"{out_dir}/segments/gen={generation}"
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)  # orphan from a killed add — never committed
+    _write_generation(spark, p, out_dir, list(range(n_shards)), generation)
+    _refresh_derived(spark, out_dir, params)
+    return load_stats(out_dir)
+
+
+def _write_generation(
+    spark: SparkSession, postings: DataFrame, out_dir: str,
+    shards: list[int], generation: int,
+) -> None:
+    # groupBy itself shuffles on the group key — an explicit repartition
+    # would be a second, redundant shuffle. With shuffle.partitions >
+    # n_shards the hash collisions that would otherwise double-load a reduce
+    # task spread out, and AQE coalesces the empties. Append mode: (gen,
+    # shard) dirs are disjoint across batches, so no overwrite machinery
+    # (listing + per-dir renames on the driver) is paid.
+    pending = f"{out_dir}/manifest_pending/gen{generation}"
+
+    def build_with_pending(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _build_shard(pdf, pending_dir=pending)
+
+    segments = postings.groupBy("shard").applyInPandas(
+        build_with_pending, SEGMENT_SCHEMA
+    ).withColumn("gen", F.lit(generation))
+    segments.write.mode("append").partitionBy("gen", "shard").parquet(
+        f"{out_dir}/segments"
+    )
+    # segments land first; the manifest row is the commit point
+    _commit_manifest(spark, out_dir, shards, generation)
+
+
+def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
+    """Recompute termstats + corpus stats over COMMITTED segments only.
+
+    Term stats: salt not needed here — per-shard df/cf are already one row
+    per (gen, shard, term), so the groupBy input is pre-reduced; this IS the
+    two-level (salted-by-doc-shard) reduce, with shard as the salt."""
+    seg = committed_segments(spark, out_dir)
     ts = (
         seg.filter(F.col("kind") == "post")
         .groupBy("term")
@@ -220,7 +271,7 @@ def build_index(
     )
     ts.write.mode("overwrite").parquet(f"{out_dir}/termstats")
 
-    # corpus stats from the committed manifest (n_docs, avgdl) — driver-side
+    # corpus stats from the committed manifest — driver-side metadata read
     import pyarrow.parquet as pq
 
     mt = pq.read_table(f"{out_dir}/manifest", columns=["n_docs", "sum_doclen"])
@@ -231,12 +282,38 @@ def build_index(
         "avgdl": float(total_len) / float(n) if n else 0.0,
         **params,
     }
-    with open(f"{out_dir}/stats.json", "w") as f:
+    tmp = f"{out_dir}/.stats.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(stats, f)
-    return stats
+    os.replace(tmp, f"{out_dir}/stats.json")
 
 
-def _commit_manifest(spark: SparkSession, out_dir: str, shards: list[int]) -> None:
+def committed_generations(out_dir: str) -> set[int]:
+    import pyarrow.parquet as pq
+
+    man_path = f"{out_dir}/manifest"
+    if not os.path.exists(man_path):
+        return set()
+    t = pq.read_table(man_path, columns=["generation"])
+    return set(t["generation"].to_pylist())
+
+
+def committed_segments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Segment rows visible to queries: left-semi join against the committed
+    (gen, shard) manifest pairs — orphan files from killed runs are never
+    read. The join is a broadcast of pure metadata (scales with shard count,
+    not data)."""
+    seg = spark.read.parquet(f"{out_dir}/segments")
+    pairs = spark.read.parquet(f"{out_dir}/manifest").select(
+        F.col("generation").cast("int").alias("gen"),
+        F.col("shard").cast("int").alias("shard"),
+    )
+    return seg.join(F.broadcast(pairs), ["gen", "shard"], "left_semi")
+
+
+def _commit_manifest(
+    spark: SparkSession, out_dir: str, shards: list[int], generation: int
+) -> None:
     """Promote the pending per-task metadata files of ``shards`` to the
     manifest table — the durable commit point. Pure driver-side metadata
     I/O (the Iceberg commit pattern): no Spark job, no data-file reads."""
@@ -245,18 +322,25 @@ def _commit_manifest(spark: SparkSession, out_dir: str, shards: list[int]) -> No
 
     recs = []
     for s in shards:
-        with open(f"{out_dir}/manifest_pending/shard_{s}.json") as f:
-            m = json.load(f)
-        assert m["shard"] == s
+        path = f"{out_dir}/manifest_pending/gen{generation}/shard_{s}.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                m = json.load(f)
+            assert m["shard"] == s
+        else:  # shard received no rows in this generation — empty delta
+            m = {"shard": s, "n_terms": 0, "n_postings": 0, "n_docs": 0,
+                 "sum_doclen": 0, "n_bytes": 0, "checksum": ""}
+        m["generation"] = generation
         m["analyzer_version"] = ANALYZER_VERSION
         m["status"] = "committed"
         recs.append(m)
     table = pa.Table.from_pylist(recs)
     os.makedirs(f"{out_dir}/manifest", exist_ok=True)
-    # one small file per commit batch; committed shard sets are disjoint
-    tmp = f"{out_dir}/manifest/.batch_{min(shards)}_{max(shards)}.tmp"
+    # one small file per commit batch; committed (gen, shard) sets disjoint
+    name = f"gen{generation}_batch_{min(shards)}_{max(shards)}"
+    tmp = f"{out_dir}/manifest/.{name}.tmp"
     pq.write_table(table, tmp)
-    os.replace(tmp, f"{out_dir}/manifest/batch_{min(shards)}_{max(shards)}.parquet")
+    os.replace(tmp, f"{out_dir}/manifest/{name}.parquet")
 
 
 def load_termstats(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -56,32 +56,43 @@ def _score_shard(
     cap: int,
 ) -> pd.DataFrame:
     """One shard's relevant segment rows → local top-k' per query."""
-    post_rows = {
-        r.term: (r.postings, r.blockmeta)
-        for r in pdf[pdf["kind"] == "post"].itertuples()
-    }
-    docs_row = pdf[pdf["kind"] == "docs"]
-    if docs_row.empty or not post_rows:
+    # group rows by term — a term can have one row per committed generation
+    post_rows: dict[str, list[tuple[bytes, bytes]]] = {}
+    for r in pdf[pdf["kind"] == "post"].itertuples():
+        post_rows.setdefault(r.term, []).append((r.postings, r.blockmeta))
+    docs_rows = pdf[pdf["kind"] == "docs"]
+    if docs_rows.empty or not post_rows:
         return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
             {"query_id": "int32", "docid": "int64", "score": "float64"}
         )
-    shard = int(pdf["shard"].iloc[0])
-    all_ids, all_lens = decode_postings(docs_row["postings"].iloc[0])
+    parts = [decode_postings(b) for b in docs_rows["postings"]]
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    if len(parts) > 1:  # merge generations' doc tables
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_lens = all_ids[order], all_lens[order]
     norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
 
     decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
-    for term, (pbuf, bbuf) in post_rows.items():
-        ids, tfs = decode_postings(pbuf)
-        _, bmax_tf, bmin_dl = decode_block_meta(bbuf)
-        if len(bmax_tf):
-            # exact-safe bound: tfnorm is monotone ↑tf, ↓dl — evaluate with
-            # the same float ops as scoring at (max_tf, min_dl) per block
-            bub = (bmax_tf * (K1 + 1.0)) / (
-                bmax_tf + K1 * (1.0 - B + B * bmin_dl.astype(np.float64) / avgdl)
-            )
-            tmax = float(bub.max())
-        else:
-            tmax = 0.0
+    for term, bufs in post_rows.items():
+        id_parts, tf_parts, tmax = [], [], 0.0
+        for pbuf, bbuf in bufs:
+            ids_g, tfs_g = decode_postings(pbuf)
+            id_parts.append(ids_g)
+            tf_parts.append(tfs_g)
+            _, bmax_tf, bmin_dl = decode_block_meta(bbuf)
+            if len(bmax_tf):
+                # exact-safe bound: tfnorm is monotone ↑tf, ↓dl — evaluated
+                # with the same float ops as scoring at (max_tf, min_dl)
+                bub = (bmax_tf * (K1 + 1.0)) / (
+                    bmax_tf + K1 * (1.0 - B + B * bmin_dl.astype(np.float64) / avgdl)
+                )
+                tmax = max(tmax, float(bub.max()))
+        ids = np.concatenate(id_parts)
+        tfs = np.concatenate(tf_parts)
+        if len(bufs) > 1:  # merge generations' posting lists (docids disjoint)
+            order = np.argsort(ids, kind="stable")
+            ids, tfs = ids[order], tfs[order]
         decoded[term] = (ids, tfs, tmax)
 
     # pruning must never drop a doc that could TIE the k-th result after
@@ -154,18 +165,17 @@ def _score_shard(
     )
 
 
-def topk(
+def _topk_impl(
     spark: SparkSession,
-    index_dir: str,
+    seg: DataFrame,
+    termstats: DataFrame,
+    stats: dict,
     queries: list[tuple[int, str]],
-    k: int = 10,
-    round_to: int | None = 4,
-    tie_cap: int = 4096,
+    k: int,
+    round_to: int | None,
+    tie_cap: int,
 ) -> DataFrame:
-    """(query_id, rank, docid, score) — block-max top-k over the index."""
-    stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-
     qterms: dict[int, list[str]] = {
         qid: sorted(set(py_tokenize(text))) for qid, text in queries
     }
@@ -173,24 +183,16 @@ def topk(
     if not all_terms:
         raise ValueError("no query terms")
 
-    tstats = (
-        spark.read.parquet(f"{index_dir}/termstats")
-        .filter(F.col("term").isin(all_terms))
-        .collect()
-    )
+    tstats = termstats.filter(F.col("term").isin(all_terms)).collect()
     df_by_term = {r["term"]: r["df"] for r in tstats}
     qplans = [
-        (
-            qid,
-            [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term],
-        )
+        (qid, [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term])
         for qid, ts in qterms.items()
     ]
     qplans = [(qid, ts) for qid, ts in qplans if ts]
     if not qplans:
         return spark.createDataFrame([], "query_id int, rank int, docid long, score double")
 
-    seg = spark.read.parquet(f"{index_dir}/segments")
     relevant = seg.filter(
         ((F.col("kind") == "post") & F.col("term").isin(all_terms))
         | (F.col("kind") == "docs")
@@ -209,3 +211,51 @@ def topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+def topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    tie_cap: int = 4096,
+) -> DataFrame:
+    """(query_id, rank, docid, score) — block-max top-k over the index."""
+    from .spimi import committed_segments
+
+    return _topk_impl(
+        spark,
+        committed_segments(spark, index_dir),
+        spark.read.parquet(f"{index_dir}/termstats"),
+        load_stats(index_dir),
+        queries, k, round_to, tie_cap,
+    )
+
+
+class IndexReader:
+    """Warm query handle: committed segments + term stats pinned in executor
+    memory (StorageLevel MEMORY_AND_DISK), amortizing parquet scans across
+    queries — the serving-path analog of an ES shard held open."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        from .spimi import committed_segments
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.seg = committed_segments(spark, index_dir).persist()
+        self.termstats = spark.read.parquet(f"{index_dir}/termstats").persist()
+        self.termstats.count()  # materialize both caches
+        self.seg.count()
+
+    def topk(self, queries, k: int = 10, round_to: int | None = 4,
+             tie_cap: int = 4096) -> DataFrame:
+        return _topk_impl(
+            self.spark, self.seg, self.termstats, self.stats,
+            queries, k, round_to, tie_cap,
+        )
+
+    def close(self) -> None:
+        self.seg.unpersist()
+        self.termstats.unpersist()

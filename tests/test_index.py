@@ -98,11 +98,11 @@ def test_resume_after_kill(spark, documents, tmp_path_factory, monkeypatch):
     real_commit = spimi._commit_manifest
     calls = {"n": 0}
 
-    def flaky_commit(spark_, out_dir, shards):
+    def flaky_commit(spark_, out_dir, shards, generation=0):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated kill")
-        real_commit(spark_, out_dir, shards)
+        real_commit(spark_, out_dir, shards, generation)
 
     monkeypatch.setattr(spimi, "_commit_manifest", flaky_commit)
     with pytest.raises(RuntimeError, match="simulated kill"):
@@ -136,6 +136,67 @@ def test_resume_skips_committed(spark, documents, tmp_path_factory):
     after = {r["shard"]: r["checksum"]
              for r in spimi.load_manifest(spark, d).collect()}
     assert before == after
+
+
+def test_incremental_generation_equals_full_rebuild(spark, documents,
+                                                    tmp_path_factory):
+    """add_documents (segment generation N) answers queries identically to a
+    from-scratch rebuild over the union corpus — the reference's diff/append
+    lifecycle re-expressed (diff/Diff.java:132-235)."""
+    base_docs = documents.filter(F.col("doc_id") < 350)
+    new_docs = documents.filter(F.col("doc_id") >= 350)
+
+    inc = str(tmp_path_factory.mktemp("idx_inc"))
+    spimi.build_index(spark, base_docs, inc, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    stats_before = spimi.load_stats(inc)
+    spimi.add_documents(spark, new_docs, inc, id_col="doc_id", content_col="text")
+    stats_after = spimi.load_stats(inc)
+    assert stats_after["n_docs"] == 500 > stats_before["n_docs"]
+
+    full = str(tmp_path_factory.mktemp("idx_refull"))
+    spimi.build_index(spark, documents, full, n_shards=8, id_col="doc_id",
+                      content_col="text")
+
+    got = wand.topk(spark, inc, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    ref = wand.topk(spark, full, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+    ts_inc = {r["term"]: (r["df"], r["cf"])
+              for r in spimi.load_termstats(spark, inc).collect()}
+    ts_full = {r["term"]: (r["df"], r["cf"])
+               for r in spimi.load_termstats(spark, full).collect()}
+    assert ts_inc == ts_full
+
+
+def test_orphan_generation_invisible(spark, documents, tmp_path_factory,
+                                     monkeypatch):
+    """A killed add_documents (segments written, commit never landed) must be
+    invisible to queries until retried."""
+    d = str(tmp_path_factory.mktemp("idx_orphan"))
+    base_docs = documents.filter(F.col("doc_id") < 350)
+    new_docs = documents.filter(F.col("doc_id") >= 350)
+    spimi.build_index(spark, base_docs, d, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    before = wand.topk(spark, d, QUERIES, k=10).orderBy("query_id", "rank").collect()
+
+    real_commit = spimi._commit_manifest
+
+    def dead_commit(*a, **k):
+        raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(spimi, "_commit_manifest", dead_commit)
+    with pytest.raises(RuntimeError):
+        spimi.add_documents(spark, new_docs, d, id_col="doc_id", content_col="text")
+    monkeypatch.setattr(spimi, "_commit_manifest", real_commit)
+
+    # orphan gen=1 segment files exist, but queries must not see them
+    after = wand.topk(spark, d, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # retry succeeds and the docs appear
+    spimi.add_documents(spark, new_docs, d, id_col="doc_id", content_col="text")
+    assert spimi.load_stats(d)["n_docs"] == 500
 
 
 def test_batched_build_equals_single(spark, documents, tmp_path_factory):

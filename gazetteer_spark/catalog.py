@@ -596,6 +596,99 @@ def _oracle_dataset_checksum() -> str:
     )
 
 
+def q_rel_sessionize(spark, sf_dir):
+    """Sessionization (gap > 30 min → new session): lag + cumulative sum —
+    the stateful-stream pattern run as a batch window plan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_rel_asof_join(spark, sf_dir):
+    """As-of join (J5 range-join analog): each 'error' event paired with the
+    user's latest strictly-preceding 'signup' — windowed last(ignorenulls)
+    over the unioned timeline, the shuffle-once scalable formulation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sig = F.when(F.col("event_type") == "signup", F.col("event_id"))
+    out = ev.withColumn("prev_signup", F.last(sig, ignorenulls=True).over(w))
+    return out.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.coalesce("prev_signup", F.lit(-1)).alias("prev_signup")
+    )
+
+
+def q_ft_phrase_match(spark, sf_dir):
+    """Phrase (adjacent-token) match — the reference's containment name
+    matching analog (NamesMatcherImpl.java:38-46): docs containing the
+    2-token phrase 'key order', with occurrence counts."""
+    from .analyzer import shingles_expr, tokens_expr
+
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        F.col("doc_id").alias("docid"),
+        F.explode(shingles_expr(tokens_expr(F.col("text")), 2)).alias("sh"),
+    )
+    return (
+        occ.filter(F.col("sh") == "key order")
+        .groupBy("docid")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+def _oracle_sessionize() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_id, ts, CAST(epoch(ts) AS BIGINT) AS ep"
+        " FROM events),"
+        " g AS (SELECT user_id, event_id, ep - lag(ep) OVER ("
+        "   PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap, ts FROM e),"
+        " s AS (SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1"
+        "   ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g)"
+        " SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
+        " count(*) AS n_events FROM s GROUP BY user_id, session_id"
+    )
+
+
+def _oracle_asof() -> str:
+    return (
+        "WITH w AS (SELECT user_id, event_id, event_type,"
+        " last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)"
+        " OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup"
+        " FROM events)"
+        " SELECT user_id, event_id, coalesce(prev_signup, -1) AS prev_signup"
+        " FROM w WHERE event_type = 'error'"
+    )
+
+
+def _oracle_phrase() -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    sh2 = (
+        "list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+        " i -> t[i] || ' ' || t[i+1])"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id AS docid, {toks} AS t FROM documents),"
+        f" occ AS (SELECT docid, s.sh AS sh FROM d, LATERAL unnest({sh2}) AS s(sh))"
+        " SELECT docid, count(*) AS n_occurrences FROM occ"
+        " WHERE sh = 'key order' GROUP BY docid"
+    )
+
+
 def _oracle_set_ops() -> str:
     return (
         "WITH click AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),"
@@ -644,6 +737,9 @@ def ops_queries():
         "ft_ngram_tokens": q_ft_ngram_tokens,
         "ft_dataset_checksum": q_ft_dataset_checksum,
         "rel_set_ops": q_rel_set_ops,
+        "rel_sessionize": q_rel_sessionize,
+        "rel_asof_join": q_rel_asof_join,
+        "ft_phrase_match": q_ft_phrase_match,
     }
 
 
@@ -735,4 +831,7 @@ def ops_oracles():
         "ft_ngram_tokens": _oracle_ngram_tokens(),
         "ft_dataset_checksum": _oracle_dataset_checksum(),
         "rel_set_ops": _oracle_set_ops(),
+        "rel_sessionize": _oracle_sessionize(),
+        "rel_asof_join": _oracle_asof(),
+        "ft_phrase_match": _oracle_phrase(),
     }

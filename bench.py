@@ -91,6 +91,31 @@ def main():
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # credible build throughput needs enough work to amortize fixed costs:
+    # 100k synthetic source files (~5 KB each), warm workers
+    from gazetteer_spark.corpus import source_files
+    from gazetteer_spark.docs import docid_expr
+
+    n_big = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "100000"))
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="gz_bench_big_", dir=base)
+    try:
+        src = source_files(spark, n_big).withColumn(
+            "docid", docid_expr("repo", "path", "commit")
+        )
+        src.write.mode("overwrite").parquet(f"{work}/source")
+        big = spark.read.parquet(f"{work}/source")
+        big.count()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "512")  # > n_shards
+        t0 = time.time()
+        spimi.build_index(spark, big, f"{work}/idx", n_shards=128)
+        timings["index_build_100k"] = time.time() - t0
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        files_per_sec_big = n_big / timings["index_build_100k"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -102,7 +127,9 @@ def main():
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "n_docs": n_docs,
                 "files_per_sec": round(files_per_sec, 1),
+                "files_per_sec_100k": round(files_per_sec_big, 1),
                 "query_p50_sec": round(timings["query_p50"], 3),
+                "query_p50_warm_sec": round(timings["query_p50_warm"], 3),
                 "cpus": int(cpus),
             }
         )

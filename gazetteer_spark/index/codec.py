@@ -1,16 +1,24 @@
-"""Delta + varbyte posting-list codec, vectorized in numpy.
+"""Delta + varbyte posting-list codec with independently-decodable blocks.
 
 Reference parity: gazetteer's compact bit-packed ID codec with
 length-prefixed structure (`diff/indx/ByteUtils.java:155-218` encode,
-`292-315` dictionary tails) — ours is the classic IR posting codec:
-sorted docids → zigzag first value + unsigned deltas → 7-bit varbyte;
-tfs → varbyte. Block-max metadata (block=128 postings) stores per block
-the last docid and the maximum BM25 tf-normalization
-``tf*(k1+1)/(tf + k1*(1-b+b*doclen/avgdl))`` as float64, so a query-time
-upper bound ``idf * block_max`` is exact-safe (same float ops as scoring).
+`292-315` dictionary tails) — ours is the classic IR posting codec.
+
+Layout: postings are split into BLOCKS of 128 entries. Each block is its
+own varbyte stream ``[zigzag(first_docid), deltas…, tfs…]`` so the query
+executor can decode a single block without touching the rest (true
+block-max WAND skipping). Block metadata rows carry
+``(last_docid, max_tf, min_dl, byte_end)``:
+
+- ``max_tf``/``min_dl`` give the exact-safe per-block BM25 upper bound
+  (tfnorm is monotone ↑tf, ↓dl — the bound is evaluated at query time with
+  the same float ops as scoring);
+- ``byte_end`` is the block's end offset inside the postings buffer, so
+  ``buf[end[i-1]:end[i]]`` is block i.
 
 Everything is numpy array-at-a-time — no per-element Python in encode or
-decode (BASELINE input_hint: vectorized throughout).
+decode; whole shards encode in ONE vectorized pass
+(:func:`encode_blocks_grouped`).
 """
 
 from __future__ import annotations
@@ -20,6 +28,10 @@ import numpy as np
 BLOCK = 128
 
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
+
+_BLOCK_DT = np.dtype(
+    [("last", "<i8"), ("max_tf", "<i4"), ("min_dl", "<i4"), ("end", "<i8")]
+)
 
 
 def _varbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -47,22 +59,19 @@ def _varbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]
 
 
 def _varbyte_encode(values: np.ndarray) -> bytes:
-    """values: uint64 array → varbyte bytes (7 data bits, MSB=continuation)."""
     out, _ = _varbyte_encode_offsets(values)
     return out.tobytes()
 
 
-def _varbyte_decode(buf: bytes) -> np.ndarray:
+def _varbyte_decode(buf) -> np.ndarray:
     """varbyte bytes → uint64 array (vectorized segmented shift-or)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
-    # value id for each byte: 0-based index of the value it belongs to
     vid = np.zeros(len(b), dtype=np.int64)
     vid[1:] = np.cumsum(is_last[:-1])
     nvals = int(vid[-1]) + 1
-    # byte position within its value
     starts = np.zeros(nvals, dtype=np.int64)
     starts[1:] = np.nonzero(is_last[:-1])[0] + 1
     bytepos = np.arange(len(b), dtype=np.int64) - starts[vid]
@@ -73,144 +82,168 @@ def _varbyte_decode(buf: bytes) -> np.ndarray:
     return out
 
 
-def _zigzag(v: np.int64) -> np.uint64:
-    return np.uint64((int(v) << 1) ^ (int(v) >> 63)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _unzigzag(u: np.uint64) -> int:
-    u = int(u)
-    return (u >> 1) ^ -(u & 1)
-
-
-def encode_postings(docids: np.ndarray, tfs: np.ndarray) -> bytes:
-    """docids: sorted int64 (strictly increasing), tfs: int. → bytes.
-
-    Layout: varbyte[ zigzag(docid0), delta1.., tf0.., tf(n-1) ] — a single
-    varbyte stream of 2n values (deltas then tfs would split cache-friendly;
-    we interleave sections: first n are docid deltas, next n are tfs).
-    """
-    d = np.asarray(docids, dtype=np.int64)
-    t = np.asarray(tfs, dtype=np.int64)
-    if len(d) == 0:
-        return b""
-    if len(d) > 1 and not (d[1:] > d[:-1]).all():
-        raise ValueError("docids must be strictly increasing")
-    deltas = np.empty(len(d), dtype=np.uint64)
-    deltas[0] = _zigzag(d[0])
-    if len(d) > 1:
-        deltas[1:] = (d[1:] - d[:-1]).astype(np.uint64)
-    stream = np.concatenate([deltas, t.astype(np.uint64)])
-    return _varbyte_encode(stream)
-
-
-def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """bytes → (docids int64 sorted, tfs int32)."""
-    stream = _varbyte_decode(buf)
-    if len(stream) == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
-    n = len(stream) // 2
-    deltas, tfs = stream[:n], stream[n:]
-    first = _unzigzag(deltas[0])
-    gaps = np.zeros(n, dtype=np.int64)
-    gaps[1:] = deltas[1:].astype(np.int64)
-    docids = first + np.cumsum(gaps)
-    return docids.astype(np.int64), tfs.astype(np.int32)
-
-
-_BLOCK_DT = np.dtype([("last", "<i8"), ("max_tf", "<i4"), ("min_dl", "<i4")])
-
-
 def _zigzag_vec(d: np.ndarray) -> np.ndarray:
-    """int64 array → zigzag uint64 (vectorized, wrap-safe)."""
     u = d.astype(np.uint64)
     return (u << np.uint64(1)) ^ (d >> 63).astype(np.uint64)
 
 
-def encode_postings_grouped(
-    docids: np.ndarray, tfs: np.ndarray, starts: np.ndarray, ends: np.ndarray
-) -> list[bytes]:
-    """Encode MANY posting lists in one vectorized pass.
+def _unzigzag_vec(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).astype(np.int64)
 
-    docids/tfs are the concatenation of all lists (each list sorted
-    ascending); (starts[i], ends[i]) is list i's row range. Output bytes are
-    identical to calling :func:`encode_postings` per list — the whole-shard
-    SPIMI analog of the reference's page-at-a-time external sort
-    (`MMapBBIndex.java:290-405`), minus the per-page Python.
-    """
-    n = len(docids)
-    if n == 0:
-        return [b"" for _ in starts]
-    d = docids.astype(np.int64, copy=False)
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[1:] = (d[1:].astype(np.uint64) - d[:-1].astype(np.uint64))  # wraps ok
-    deltas[starts] = _zigzag_vec(d[starts])
+
+def _block_bounds(starts: np.ndarray, ends: np.ndarray):
+    """Split each list range into BLOCK-sized chunks, fully vectorized.
+
+    Returns (b_starts, b_ends, nblocks_per_list)."""
     lens = ends - starts
-    # value stream: per list, its deltas then its tfs → global positions
-    s_row = np.repeat(starts, lens)
-    e_row = np.repeat(ends, lens)
+    nblocks = np.maximum((lens + BLOCK - 1) // BLOCK, 0).astype(np.int64)
+    total = int(nblocks.sum())
+    if total == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), nblocks)
+    list_of_block = np.repeat(np.arange(len(starts)), nblocks)
+    first_block = np.concatenate([[0], np.cumsum(nblocks)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - first_block[list_of_block]
+    b_starts = starts[list_of_block] + intra * BLOCK
+    b_ends = np.minimum(b_starts + BLOCK, ends[list_of_block])
+    return b_starts, b_ends, nblocks
+
+
+def encode_blocks_grouped(
+    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray,
+    starts: np.ndarray, ends: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """Encode MANY posting lists (concatenated, each sorted ascending) in one
+    vectorized pass → ([postings bytes per list], [block meta per list])."""
+    nlists = len(starts)
+    if len(docids) == 0:
+        return [b""] * nlists, [b""] * nlists
+    d = docids.astype(np.int64, copy=False)
+    t = tfs.astype(np.uint64, copy=False)
+
+    b_starts, b_ends, nblocks = _block_bounds(
+        np.asarray(starts, np.int64), np.asarray(ends, np.int64)
+    )
+    n = len(d)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = d[1:].astype(np.uint64) - d[:-1].astype(np.uint64)  # wraps ok
+    deltas[b_starts] = _zigzag_vec(d[b_starts])
+
+    # value stream: per block, its deltas then its tfs
+    blens = b_ends - b_starts
+    s_row = np.repeat(b_starts, blens)
+    e_row = np.repeat(b_ends, blens)
     idx = np.arange(n, dtype=np.int64)
     vals = np.empty(2 * n, dtype=np.uint64)
     vals[idx + s_row] = deltas
-    vals[idx + e_row] = tfs.astype(np.uint64)
+    vals[idx + e_row] = t
     buf, vends = _varbyte_encode_offsets(vals)
-    vstarts = np.concatenate([[0], vends])  # start offset of value i = vstarts[i]
-    mv = memoryview(buf.tobytes())
-    out = []
-    for s, e in zip(starts, ends):
-        out.append(bytes(mv[vstarts[2 * s] : vstarts[2 * e]]))
-    return out
+    vstarts = np.concatenate([[0], vends])
+    raw = buf.tobytes()
+    mv = memoryview(raw)
+
+    # per-block byte ranges (blocks are consecutive per list)
+    blk_byte_start = vstarts[2 * b_starts]
+    blk_byte_end = vstarts[2 * b_ends]  # == vstarts[2*b_start + 2*blen]
+
+    # per-block metadata
+    meta = np.empty(len(b_starts), dtype=_BLOCK_DT)
+    meta["last"] = d[b_ends - 1]
+    if len(b_starts):
+        meta["max_tf"] = np.maximum.reduceat(tfs, b_starts)
+        meta["min_dl"] = np.minimum.reduceat(doclens, b_starts)
+    meta_raw = meta.tobytes()  # "end" filled per list below
+    isz = _BLOCK_DT.itemsize
+
+    posts_out: list[bytes] = []
+    meta_out: list[bytes] = []
+    first_block = np.concatenate([[0], np.cumsum(nblocks)[:-1]])
+    for li in range(nlists):
+        fb = int(first_block[li])
+        nb = int(nblocks[li])
+        if nb == 0:
+            posts_out.append(b"")
+            meta_out.append(b"")
+            continue
+        base = int(blk_byte_start[fb])
+        posts_out.append(bytes(mv[base : int(blk_byte_end[fb + nb - 1])]))
+        m = np.frombuffer(meta_raw[fb * isz : (fb + nb) * isz], dtype=_BLOCK_DT).copy()
+        m["end"] = blk_byte_end[fb : fb + nb] - base
+        meta_out.append(m.tobytes())
+    return posts_out, meta_out
 
 
-def block_meta_grouped(
-    docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray,
-    starts: np.ndarray, ends: np.ndarray,
-) -> list[bytes]:
-    """Per-list block-max metadata, vectorized for the common 1-block case."""
-    lens = ends - starts
-    single = lens <= BLOCK
-    out: list[bytes | None] = [None] * len(starts)
-    if single.any():
-        # reduceat segments are [starts[j], starts[j+1]) — valid because the
-        # lists tile the row range contiguously; then select the 1-block ones
-        max_all = np.maximum.reduceat(tfs, starts)
-        min_all = np.minimum.reduceat(doclens, starts)
-        e1 = ends[single]
-        arr = np.empty(int(single.sum()), dtype=_BLOCK_DT)
-        arr["last"] = docids[e1 - 1]
-        arr["max_tf"] = max_all[single]
-        arr["min_dl"] = min_all[single]
-        raw = arr.tobytes()
-        isz = _BLOCK_DT.itemsize
-        for j, i in enumerate(np.nonzero(single)[0]):
-            out[i] = raw[j * isz : (j + 1) * isz]
-    for i in np.nonzero(~single)[0]:
-        s, e = starts[i], ends[i]
-        out[i] = block_meta(docids[s:e], tfs[s:e], doclens[s:e])
-    return out  # type: ignore[return-value]
+def encode_postings(docids: np.ndarray, tfs: np.ndarray,
+                    doclens: np.ndarray | None = None) -> tuple[bytes, bytes]:
+    """Single-list convenience wrapper → (postings bytes, blockmeta bytes)."""
+    d = np.asarray(docids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    if len(d) == 0:
+        return b"", b""
+    if len(d) > 1 and not (d[1:] > d[:-1]).all():
+        raise ValueError("docids must be strictly increasing")
+    dl = np.asarray(doclens, dtype=np.int64) if doclens is not None else np.ones_like(d)
+    p, m = encode_blocks_grouped(
+        d, t, dl, np.array([0], np.int64), np.array([len(d)], np.int64)
+    )
+    return p[0], m[0]
 
 
-def block_meta(docids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> bytes:
-    """Per-block (last_docid, max_tf, min_dl), block=128 postings.
-
-    The BM25 per-term contribution ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``
-    is monotone increasing in tf and decreasing in dl, so
-    ``f(max_tf, min_dl)`` is an exact-safe block upper bound — and it is
-    avgdl-free, which lets the segment build run in a single pass (no
-    corpus-stats pre-pass).
-    """
-    n = len(docids)
-    if n == 0:
-        return b""
-    nblocks = (n + BLOCK - 1) // BLOCK
-    out = np.empty(nblocks, dtype=_BLOCK_DT)
-    for bi in range(nblocks):
-        sl = slice(bi * BLOCK, min((bi + 1) * BLOCK, n))
-        out["last"][bi] = docids[sl][-1]
-        out["max_tf"][bi] = tfs[sl].max()
-        out["min_dl"][bi] = doclens[sl].min()
-    return out.tobytes()
-
-
-def decode_block_meta(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_block_meta(buf: bytes):
+    """→ (last_docid[], max_tf[], min_dl[], byte_end[])."""
     arr = np.frombuffer(buf, dtype=_BLOCK_DT)
-    return arr["last"].copy(), arr["max_tf"].copy(), arr["min_dl"].copy()
+    return (
+        arr["last"].copy(), arr["max_tf"].copy(),
+        arr["min_dl"].copy(), arr["end"].copy(),
+    )
+
+
+def _decode_stream(stream: np.ndarray, nblocks_hint: int | None = None):
+    """Decode a concatenation of block streams → (docids, tfs).
+
+    Block sizes are implied: every block holds BLOCK postings except the
+    final one. stream holds 2 values per posting."""
+    n = len(stream) // 2
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    nblocks = (n + BLOCK - 1) // BLOCK
+    starts = np.arange(nblocks, dtype=np.int64) * BLOCK
+    ends = np.minimum(starts + BLOCK, n)
+    blens = ends - starts
+    # value positions: block b's deltas at [2s, 2s+len), tfs at [2s+len, 2e)
+    idx = np.arange(n, dtype=np.int64)
+    s_row = np.repeat(starts, blens)
+    e_row = np.repeat(ends, blens)
+    deltas = stream[idx + s_row]
+    tfs = stream[idx + e_row]
+    gaps = deltas.astype(np.int64)
+    firsts = _unzigzag_vec(deltas[starts])
+    gaps[starts] = firsts
+    csum = np.cumsum(gaps)
+    # segmented cumsum: subtract the running total at each block start,
+    # then re-add the block's true first docid
+    base_correction = csum[starts] - firsts
+    docids = csum - np.repeat(base_correction, blens)
+    return docids.astype(np.int64), tfs.astype(np.int32)
+
+
+def decode_postings(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Full-list decode → (docids int64 sorted, tfs int32)."""
+    return _decode_stream(_varbyte_decode(buf))
+
+
+def decode_blocks(buf: bytes, byte_ends: np.ndarray,
+                  block_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Selective decode of ``block_idx`` (sorted unique) → (docids, tfs).
+
+    Only the chosen blocks' bytes are touched — the block-max WAND skip."""
+    if len(block_idx) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    bstarts = np.concatenate([[0], byte_ends[:-1]])
+    out_d, out_t = [], []
+    for i in block_idx:
+        stream = _varbyte_decode(b[bstarts[i] : byte_ends[i]])
+        d, t = _decode_stream(stream)
+        out_d.append(d)
+        out_t.append(t)
+    return np.concatenate(out_d), np.concatenate(out_t)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import B, K1
 from ..analyzer import postings_arrow
-from .codec import block_meta_grouped, encode_postings, encode_postings_grouped
+from .codec import encode_blocks_grouped, encode_postings
 
 ANALYZER_VERSION = "tok-v1"  # bump when analyzer semantics change
 
@@ -81,8 +81,7 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     starts = np.concatenate([[0], bounds]).astype(np.int64)
     ends = np.concatenate([bounds, [len(terms)]]).astype(np.int64)
 
-    posts = encode_postings_grouped(docids, tfs, starts, ends)
-    metas = block_meta_grouped(docids, tfs, dlen, starts, ends)
+    posts, metas = encode_blocks_grouped(docids, tfs, dlen, starts, ends)
     dfs = (ends - starts).astype(np.int64)
     cfs = np.add.reduceat(tfs, starts)
     rows = [
@@ -92,7 +91,7 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     # docmeta row: packed (docid, doclen) for query-time doclen lookup
     docs_row = (
         shard, "docs", None, int(len(doc_ids)), int(doc_lens.sum()),
-        encode_postings(doc_ids, doc_lens), b"",
+        encode_postings(doc_ids, doc_lens)[0], b"",
     )
     rows.append(docs_row)
 

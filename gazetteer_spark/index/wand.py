@@ -37,7 +37,7 @@ from pyspark.sql import Window as W
 
 from .. import B, K1
 from ..analyzer import py_tokenize
-from .codec import decode_block_meta, decode_postings
+from .codec import decode_block_meta, decode_blocks, decode_postings
 from .spimi import load_stats
 
 EPS = 1e-9
@@ -56,7 +56,9 @@ def _score_shard(
     cap: int,
 ) -> pd.DataFrame:
     """One shard's relevant segment rows → local top-k' per query."""
-    # group rows by term — a term can have one row per committed generation
+    # group rows by term — a term can have one row per committed generation.
+    # Posting bytes stay ENCODED until a term actually needs them; per-block
+    # upper bounds come from the metadata alone.
     post_rows: dict[str, list[tuple[bytes, bytes]]] = {}
     for r in pdf[pdf["kind"] == "post"].itertuples():
         post_rows.setdefault(r.term, []).append((r.postings, r.blockmeta))
@@ -73,27 +75,42 @@ def _score_shard(
         all_ids, all_lens = all_ids[order], all_lens[order]
     norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
 
-    decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+    # per-term segment handles: (pbuf, byte_ends, block_last, block_ub) per
+    # generation + the term-level bound; block_ub includes idf-free
+    # (k1+1)*tfnorm(max_tf, min_dl) evaluated with the scoring float ops
+    class _Seg:
+        __slots__ = ("pbuf", "bends", "blast", "bub")
+
+    terms_meta: dict[str, tuple[list, float]] = {}
     for term, bufs in post_rows.items():
-        id_parts, tf_parts, tmax = [], [], 0.0
+        segs, tmax = [], 0.0
         for pbuf, bbuf in bufs:
-            ids_g, tfs_g = decode_postings(pbuf)
-            id_parts.append(ids_g)
-            tf_parts.append(tfs_g)
-            _, bmax_tf, bmin_dl = decode_block_meta(bbuf)
+            blast, bmax_tf, bmin_dl, bends = decode_block_meta(bbuf)
+            s = _Seg()
+            s.pbuf, s.bends, s.blast = pbuf, bends, blast
             if len(bmax_tf):
-                # exact-safe bound: tfnorm is monotone ↑tf, ↓dl — evaluated
-                # with the same float ops as scoring at (max_tf, min_dl)
-                bub = (bmax_tf * (K1 + 1.0)) / (
+                s.bub = (bmax_tf * (K1 + 1.0)) / (
                     bmax_tf + K1 * (1.0 - B + B * bmin_dl.astype(np.float64) / avgdl)
                 )
-                tmax = max(tmax, float(bub.max()))
-        ids = np.concatenate(id_parts)
-        tfs = np.concatenate(tf_parts)
-        if len(bufs) > 1:  # merge generations' posting lists (docids disjoint)
-            order = np.argsort(ids, kind="stable")
-            ids, tfs = ids[order], tfs[order]
-        decoded[term] = (ids, tfs, tmax)
+                tmax = max(tmax, float(s.bub.max()))
+            else:
+                s.bub = np.zeros(0)
+            segs.append(s)
+        terms_meta[term] = (segs, tmax)
+
+    full_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode_full(term):
+        if term not in full_cache:
+            segs, _ = terms_meta[term]
+            ps = [decode_postings(s.pbuf) for s in segs]
+            ids = np.concatenate([p[0] for p in ps])
+            tfs = np.concatenate([p[1] for p in ps])
+            if len(ps) > 1:  # generations' docid sets are disjoint
+                order = np.argsort(ids, kind="stable")
+                ids, tfs = ids[order], tfs[order]
+            full_cache[term] = (ids, tfs)
+        return full_cache[term]
 
     # pruning must never drop a doc that could TIE the k-th result after
     # rounding: two rounding ulps of slack covers round(x) vs round(kth)
@@ -101,11 +118,11 @@ def _score_shard(
 
     out_q, out_d, out_s = [], [], []
     for qid, weighted_terms in qplans:
-        terms = [(t, idf) for t, idf in weighted_terms if t in decoded]
+        terms = [(t, idf) for t, idf in weighted_terms if t in terms_meta]
         if not terms:
             continue
         # ub_t exact-safe: idf * max block tfnorm bound (includes the k1+1 factor)
-        ubs = np.array([idf * decoded[t][2] for t, idf in terms], dtype=np.float64)
+        ubs = np.array([idf * terms_meta[t][1] for t, idf in terms], dtype=np.float64)
         order = np.argsort(-ubs, kind="stable")
         suffix = np.zeros(len(order) + 1)
         suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
@@ -116,24 +133,47 @@ def _score_shard(
         for oi, ti in enumerate(order):
             term, idf = terms[ti]
             rem = suffix[oi + 1]
-            ids, tfs, _ = decoded[term]
-            pos = np.searchsorted(all_ids, ids)
-            contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
             can_introduce = not np.isfinite(theta) or (ubs[ti] + rem >= theta - margin)
             if can_introduce:
+                ids, tfs = decode_full(term)
+                pos = np.searchsorted(all_ids, ids)
+                contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
                 merged = np.union1d(cand_ids, ids)
                 new_scores = np.zeros(len(merged))
                 new_scores[np.searchsorted(merged, cand_ids)] = cand_scores
                 new_scores[np.searchsorted(merged, ids)] += contrib
                 cand_ids, cand_scores = merged, new_scores
-            else:
-                # existing candidates only (exactness: survivors still get
-                # every contribution they contain)
-                hit = np.searchsorted(cand_ids, ids)
-                hit_ok = (hit < len(cand_ids)) & (
-                    cand_ids[np.minimum(hit, len(cand_ids) - 1)] == ids
-                )
-                cand_scores[hit[hit_ok]] += contrib[hit_ok]
+            elif len(cand_ids):
+                # update-only phase with BLOCK-MAX skipping: first drop
+                # candidates that cannot reach θ even granted this term's
+                # per-block bound plus all remaining terms' bounds; then
+                # decode ONLY blocks holding surviving candidates.
+                segs, _ = terms_meta[term]
+                blk_ub = np.zeros(len(cand_ids))
+                blk_of = []
+                for s in segs:
+                    bi = np.searchsorted(s.blast, cand_ids, side="left")
+                    inside = bi < len(s.blast)
+                    u = np.zeros(len(cand_ids))
+                    u[inside] = s.bub[bi[inside]]
+                    blk_ub = np.maximum(blk_ub, u)
+                    blk_of.append((bi, inside))
+                keep = cand_scores + idf * blk_ub + rem >= theta - margin
+                cand_ids, cand_scores = cand_ids[keep], cand_scores[keep]
+                if len(cand_ids) == 0:
+                    continue
+                for s, (bi, inside) in zip(segs, blk_of):
+                    need = np.unique(bi[keep & inside]) if len(bi) else bi[:0]
+                    if len(need) == 0:
+                        continue
+                    ids, tfs = decode_blocks(s.pbuf, s.bends, need)
+                    pos = np.searchsorted(all_ids, ids)
+                    contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
+                    hit = np.searchsorted(cand_ids, ids)
+                    hit_ok = (hit < len(cand_ids)) & (
+                        cand_ids[np.minimum(hit, len(cand_ids) - 1)] == ids
+                    )
+                    cand_scores[hit[hit_ok]] += contrib[hit_ok]
             # update θ (k-th best exact, only grows) and prune hopeless docs
             if len(cand_ids) >= k:
                 theta = np.partition(cand_scores, -k)[-k]

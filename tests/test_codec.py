@@ -11,31 +11,36 @@ from gazetteer_spark.index.codec import (
     BLOCK,
     _varbyte_decode,
     _varbyte_encode,
-    block_meta,
     decode_block_meta,
+    decode_blocks,
     decode_postings,
+    encode_blocks_grouped,
     encode_postings,
 )
 
 CASES = [
     ([5], [1]),                                           # single posting
-    (list(range(1000)), [1] * 1000),                      # dense delta=1
+    (list(range(1000)), [1] * 1000),                      # dense delta=1, 8 blocks
     ([0, 2**40, 2**62, 2**62 + 1], [1, 2, 3, 2**31 - 1]),  # sparse 64-bit gaps
     ([-(2**62), -5, 0, 7], [1, 1, 1, 1]),                 # negative docids (xxhash64)
     ([-(2**63), 2**63 - 1], [1, 1]),                      # extreme range
+    (list(range(0, 2**40, 2**33))[:300], [7] * 128),      # multi-block big gaps
 ]
+CASES[-1] = (CASES[-1][0][:128], [7] * 128)  # exactly one full block
 
 
 @pytest.mark.parametrize("docids,tfs", CASES)
 def test_roundtrip(docids, tfs):
-    buf = encode_postings(np.array(docids), np.array(tfs))
+    tfs = tfs[: len(docids)]
+    buf, meta = encode_postings(np.array(docids), np.array(tfs))
     d, t = decode_postings(buf)
     assert d.tolist() == docids
     assert t.tolist() == tfs
 
 
 def test_empty():
-    assert encode_postings(np.array([], dtype=np.int64), np.array([])) == b""
+    buf, meta = encode_postings(np.array([], dtype=np.int64), np.array([]))
+    assert buf == b"" and meta == b""
     d, t = decode_postings(b"")
     assert len(d) == 0 and len(t) == 0
 
@@ -48,22 +53,22 @@ def test_rejects_unsorted():
 def test_compression_beats_naive():
     docids = np.arange(10_000, dtype=np.int64) * 3 + 1_000_000
     tfs = np.ones(10_000, dtype=np.int64)
-    buf = encode_postings(docids, tfs)
-    assert len(buf) < 10_000 * 12  # naive = 8B docid + 4B tf
+    buf, meta = encode_postings(docids, tfs)
+    assert len(buf) + len(meta) < 10_000 * 12  # naive = 8B docid + 4B tf
 
 
 @settings(max_examples=50, deadline=None)
 @given(
     st.lists(
         st.integers(min_value=-(2**63), max_value=2**63 - 1),
-        min_size=1, max_size=300, unique=True,
+        min_size=1, max_size=400, unique=True,
     ),
     st.data(),
 )
 def test_roundtrip_property(docids, data):
     docids = sorted(docids)
     tfs = [data.draw(st.integers(min_value=1, max_value=2**31 - 1)) for _ in docids]
-    buf = encode_postings(np.array(docids, dtype=np.int64), np.array(tfs))
+    buf, meta = encode_postings(np.array(docids, dtype=np.int64), np.array(tfs))
     d, t = decode_postings(buf)
     assert d.tolist() == docids
     assert t.tolist() == tfs
@@ -76,12 +81,45 @@ def test_varbyte_property(vals):
     assert _varbyte_decode(_varbyte_encode(arr)).tolist() == vals
 
 
-def test_block_meta():
+def test_block_meta_and_selective_decode():
     n = BLOCK * 2 + 10
-    docids = np.arange(n, dtype=np.int64)
+    docids = np.arange(n, dtype=np.int64) * 5
     tfs = np.arange(1, n + 1, dtype=np.int64)
     dls = np.arange(100, 100 + n, dtype=np.int64)
-    last, max_tf, min_dl = decode_block_meta(block_meta(docids, tfs, dls))
-    assert last.tolist() == [BLOCK - 1, 2 * BLOCK - 1, n - 1]
+    buf, meta = encode_postings(docids, tfs, dls)
+    last, max_tf, min_dl, ends = decode_block_meta(meta)
+    assert last.tolist() == [(BLOCK - 1) * 5, (2 * BLOCK - 1) * 5, (n - 1) * 5]
     assert max_tf.tolist() == [BLOCK, 2 * BLOCK, n]
     assert min_dl.tolist() == [100, 100 + BLOCK, 100 + 2 * BLOCK]
+    assert ends[-1] == len(buf)
+    # decode only block 1
+    d, t = decode_blocks(buf, ends, np.array([1]))
+    assert d.tolist() == docids[BLOCK : 2 * BLOCK].tolist()
+    assert t.tolist() == tfs[BLOCK : 2 * BLOCK].tolist()
+    # blocks 0 and 2
+    d, t = decode_blocks(buf, ends, np.array([0, 2]))
+    expect = np.concatenate([docids[:BLOCK], docids[2 * BLOCK :]])
+    assert d.tolist() == expect.tolist()
+
+
+def test_grouped_encode_equals_per_list():
+    rng = np.random.RandomState(7)
+    lists = []
+    for ln in (1, 3, 130, 256, 300, 77):
+        pool = np.unique(rng.randint(0, 10**9, size=ln * 3).astype(np.int64))
+        ids = np.sort(rng.permutation(pool)[:ln])
+        tfs = rng.randint(1, 50, size=ln).astype(np.int64)
+        dls = rng.randint(10, 500, size=ln).astype(np.int64)
+        lists.append((ids, tfs, dls))
+    cat_ids = np.concatenate([x[0] for x in lists])
+    cat_tfs = np.concatenate([x[1] for x in lists])
+    cat_dls = np.concatenate([x[2] for x in lists])
+    lens = np.array([len(x[0]) for x in lists])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    posts, metas = encode_blocks_grouped(cat_ids, cat_tfs, cat_dls, starts, ends)
+    for (ids, tfs, dls), p, m in zip(lists, posts, metas):
+        p1, m1 = encode_postings(ids, tfs, dls)
+        assert p == p1 and m == m1
+        d, t = decode_postings(p)
+        assert d.tolist() == ids.tolist() and t.tolist() == tfs.tolist()

@@ -62,9 +62,9 @@ def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_sql(_docs(spark, sf_dir), "doc_id", "text")
 
 
-def _query_values_sql() -> str:
+def _query_values_sql(queries: list[tuple[int, str]] | None = None) -> str:
     rows = []
-    for qid, text in FT_QUERIES:
+    for qid, text in queries or FT_QUERIES:
         for t in sorted(set(py_tokenize(text))):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -130,6 +130,11 @@ def q_ft_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.topk(spark, _index_dir(spark, sf_dir), FT_QUERIES, k=10)
 
 
+def q_ft_wand_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=100 case (FIXTURES §2): deep top-k through the same block-max path."""
+    return wand.topk(spark, _index_dir(spark, sf_dir), [(0, "spark join")], k=100)
+
+
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing every query term."""
     terms = sorted(set(py_tokenize("customer filter group")))
@@ -154,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_corpus_stats": q_ft_corpus_stats,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_wand_topk": q_ft_wand_topk,
+        "ft_wand_k100": q_ft_wand_k100,
         "ft_boolean_and": q_ft_boolean_and,
         **ops_queries(),
     }
@@ -171,25 +177,28 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf"
         " FROM postings GROUP BY term"
     )
-    bm25 = (
-        _DUCK_POSTINGS + ", "
-        "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
-        "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
-        f"q(query_id, term) AS (VALUES {_query_values_sql()}), "
-        "tstat AS (SELECT term, count(*) AS df FROM postings "
-        "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
-        "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
-        "  FROM tstat t, cs), "
-        "scored AS (SELECT q.query_id, p.docid, "
-        "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
-        "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
-        "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
-        "  JOIN ds ON ds.docid = p.docid, cs GROUP BY q.query_id, p.docid) "
-        "SELECT query_id, rank, docid, score FROM ("
-        "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
-        "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
-        "  docid, round(s, 4) AS score FROM scored) WHERE rank <= 10"
-    )
+    def bm25_sql(queries: list[tuple[int, str]], k: int) -> str:
+        return (
+            _DUCK_POSTINGS + ", "
+            "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
+            "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "tstat AS (SELECT term, count(*) AS df FROM postings "
+            "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
+            "  FROM tstat t, cs), "
+            "scored AS (SELECT q.query_id, p.docid, "
+            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+            "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
+            "  JOIN ds ON ds.docid = p.docid, cs GROUP BY q.query_id, p.docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+            f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
+        )
+
+    bm25 = bm25_sql(FT_QUERIES, 10)
     return {
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",
         "ft_docstats": _DUCK_POSTINGS
@@ -201,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(*) AS n_docs, round(avg(doclen), 6) AS avgdl FROM ds",
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
+        "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_boolean_and": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",
@@ -213,5 +223,7 @@ def oracle_sql() -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-k over the sf0.001 documents table."""
-    return q_ft_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship: block-max BM25 top-k over compressed doc-sharded segments
+    built from the sf0.001 documents table (the full engine path:
+    analyzer → SPIMI build → manifest commit → WAND query)."""
+    return q_ft_wand_topk(spark, "/root/testdata/sf0.001")

@@ -649,6 +649,33 @@ def q_ft_phrase_match(spark, sf_dir):
     )
 
 
+def q_rel_rollup(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) — beyond the reference's operator set,
+    standard for analytics over the index's own metrics tables."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+def _oracle_rollup() -> str:
+    return (
+        "SELECT coalesce(o_orderstatus, 'ALL') AS status,"
+        " coalesce(o_orderpriority, 'ALL') AS priority,"
+        " count(*) AS n, round(sum(o_totalprice), 2) AS total"
+        " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+    )
+
+
 def _oracle_sessionize() -> str:
     return (
         "WITH e AS (SELECT user_id, event_id, ts, CAST(epoch(ts) AS BIGINT) AS ep"
@@ -740,6 +767,7 @@ def ops_queries():
         "rel_sessionize": q_rel_sessionize,
         "rel_asof_join": q_rel_asof_join,
         "ft_phrase_match": q_ft_phrase_match,
+        "rel_rollup": q_rel_rollup,
     }
 
 
@@ -834,4 +862,5 @@ def ops_oracles():
         "rel_sessionize": _oracle_sessionize(),
         "rel_asof_join": _oracle_asof(),
         "ft_phrase_match": _oracle_phrase(),
+        "rel_rollup": _oracle_rollup(),
     }

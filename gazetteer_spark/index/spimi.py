@@ -2,14 +2,20 @@
 
 Physical layout under ``out_dir``:
 
-- ``segments/``  parquet partitioned by ``shard``; rows are either
-  ``kind='post'`` (one per term: df, cf, varbyte postings, block-max meta)
-  or ``kind='docs'`` (one per shard: packed docids + doclens).
-- ``termstats/`` parquet: global (term, df, cf) — salted two-level reduce.
+- ``segments/gen=N/shard=K/``  parquet; rows are either ``kind='post'``
+  (one per term: df, cf, block-wise varbyte postings, block-max meta) or
+  ``kind='docs'`` (one per shard per generation: packed docids + doclens).
+  gen=0 is the base build; each ``add_documents`` call appends a new
+  generation (the reference's diff/append lifecycle).
+- ``termstats/`` parquet: global (term, df, cf) over committed segments.
 - ``stats.json`` corpus stats: n_docs, avgdl, n_shards, analyzer_version.
-- ``manifest/``  parquet: one row per committed shard with row/byte metrics
-  and an order-insensitive content checksum (the reference's ``mtainf``
-  dataset-hash idea, `GazetteerOutWriter.java:1099-1108`) plus lineage.
+- ``build.json`` immutable build parameters (resume compatibility check).
+- ``manifest_pending/genN/`` per-task metadata side files (Iceberg style).
+- ``manifest/``  parquet, one small file per commit batch: per (generation,
+  shard) row/byte metrics and a sha256 content checksum (the reference's
+  ``mtainf`` dataset-hash idea, `GazetteerOutWriter.java:1099-1108`) plus
+  lineage. The manifest is the COMMIT POINT: queries see exactly the
+  (gen, shard) pairs present here (`committed_segments`).
 
 Scale shape: ONE wide shuffle (postings → shard) + one narrow shuffle
 (doc meta → shard) + one tiny shuffle (term stats). Doc-sharding means

@@ -6,21 +6,28 @@ covers test `JoinBoundariesExecutor.java:323-348`): a cheap upper bound
 prunes, exact BM25 scores the survivors.
 
 Algorithm per (shard, query): vectorized term-at-a-time MaxScore with
-block-max bounds —
+block-max skipping —
 
-1. terms sorted by upper bound ``ub_t = idf_t * (k1+1) * max_tfnorm_t``
-   descending (max_tfnorm from the per-block metadata, so the bound uses the
-   exact scoring float ops and can never under-estimate);
+1. terms sorted by upper bound ``ub_t = idf_t * max_b tfnorm(max_tf_b,
+   min_dl_b)`` descending — the bound is evaluated with the exact scoring
+   float ops, so it can never under-estimate;
 2. while the remaining-ub suffix can still beat the running threshold θ
-   (k'-th best partial score), a term may introduce new candidate docs;
-   once it can't, its postings only update existing candidates
-   (numpy ``searchsorted`` intersection);
-3. candidates whose partial score + remaining ub < θ - ε are dropped;
-4. survivors get exact scores by construction (every term they contain was
-   added); local top-k' = k + pad protects rounded-score/docid tie-breaks.
+   (k-th best partial score, minus a two-rounding-ulp tie margin), a term
+   may introduce new candidate docs (full-list decode);
+3. once it can't, the term runs update-only: candidates that cannot reach
+   θ even granted their OWN block's upper bound plus all remaining terms'
+   bounds are dropped, then ONLY blocks still holding surviving candidates
+   are decoded (`codec.decode_blocks`) — posting bytes for skipped blocks
+   are never touched;
+4. after each term, candidates with partial + remaining-ub < θ - margin
+   are pruned; survivors end with exact scores by construction;
+5. emission uses the SAME ordering as the global merge: every doc whose
+   ROUNDED score ties the k-th largest rounded value is emitted (rounding
+   is monotone, so docs below that bar can never enter the global top-k).
 
-Global result = union of per-shard top-k' → window (score desc, docid asc).
-Docs live in exactly one shard, so the merge is exact.
+Global result = union of per-shard emissions → window (score desc, docid
+asc). Docs live in exactly one shard, so the merge is exact; committed
+generations of a term's postings are merged per shard before scoring.
 
 Scale notes: the segment scan prunes by parquet min/max on ``term`` and by
 the ``kind`` dictionary filter; the only shuffle is the per-shard top-k'

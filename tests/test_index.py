@@ -83,6 +83,16 @@ def test_wand_k100(spark, index_dir, documents):
     ]]
 
 
+def test_index_reader_matches_topk(spark, index_dir):
+    reader = wand.IndexReader(spark, index_dir)
+    try:
+        a = reader.topk(QUERIES, k=10).orderBy("query_id", "rank").collect()
+    finally:
+        reader.close()
+    b = wand.topk(spark, index_dir, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_wand_oov_empty(spark, index_dir):
     assert wand.topk(spark, index_dir, [(0, "zzz_not_here")], k=5).count() == 0
 

@@ -60,17 +60,25 @@ def main(n_files: int = 1_000_000, n_shards: int = 256, n_lo: int = 2, n_hi: int
     )
     subprocess.run([sys.executable, "-c", gen], check=True)
 
-    results = {}
+    # the sandbox VM sees intermittent host CPU steal — interleave two runs
+    # per level and keep the best (min wall) of each, the standard defense
+    # against transient noise
+    results: dict[int, dict] = {}
     snippet = RUN_SNIPPET.format(repo=REPO)
-    for cores in (n_lo, n_hi):
-        out = f"{work}/idx_{cores}"
+    import shutil as _sh
+
+    for trial, cores in enumerate([n_lo, n_hi, n_lo, n_hi]):
+        out = f"{work}/idx_{cores}_{trial}"
         r = subprocess.run(
             [sys.executable, "-c", snippet, str(cores), src, out, str(n_shards)],
             capture_output=True, text=True, check=True,
         )
+        _sh.rmtree(out, ignore_errors=True)
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"local[{cores}]: {line}", file=sys.stderr)
+        rec = json.loads(line)
+        print(f"local[{cores}] trial {trial}: {line}", file=sys.stderr)
+        if cores not in results or rec["sec"] < results[cores]["sec"]:
+            results[cores] = rec
 
     t_lo, t_hi = results[n_lo]["files_per_sec"], results[n_hi]["files_per_sec"]
     eff = (t_hi / t_lo) / (n_hi / n_lo)

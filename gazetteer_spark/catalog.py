@@ -179,6 +179,13 @@ def q_ann_label_centroids(spark, sf_dir):
     return similarity.pairwise_label_centroids(_emb(spark, sf_dir))
 
 
+def q_dd_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (demo threshold 0.45 — the synthetic
+    vectors top out at cos≈0.51; production would use ~0.95 + LSH/IVF
+    candidate generation)."""
+    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
 _DUCK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -215,6 +222,16 @@ def _oracle_lsh_topk() -> str:
         " WHERE e.bucket = q.bucket AND e.vec_id != 0)"
         " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,"
         " vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+    )
+
+
+def _oracle_embedding_pairs() -> str:
+    cos = _DUCK_COS.format(a="a.v", b="b.v")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        f" SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim"
+        " FROM e a JOIN e b ON a.vec_id < b.vec_id"
+        f" WHERE round({cos}, 6) >= 0.45"
     )
 
 
@@ -743,6 +760,7 @@ def ops_queries():
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_label_centroids": q_ann_label_centroids,
+        "dd_embedding_pairs": q_dd_embedding_pairs,
         "tx_langid": q_tx_langid,
         "tx_quality": q_tx_quality,
         "tx_tokens": q_tx_tokens,
@@ -781,6 +799,7 @@ def ops_oracles():
         "ann_cosine_topk": _oracle_cosine_topk(),
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_label_centroids": _oracle_label_centroids(),
+        "dd_embedding_pairs": _oracle_embedding_pairs(),
         "tx_langid": _oracle_langid(),
         "tx_quality": _oracle_quality(),
         "tx_tokens": _oracle_tokens(),

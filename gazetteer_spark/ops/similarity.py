@@ -116,6 +116,28 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 6,
+) -> DataFrame:
+    """(id_a, id_b, sim): embedding-cosine near-duplicate pairs.
+
+    Exact all-pairs formulation (the correctness baseline; at corpus scale
+    candidate generation switches to the hyperplane-LSH buckets of
+    :func:`lsh_cosine_topk` / IVF — same verify stage). The self-join is a
+    broadcast of the smaller projection; sim rounded for oracle compare."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def pairwise_label_centroids(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

@@ -113,6 +113,25 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
 
+def test_cosine_near_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    got = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in similarity.cosine_near_dup_pairs(emb, 0.4).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    want = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                s = round(float(vecs[a] @ vecs[b] /
+                                (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 6)
+                if s >= 0.4:
+                    want[(a, b)] = s
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
 def test_label_centroids(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.pairwise_label_centroids(emb).collect()

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gazetteer_spark.analyzer import postings_sql, py_tokenize, tokens_expr
+from gazetteer_spark.analyzer import postings_sql, py_tokenize
 from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
 from gazetteer_spark.index import spimi, wand
 

@@ -13,7 +13,6 @@ import hashlib
 import random
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 SEED = 42
 LANGS = ["python", "java", "js", "go"]

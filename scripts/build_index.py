@@ -16,8 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# robust without --py-files: resolve the package from the repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -34,7 +38,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from gazetteer_spark.docs import build_doc_registry, docid_expr
+    from gazetteer_spark.docs import docid_expr
     from gazetteer_spark.index import spimi
 
     spark = SparkSession.builder.appName("gazetteer_build_index").getOrCreate()

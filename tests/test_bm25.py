@@ -6,8 +6,6 @@ same order, scores equal at the rounded precision.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from gazetteer_spark.analyzer import postings_arrow, postings_sql
 from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
 from gazetteer_spark.oracle import OracleIndex

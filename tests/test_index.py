@@ -7,8 +7,6 @@ rank pinning (`JoinSliceRunable.java:848-875`).
 
 from __future__ import annotations
 
-import shutil
-
 import pytest
 from pyspark.sql import functions as F
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from gazetteer_spark.analyzer import py_tokenize
 from gazetteer_spark.ops import dedup, multimodal, similarity, textstats

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from gazetteer_spark.docs import assert_no_docid_collisions
 from gazetteer_spark.index import spimi, wand

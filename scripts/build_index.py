@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--add", action="store_true",
+                    help="incremental append: new docs as a segment generation")
     ap.add_argument("--batch-shards", type=int, default=None)
     ap.add_argument("--id-cols", default="repo,path,commit")
     ap.add_argument("--docid-col", default=None)
@@ -51,11 +53,16 @@ def main(argv=None):
         key = tuple(args.id_cols.split(","))
         docs = src.withColumn("docid", docid_expr(*key))
         id_col = "docid"
-    stats = spimi.build_index(
-        spark, docs, args.out, n_shards=args.n_shards, id_col=id_col,
-        content_col=args.content_col, resume=args.resume,
-        batch_shards=args.batch_shards,
-    )
+    if args.add:
+        stats = spimi.add_documents(
+            spark, docs, args.out, id_col=id_col, content_col=args.content_col
+        )
+    else:
+        stats = spimi.build_index(
+            spark, docs, args.out, n_shards=args.n_shards, id_col=id_col,
+            content_col=args.content_col, resume=args.resume,
+            batch_shards=args.batch_shards,
+        )
     dt = time.time() - t0
     print(json.dumps({"built": args.out, "sec": round(dt, 2),
                       "files_per_sec": round(stats["n_docs"] / dt, 1), **stats}))

@@ -237,6 +237,62 @@ def add_documents(
     return load_stats(out_dir)
 
 
+def delete_documents(
+    spark: SparkSession, docids: list[int], out_dir: str
+) -> dict:
+    """Tombstone delete: a generation whose per-shard rows (kind='dels')
+    carry the deleted docids; queries mask them out at decode time.
+
+    Reference parity: sortupdate's ``action=remove`` rows and diff's ``-``
+    ops (`sortupdate/SortAndUpdateTask.java:30-92`, `diff/Diff.java`).
+    Lucene-like semantics: corpus stats (N, avgdl, df) stay as built until a
+    compaction (full rebuild); deleted docs simply stop matching. Re-adding
+    a tombstoned docid is unsupported until compaction.
+    """
+    with open(f"{out_dir}/build.json") as f:
+        params = json.load(f)
+    n_shards = params["n_shards"]
+    gens = committed_generations(out_dir)
+    generation = max(gens) + 1
+
+    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    df = df.withColumn("shard", shard_expr(F.col("docid"), n_shards))
+    pending = f"{out_dir}/manifest_pending/gen{generation}"
+
+    def build_dels(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        ids = np.unique(pdf["docid"].to_numpy(dtype=np.int64))
+        buf, _ = encode_postings(ids, np.ones(len(ids), dtype=np.int64))
+        h = hashlib.sha256()
+        h.update(b"dels")
+        h.update(buf)
+        os.makedirs(pending, exist_ok=True)
+        metrics = {"shard": shard, "n_terms": 0, "n_postings": int(len(ids)),
+                   "n_docs": 0, "sum_doclen": 0, "n_bytes": len(buf),
+                   "checksum": h.hexdigest()}
+        tmp = f"{pending}/.shard_{shard}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(metrics, f, sort_keys=True)
+        os.replace(tmp, f"{pending}/shard_{shard}.json")
+        return pd.DataFrame(
+            [(shard, "dels", None, int(len(ids)), 0, buf, b"")],
+            columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"],
+        )
+
+    gen_dir = f"{out_dir}/segments/gen={generation}"
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
+    segments = df.groupBy("shard").applyInPandas(build_dels, SEGMENT_SCHEMA)
+    segments = segments.withColumn("gen", F.lit(generation))
+    segments.write.mode("append").partitionBy("gen", "shard").parquet(
+        f"{out_dir}/segments"
+    )
+    _commit_manifest(spark, out_dir, sorted({r["shard"] for r in
+                                             df.select("shard").distinct().collect()}),
+                     generation)
+    return load_stats(out_dir)
+
+
 def _write_generation(
     spark: SparkSession, postings: DataFrame, out_dir: str,
     shards: list[int], generation: int,

@@ -82,6 +82,22 @@ def _score_shard(
         all_ids, all_lens = all_ids[order], all_lens[order]
     norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
 
+    # tombstones: union of all committed 'dels' generations; masked at
+    # decode time (Lucene-like: stats stay as built until compaction)
+    del_parts = [decode_postings(b)[0] for b in pdf[pdf["kind"] == "dels"]["postings"]]
+    dels = (
+        np.unique(np.concatenate(del_parts)) if del_parts else np.zeros(0, np.int64)
+    )
+
+    def mask_deleted(ids: np.ndarray, tfs: np.ndarray):
+        if len(dels) == 0 or len(ids) == 0:
+            return ids, tfs
+        pos = np.searchsorted(dels, ids)
+        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
+        if not hit.any():
+            return ids, tfs
+        return ids[~hit], tfs[~hit]
+
     # per-term segment handles: (pbuf, byte_ends, block_last, block_ub) per
     # generation + the term-level bound; block_ub includes idf-free
     # (k1+1)*tfnorm(max_tf, min_dl) evaluated with the scoring float ops
@@ -116,7 +132,7 @@ def _score_shard(
             if len(ps) > 1:  # generations' docid sets are disjoint
                 order = np.argsort(ids, kind="stable")
                 ids, tfs = ids[order], tfs[order]
-            full_cache[term] = (ids, tfs)
+            full_cache[term] = mask_deleted(ids, tfs)
         return full_cache[term]
 
     # pruning must never drop a doc that could TIE the k-th result after
@@ -173,7 +189,7 @@ def _score_shard(
                     need = np.unique(bi[keep & inside]) if len(bi) else bi[:0]
                     if len(need) == 0:
                         continue
-                    ids, tfs = decode_blocks(s.pbuf, s.bends, need)
+                    ids, tfs = mask_deleted(*decode_blocks(s.pbuf, s.bends, need))
                     pos = np.searchsorted(all_ids, ids)
                     contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
                     hit = np.searchsorted(cand_ids, ids)
@@ -243,6 +259,7 @@ def _topk_impl(
     relevant = seg.filter(
         ((F.col("kind") == "post") & F.col("term").isin(all_terms))
         | (F.col("kind") == "docs")
+        | (F.col("kind") == "dels")
     )
     local = relevant.groupBy("shard").applyInPandas(
         lambda pdf: _score_shard(pdf, qplans, avgdl, k, round_to, tie_cap),

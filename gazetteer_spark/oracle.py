@@ -47,12 +47,17 @@ class OracleIndex:
                 s += self.idf(t) * (tf * (K1 + 1.0)) / (tf + norm)
         return s
 
-    def topk(self, query: str, k: int = 10, round_to: int | None = 4):
-        """[(rank, docid, score)] pinned by (score desc, docid asc)."""
+    def topk(self, query: str, k: int = 10, round_to: int | None = 4,
+             exclude: frozenset[int] = frozenset()):
+        """[(rank, docid, score)] pinned by (score desc, docid asc).
+
+        ``exclude`` models tombstoned docs (Lucene-like: stats unchanged,
+        docs simply stop matching)."""
         terms = sorted(set(py_tokenize(query)))
         candidates: set[int] = set()
         for t in terms:
             candidates.update(self.postings.get(t, ()))
+        candidates -= exclude
         scored = []
         for d in candidates:
             s = self.score_one(d, terms)

@@ -207,6 +207,42 @@ def test_orphan_generation_invisible(spark, documents, tmp_path_factory,
     assert spimi.load_stats(d)["n_docs"] == 500
 
 
+def test_tombstone_deletes(spark, documents, tmp_path_factory):
+    """delete_documents masks docs from every query path (full decode AND
+    block-selective decode) without touching corpus stats — checked against
+    the oracle's exclude semantics."""
+    d = str(tmp_path_factory.mktemp("idx_dels"))
+    spimi.build_index(spark, documents, d, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    # delete the current top hits of query 0 plus a spread of others
+    top = wand.topk(spark, d, [(0, "spark join merge")], k=3).collect()
+    deleted = [r["docid"] for r in top] + [7, 99, 250, 444]
+    stats_before = spimi.load_stats(d)
+    spimi.delete_documents(spark, deleted, d)
+    assert spimi.load_stats(d)["n_docs"] == stats_before["n_docs"]  # Lucene-like
+
+    oracle = _oracle(documents)
+    excl = frozenset(deleted)
+    got = wand.topk(spark, d, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    want = []
+    for qid, text in QUERIES:
+        for rank, docid, score in oracle.topk(text, 10, exclude=excl):
+            want.append((qid, rank, docid, score))
+    assert [(r["query_id"], r["rank"], r["docid"]) for r in got] == [
+        (q, r, dd) for q, r, dd, _ in want
+    ]
+    got_ids = {r["docid"] for r in got}
+    assert not (got_ids & excl)
+
+    # deletes survive a subsequent generation append
+    extra = documents.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    spimi.add_documents(spark, extra, d, id_col="doc_id", content_col="text")
+    got2 = wand.topk(spark, d, [(0, "spark join merge")], k=10).collect()
+    assert not ({r["docid"] for r in got2} & excl)
+
+
 def test_batched_build_equals_single(spark, documents, tmp_path_factory):
     a = str(tmp_path_factory.mktemp("idx_a"))
     b = str(tmp_path_factory.mktemp("idx_b"))

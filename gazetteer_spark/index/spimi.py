@@ -293,6 +293,70 @@ def delete_documents(
     return load_stats(out_dir)
 
 
+def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
+    """Merge all committed generations, apply tombstones, and write a fresh
+    gen-0 index at ``out_dir`` — the reference's sortupdate/synchronize step
+    (`sortupdate/SortAndUpdateTask.java:30-92`: latest-wins + drop
+    action=remove) as a SHUFFLE-FREE map over shards: docid→shard routing is
+    unchanged, so each shard compacts locally. Corpus stats are recomputed,
+    restoring exact-stats BM25 semantics after deletes.
+
+    The output is byte-identical (manifest checksums) to a from-scratch
+    build over the surviving corpus — tested."""
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/build.json", "w") as f:
+        json.dump(params, f)
+    pending = f"{out_dir}/manifest_pending/gen0"
+
+    def compact_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import decode_postings as _dec
+
+        dels_parts = [_dec(b)[0] for b in pdf[pdf["kind"] == "dels"]["postings"]]
+        dels = (
+            np.unique(np.concatenate(dels_parts))
+            if dels_parts else np.zeros(0, np.int64)
+        )
+
+        def alive(ids: np.ndarray, vals: np.ndarray):
+            if len(dels) == 0 or len(ids) == 0:
+                return ids, vals
+            pos = np.searchsorted(dels, ids)
+            hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
+            return ids[~hit], vals[~hit]
+
+        shard = int(pdf["shard"].iloc[0])
+        frames = []
+        for r in pdf[pdf["kind"] == "post"].itertuples():
+            ids, tfs = alive(*_dec(r.postings))
+            if len(ids):
+                frames.append(
+                    pd.DataFrame({"docid": ids, "term": r.term, "tf": tfs})
+                )
+        if not frames:
+            return pd.DataFrame(
+                columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"]
+            ).astype({"shard": "int32", "df": "int32", "cf": "int64"})
+        flat = pd.concat(frames, ignore_index=True)
+        flat["shard"] = shard
+        return _build_shard(flat, pending_dir=pending)
+
+    seg = committed_segments(spark, index_dir)
+    out = seg.groupBy("shard").applyInPandas(compact_shard, SEGMENT_SCHEMA)
+    out = out.withColumn("gen", F.lit(0))
+    out.write.mode("append").partitionBy("gen", "shard").parquet(
+        f"{out_dir}/segments"
+    )
+    shards = sorted(
+        int(f.split("_")[1].split(".")[0])
+        for f in os.listdir(pending) if f.startswith("shard_")
+    )
+    _commit_manifest(spark, out_dir, shards, generation=0)
+    _refresh_derived(spark, out_dir, params)
+    return load_stats(out_dir)
+
+
 def _write_generation(
     spark: SparkSession, postings: DataFrame, out_dir: str,
     shards: list[int], generation: int,

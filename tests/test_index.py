@@ -243,6 +243,39 @@ def test_tombstone_deletes(spark, documents, tmp_path_factory):
     assert not ({r["docid"] for r in got2} & excl)
 
 
+def test_compaction_equals_fresh_build(spark, documents, tmp_path_factory):
+    """build + add + delete + compact must be BYTE-IDENTICAL (manifest
+    checksums) to a from-scratch build over the surviving corpus, restoring
+    exact-stats BM25 semantics after deletes."""
+    live = str(tmp_path_factory.mktemp("idx_live"))
+    base = documents.filter(F.col("doc_id") < 400)
+    extra = documents.filter(F.col("doc_id") >= 400)
+    deleted = [1, 7, 42, 99, 250, 401, 499]
+    spimi.build_index(spark, base, live, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    spimi.add_documents(spark, extra, live, id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, deleted, live)
+
+    compacted = str(tmp_path_factory.mktemp("idx_compact"))
+    stats = spimi.compact_index(spark, live, compacted)
+    assert stats["n_docs"] == 500 - len(deleted)  # exact stats restored
+
+    fresh = str(tmp_path_factory.mktemp("idx_fresh"))
+    surviving = documents.filter(~F.col("doc_id").isin(deleted))
+    spimi.build_index(spark, surviving, fresh, n_shards=8, id_col="doc_id",
+                      content_col="text")
+
+    man_a = {r["shard"]: r["checksum"]
+             for r in spimi.load_manifest(spark, compacted).collect()}
+    man_b = {r["shard"]: r["checksum"]
+             for r in spimi.load_manifest(spark, fresh).collect()}
+    assert man_a == man_b
+
+    got = wand.topk(spark, compacted, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    ref = wand.topk(spark, fresh, QUERIES, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
 def test_batched_build_equals_single(spark, documents, tmp_path_factory):
     a = str(tmp_path_factory.mktemp("idx_a"))
     b = str(tmp_path_factory.mktemp("idx_b"))

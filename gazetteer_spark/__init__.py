@@ -20,7 +20,7 @@ re-expressed Spark-first per SURVEY.md:
   join/JoinSliceRunable.java:848-875) → (score desc, docid asc) top-k.
 - diff/resume (ref: diff/Diff.java:132-235, sortupdate/SortAndUpdateTask.java)
   → per-shard segment manifests + anti-join resume in
-  :mod:`gazetteer_spark.index.manifest`.
+  :mod:`gazetteer_spark.index.spimi` (manifest commit lives there).
 """
 
 __version__ = "0.1.0"

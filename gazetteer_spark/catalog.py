@@ -95,12 +95,19 @@ def _oracle_minhash_sigs() -> str:
 
 def _oracle_jaccard(threshold: float, with_lsh: bool) -> str:
     base = f"WITH {_duck_shingle_rows()}, "
+    # hot-shingle df cap mirrors dedup.jaccard_pairs(max_df=MAX_SHINGLE_DF):
+    # capped shingles leave the pair join but still count in set sizes
+    shc = (
+        "shc AS (SELECT docid, shingle FROM sh QUALIFY"
+        f" count(*) OVER (PARTITION BY shingle) <= {dedup.MAX_SHINGLE_DF}), "
+    )
     sizes = "sizes AS (SELECT docid, count(*) AS nsh FROM sh GROUP BY docid), "
     inter = (
         "inter AS (SELECT a.docid AS docid_a, b.docid AS docid_b, count(*) AS ninter"
-        " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.docid < b.docid"
+        " FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.docid < b.docid"
         " GROUP BY a.docid, b.docid), "
     )
+    base += shc
     if with_lsh:
         h = DUCK_MD5INT.format(col="shingle") + f" % {HASH_PRIME}"
         aggs = ", ".join(
@@ -180,9 +187,10 @@ def q_ann_label_centroids(spark, sf_dir):
 
 
 def q_dd_embedding_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (demo threshold 0.45 — the synthetic
-    vectors top out at cos≈0.51; production would use ~0.95 + LSH/IVF
-    candidate generation)."""
+    """Embedding-cosine near-dup pairs: banded-LSH candidate equi-join +
+    exact-cosine verify (demo threshold 0.45 — the synthetic vectors top out
+    at cos≈0.51). The oracle re-expresses the identical banding, so the
+    recall trade-off is part of the checked semantics."""
     return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
@@ -203,45 +211,66 @@ def _oracle_cosine_topk() -> str:
     )
 
 
-def _oracle_lsh_topk() -> str:
-    planes = similarity.hyperplanes(64)
+def _duck_planes_bucket(n_planes: int) -> tuple[str, str]:
+    """(plane literals, bucket expression over column ``v``) — shared by the
+    ANN and near-dup oracles; MUST mirror similarity.hyperplanes/bucket_expr."""
+    planes = similarity.hyperplanes(64, n_planes=n_planes)
     plane_lits = ", ".join(
         "[" + ",".join(f"{x!r}" for x in p) + "]::DOUBLE[]" for p in planes
     )
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(v, planes[{i + 1}]) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(len(planes))
+        for i in range(n_planes)
     )
+    return plane_lits, bucket
+
+
+def _oracle_lsh_topk() -> str:
+    plane_lits, bucket = _duck_planes_bucket(similarity.N_PLANES)
     cos = _DUCK_COS.format(a="e.v", b="q.v")
+    hd = similarity.MULTIPROBE_HAMMING
     return (
         f"WITH p AS (SELECT [{plane_lits}] AS planes),"
         " e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
         f" (SELECT {bucket} FROM p) AS bucket FROM embeddings),"
         " q AS (SELECT v, bucket FROM e WHERE vec_id = 0),"
         f" s AS (SELECT e.vec_id, round({cos}, 6) AS sim FROM e, q"
-        " WHERE e.bucket = q.bucket AND e.vec_id != 0)"
+        f" WHERE bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= {hd}"
+        " AND e.vec_id != 0)"
         " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,"
         " vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
     )
 
 
 def _oracle_embedding_pairs() -> str:
-    cos = _DUCK_COS.format(a="a.v", b="b.v")
+    n_planes = similarity.EMB_BANDS * similarity.EMB_ROWS_PER_BAND
+    plane_lits, bucket = _duck_planes_bucket(n_planes)
+    mask = (1 << similarity.EMB_ROWS_PER_BAND) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {b} AS band,"
+        f" (bucket >> {b * similarity.EMB_ROWS_PER_BAND}) & {mask} AS key FROM e"
+        for b in range(similarity.EMB_BANDS)
+    )
+    cos = _DUCK_COS.format(a="ea.v", b="eb.v")
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-        f" SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim"
-        " FROM e a JOIN e b ON a.vec_id < b.vec_id"
-        f" WHERE round({cos}, 6) >= 0.45"
+        f"WITH p AS (SELECT [{plane_lits}] AS planes),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        f" (SELECT {bucket} FROM p) AS bucket FROM embeddings),"
+        f" bands AS ({band_sel}),"
+        " cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a"
+        " JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),"
+        f" s AS (SELECT id_a, id_b, round({cos}, 6) AS sim FROM cand"
+        " JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)"
+        " SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45"
     )
 
 
 def _oracle_label_centroids() -> str:
     return (
-        "WITH d AS (SELECT label, i, avg(embedding[i]) AS m, count(*) AS n"
+        "SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(embedding[i]), 6) AS mean,"
+        " CAST(count(*) AS BIGINT) AS n"
         " FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)"
-        " GROUP BY label, i)"
-        " SELECT label, list(round(m, 6) ORDER BY i) AS centroid,"
-        " CAST(max(n) AS BIGINT) AS n FROM d GROUP BY label"
+        " GROUP BY label, i"
     )
 
 
@@ -438,11 +467,14 @@ def q_rel_j12_diff(spark, sf_dir):
     """J12 full-outer diff join: first half vs second half of the event log
     per user → '+' (new), '-' (gone), 'N' (changed), 'O' (same)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
-    old = ev.filter(F.col("event_id") <= mid).groupBy("user_id").agg(
+    # scalar mid stays inside the plan (broadcast 1-row crossJoin) — no
+    # driver collect(), the whole diff is one Spark job
+    mid = ev.agg(F.expr("max(event_id) div 2").alias("m"))
+    evm = ev.crossJoin(F.broadcast(mid))
+    old = evm.filter(F.col("event_id") <= F.col("m")).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_old")
     )
-    new = ev.filter(F.col("event_id") > mid).groupBy("user_id").agg(
+    new = evm.filter(F.col("event_id") > F.col("m")).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_new")
     )
     j = old.join(new, "user_id", "full_outer")

@@ -102,17 +102,38 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str,
     threshold: float = 0.8, candidates: DataFrame | None = None,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(docid_a, docid_b, jaccard): exact shingle-set Jaccard for all pairs
     (or only ``candidates``) meeting the threshold. jaccard rounded to 6dp
-    for stable oracle comparison."""
+    for stable oracle comparison.
+
+    Hot-shingle cap: shingles appearing in more than ``max_df`` docs are
+    dropped BEFORE the pair join (standard near-dup practice — a shingle in
+    m docs emits m² pair rows, the quadratic skew-killer at corpus scale).
+    Set sizes (the Jaccard denominator) still count every shingle, so the
+    cap can only UNDER-estimate similarity of pairs that shared a hot
+    shingle — the documented recall trade-off. max_df=None disables."""
     sh = shingle_rows(df, id_col, content_col)
     sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    shc = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_sh"))
+            .filter(F.col("df_sh") > max_df)
+            .select("shingle")
+        )
+        # hot list is tiny by construction → broadcast anti-join
+        shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = shc.alias("a")
+    b = shc.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .filter(F.col("a.docid") < F.col("b.docid"))

@@ -62,6 +62,27 @@ def test_jaccard_pairs_match_python(spark, docs):
                     assert (a, b) not in got
 
 
+def test_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A shingle shared by every doc must not explode the pair join: with a
+    df cap the skewed corpus yields ZERO candidate pairs (docs share only
+    the hot shingle), instead of n²/2."""
+    n = 200
+    rows = [
+        (i, f"alpha beta gamma uq{i}a uq{i}b uq{i}c uq{i}d uq{i}e")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.jaccard_pairs(df, "doc_id", "text", 0.01, max_df=10).collect()
+    assert capped == []
+    # and on an unskewed corpus the cap is a no-op vs the uncapped plan
+    small = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    with_cap = {tuple(r) for r in
+                dedup.jaccard_pairs(small, "doc_id", "text", 0.01, max_df=10).collect()}
+    no_cap = {tuple(r) for r in
+              dedup.jaccard_pairs(small, "doc_id", "text", 0.01, max_df=None).collect()}
+    assert with_cap == no_cap
+
+
 def test_minhash_dedup_finds_planted_dups(spark, docs):
     pairs = {(r["docid_a"], r["docid_b"])
              for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect()}
@@ -112,10 +133,38 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
 
 
+def test_lsh_topk_multiprobe_recall(spark, sf_dir):
+    """Multi-probe must fill k at sf-scale (single-bucket probing returned 1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = similarity.lsh_cosine_topk(emb, query_id=0, k=10).collect()
+    assert len(got) == 10
+    # probe-set recall vs exact: the true #1 neighbor usually shares the
+    # bucket neighborhood; at minimum results must be a subset of exact sims
+    exact = {r["vec_id"]: r["sim"]
+             for r in similarity.cosine_topk(emb, query_id=0, k=500).collect()}
+    for r in got:
+        assert exact[r["vec_id"]] == pytest.approx(r["sim"], abs=1e-9)
+
+
+def test_near_dup_pairs_lsh_gated(spark, sf_dir):
+    """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
+    lsh = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in similarity.cosine_near_dup_pairs(emb, 0.4).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in similarity.exact_cosine_pairs(emb, 0.4).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == pytest.approx(v, abs=1e-9)
+    plan = similarity.cosine_near_dup_pairs(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_cosine_near_dup_pairs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
     got = {(r["id_a"], r["id_b"]): r["sim"]
-           for r in similarity.cosine_near_dup_pairs(emb, 0.4).collect()}
+           for r in similarity.exact_cosine_pairs(emb, 0.4).collect()}
     rows = emb.select("vec_id", "embedding").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
     want = {}
@@ -134,8 +183,15 @@ def test_cosine_near_dup_pairs(spark, sf_dir):
 def test_label_centroids(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.pairwise_label_centroids(emb).collect()
-    assert len(out) == emb.select("label").distinct().count()
-    assert all(len(r["centroid"]) == 64 for r in out)
+    n_labels = emb.select("label").distinct().count()
+    assert len(out) == n_labels * 64  # one row per (label, dim)
+    # spot-check label 0 / pos 0 against numpy
+    rows = emb.filter("label = 0").select("embedding").collect()
+    want = round(float(np.mean([r["embedding"][0] for r in rows])), 6)
+    got = [r for r in out if r["label"] == 0 and r["pos"] == 0]
+    assert len(got) == 1
+    assert got[0]["mean"] == pytest.approx(want, abs=2e-6)
+    assert got[0]["n"] == len(rows)
 
 
 def test_lang_scores(spark):

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from gazetteer_spark.analyzer import postings_sql, py_tokenize
 from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
-from gazetteer_spark.index import spimi, wand
+from gazetteer_spark.index import phrase, spimi, wand
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -111,14 +111,17 @@ _INDEX_CACHE: dict[str, str] = {}
 
 
 def _index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir per process) the segment index over documents."""
+    """Build (once per sf_dir per process) the segment index over documents.
+
+    Layout v2 (positions=True) so the same index serves BOTH scoring
+    (which ignores the positions stream) and phrase queries."""
     if sf_dir not in _INDEX_CACHE:
         import tempfile
 
         d = tempfile.mkdtemp(prefix="gz_idx_")
         spimi.build_index(
             spark, _docs(spark, sf_dir), d, n_shards=8,
-            id_col="doc_id", content_col="text",
+            id_col="doc_id", content_col="text", positions=True,
         )
         _INDEX_CACHE[sf_dir] = d
     return _INDEX_CACHE[sf_dir]
@@ -133,6 +136,13 @@ def q_ft_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ft_wand_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=100 case (FIXTURES §2): deep top-k through the same block-max path."""
     return wand.topk(spark, _index_dir(spark, sf_dir), [(0, "spark join")], k=100)
+
+
+def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase match served from the POSITIONAL index (layout v2) — must be
+    hash-identical to the full-scan shingle oracle (ft_phrase_match), while
+    touching only segment files (plan-tested)."""
+    return phrase.phrase_match(spark, _index_dir(spark, sf_dir), "key order")
 
 
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
+        "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_boolean_and": q_ft_boolean_and,
         **ops_queries(),
     }
@@ -170,7 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    from gazetteer_spark.catalog import ops_oracles
+    from gazetteer_spark.catalog import _oracle_phrase, ops_oracles
 
     termstats = (
         _DUCK_POSTINGS
@@ -211,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
+        "ft_phrase_via_index": _oracle_phrase(),
         "ft_boolean_and": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",

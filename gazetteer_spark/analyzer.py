@@ -145,6 +145,56 @@ def postings_arrow(df, id_col: str = "docid", content_col: str = "content"):
     return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
 
 
+_TERMTFPOS = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("pos", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+)
+
+
+@pandas_udf(_TERMTFPOS)
+def analyze_positions_pdf(content: pd.Series) -> pd.Series:
+    """Arrow-batched positional analyzer: content → [(term, tf, [pos…])…].
+
+    Identical FROZEN tokenizer chain as :func:`analyze_pdf`; additionally
+    records each occurrence's 0-based token index (ascending per term) —
+    the layout-v2 positions stream that serves index-backed phrase and
+    proximity queries."""
+    acro, camel, split = _ACRONYM_RE, _CAMEL_RE, _SPLIT_RE
+
+    def one(text):
+        if not text:
+            return []
+        s = camel.sub(r"\1 \2", acro.sub(r"\1 \2", text)).lower()
+        d: dict[str, list[int]] = {}
+        i = 0
+        for t in split.split(s):
+            if t:
+                d.setdefault(t, []).append(i)
+                i += 1
+        return [(t, len(ps), ps) for t, ps in d.items()]
+
+    return content.map(one)
+
+
+def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "content"):
+    """(docid, term, tf, pos array<int>) via the positional Arrow analyzer."""
+    exploded = df.select(
+        F.col(id_col).alias("docid"),
+        F.explode(analyze_positions_pdf(F.col(content_col))).alias("tt"),
+    )
+    return exploded.select(
+        "docid",
+        F.col("tt.term").alias("term"),
+        F.col("tt.tf").alias("tf"),
+        F.col("tt.pos").alias("pos"),
+    )
+
+
 def ngram_tokens_expr(content: Column, n: int = 3) -> Column:
     """Character n-grams of each analyzed token (identifier n-grams — the
     fuzzy-matching analog of the reference's name normalizer variants).

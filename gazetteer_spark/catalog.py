@@ -491,6 +491,127 @@ def q_rel_j12_diff(spark, sf_dir):
     )
 
 
+def q_rel_j7_precedence(spark, sf_dir):
+    """J7 best-fit precedence-ladder join (ref
+    `join/PoiAddrJoinBuilder.java:67-189`,
+    `AddressPerRowJOHBase.fillPoiAddresses:232-265`): join each customer to
+    its candidate orders, keep the top-10 candidates, classify every
+    candidate through a 5-level precedence ladder, and pick the best-fit
+    (lowest level, then price desc, then key asc) per customer.
+
+    Scale shape: equi-join on custkey + two WindowGroupLimit windows on the
+    same partitioning key — one shuffle total, no driver involvement."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cand_w = W.partitionBy("c_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    cand = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("cand_rank", F.row_number().over(cand_w))
+        .filter(F.col("cand_rank") <= 10)
+    )
+    level = (
+        F.when(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"),
+            1,
+        )
+        .when(F.col("o_orderpriority") == "1-URGENT", 2)
+        .when(F.col("o_orderpriority") == "2-HIGH", 3)
+        .when(F.col("o_orderstatus") == "O", 4)
+        .otherwise(5)
+    )
+    best_w = W.partitionBy("c_custkey").orderBy(
+        F.col("level").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        cand.withColumn("level", level)
+        .withColumn("rn", F.row_number().over(best_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("best_order"),
+            F.col("level").cast("int").alias("level"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+def _oracle_j7_precedence() -> str:
+    return (
+        "WITH cand AS (SELECT c_custkey, o_orderkey, o_totalprice,"
+        " o_orderpriority, o_orderstatus,"
+        " row_number() OVER (PARTITION BY c_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS cr"
+        " FROM customer JOIN orders ON c_custkey = o_custkey),"
+        " lv AS (SELECT c_custkey, o_orderkey, o_totalprice,"
+        " CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN 1"
+        "      WHEN o_orderpriority = '1-URGENT' THEN 2"
+        "      WHEN o_orderpriority = '2-HIGH' THEN 3"
+        "      WHEN o_orderstatus = 'O' THEN 4 ELSE 5 END AS level"
+        " FROM cand WHERE cr <= 10)"
+        " SELECT c_custkey AS custkey, o_orderkey AS best_order,"
+        " CAST(level AS INT) AS level, round(o_totalprice, 2) AS price FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY c_custkey"
+        "  ORDER BY level ASC, o_totalprice DESC, o_orderkey ASC) AS rn FROM lv)"
+        " WHERE rn = 1"
+    )
+
+
+def q_rel_j9_hierarchy(spark, sf_dir):
+    """J9 transitive hierarchy closure (ref
+    `join/JoinBoundariesExecutor.java:261-273` parent-chain walk,
+    `join/HighwayNetworksJoiner.java:202-236` connectivity): every node's
+    root ancestor + depth via POINTER DOUBLING — an iterative self-join
+    that converges in O(log depth) rounds instead of O(depth).
+
+    The hierarchy is synthesized deterministically from data (node =
+    dense rank of o_orderkey, parent = node div 8; real deployments carry
+    an explicit parent column). Each round is one equi-join on the ancestor
+    pointer; at 10^12 edges the round count stays ~log2(depth) ≈ 5-7 and
+    every round is a plain shuffled hash join — the classic Shiloach-Vishkin
+    shape, no driver-side data movement (the fixpoint check is a count)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nodes = o.select(
+        F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("node")
+    )
+    parent = F.expr("node div 8")
+    state = nodes.select(
+        "node",
+        F.when(parent > 0, parent).otherwise(F.col("node")).alias("anc"),
+        F.when(parent > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
+    ).persist()
+    while state.filter(F.expr("anc div 8") > 0).count() > 0:
+        s, t = state.alias("s"), state.alias("t")
+        new = (
+            s.join(t, F.col("s.anc") == F.col("t.node"))
+            .select(
+                F.col("s.node").alias("node"),
+                F.col("t.anc").alias("anc"),
+                (F.col("s.depth") + F.col("t.depth")).alias("depth"),
+            )
+            .persist()
+        )
+        new.count()
+        state.unpersist()
+        state = new
+    return state.select(
+        "node", F.col("anc").alias("root"), F.col("depth").cast("int").alias("depth")
+    )
+
+
+def _oracle_j9_hierarchy() -> str:
+    return (
+        "WITH RECURSIVE n AS (SELECT row_number() OVER (ORDER BY o_orderkey)"
+        " AS node FROM orders),"
+        " r AS (SELECT node, node AS cur, 0 AS depth FROM n"
+        "  UNION ALL SELECT node, cur // 8, depth + 1 FROM r WHERE cur // 8 > 0)"
+        " SELECT node, CAST(cur AS BIGINT) AS root, CAST(depth AS INT) AS depth"
+        " FROM (SELECT node, cur, depth, row_number() OVER (PARTITION BY node"
+        "  ORDER BY depth DESC) AS rn FROM r) WHERE rn = 1"
+    )
+
+
 def q_rel_a2_group_collect(spark, sf_dir):
     """A2 sorted streaming group-by analog: users active in >1 event type."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -801,7 +922,9 @@ def ops_queries():
         "mm_frame_sample": q_mm_frame_sample,
         "rel_j1_revenue": q_rel_j1_revenue,
         "rel_j6_topk_tiebreak": q_rel_j6_topk_tiebreak,
+        "rel_j7_precedence": q_rel_j7_precedence,
         "rel_j8_broadcast_chain": q_rel_j8_broadcast_chain,
+        "rel_j9_hierarchy": q_rel_j9_hierarchy,
         "rel_j12_diff": q_rel_j12_diff,
         "rel_a2_group_collect": q_rel_a2_group_collect,
         "rel_a4_latest_wins": q_rel_a4_latest_wins,
@@ -856,6 +979,8 @@ def ops_oracles():
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
+        "rel_j7_precedence": _oracle_j7_precedence(),
+        "rel_j9_hierarchy": _oracle_j9_hierarchy(),
         "rel_j12_diff": (
             "WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),"
             " old AS (SELECT user_id, count(*) AS n_old FROM events, mid"

@@ -188,6 +188,76 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray,
     return p[0], m[0]
 
 
+def encode_positions_grouped(
+    positions: np.ndarray, tfs: np.ndarray,
+    starts: np.ndarray, ends: np.ndarray,
+) -> list[bytes]:
+    """Encode the optional POSITIONS stream (layout v2) for many posting
+    lists in one vectorized pass.
+
+    ``positions`` is the flat concatenation of every posting's in-document
+    token positions (strictly increasing per posting), aligned with the
+    (term, docid)-sorted posting order; ``tfs`` gives each posting's run
+    length; ``starts``/``ends`` are per-term POSTING ranges (same arrays as
+    :func:`encode_blocks_grouped`). Per-posting delta coding: first position
+    raw, then gaps (≥1) — plain varbyte, no zigzag needed. Returns one bytes
+    blob per term; decodable with :func:`decode_positions` given the tfs
+    recovered from the postings stream."""
+    nlists = len(starts)
+    n = len(positions)
+    if n == 0:
+        return [b""] * nlists
+    p = positions.astype(np.uint64, copy=False)
+    t = np.asarray(tfs, np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = p[1:] - p[:-1]  # wraps at run boundaries, overwritten next
+    run_starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+    deltas[run_starts] = p[run_starts]
+    buf, vends = _varbyte_encode_offsets(deltas)
+    vstarts = np.concatenate([[0], vends])
+    cum = np.concatenate([[0], np.cumsum(t)])
+    raw = buf.tobytes()
+    mv = memoryview(raw)
+    return [
+        bytes(mv[vstarts[cum[s]] : vstarts[cum[e]]])
+        for s, e in zip(np.asarray(starts, np.int64), np.asarray(ends, np.int64))
+    ]
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Positions blob + per-posting tfs → flat int64 positions (aligned with
+    the posting order the blob was encoded in). Segmented prefix-sum with a
+    reset at every posting's first value — all numpy, no Python loop."""
+    t = np.asarray(tfs, np.int64)
+    vals = _varbyte_decode(buf).astype(np.int64)
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if len(vals) != int(t.sum()):
+        raise ValueError("positions stream length does not match tf sum")
+    cum = np.cumsum(vals)
+    run_starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+    corr = cum[run_starts] - vals[run_starts]
+    return cum - np.repeat(corr, t)
+
+
+def gather_runs(flat: np.ndarray, tfs: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Reorder variable-length runs: ``flat`` holds len(tfs) runs of sizes
+    ``tfs``; return the runs concatenated in ``order``. Vectorized gather —
+    used when merging generations' posting lists into docid order."""
+    t = np.asarray(tfs, np.int64)
+    if len(flat) == 0 or len(order) == 0:
+        return flat[:0]
+    run_starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+    sel_starts = run_starts[order]
+    sel_lens = t[order]
+    total = int(sel_lens.sum())
+    out_starts = np.concatenate([[0], np.cumsum(sel_lens)[:-1]])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(out_starts, sel_lens) + np.repeat(
+        sel_starts, sel_lens
+    )
+    return flat[idx]
+
+
 def decode_block_meta(buf: bytes):
     """→ (last_docid[], max_tf[], min_dl[], byte_end[])."""
     arr = np.frombuffer(buf, dtype=_BLOCK_DT)

@@ -44,15 +44,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import B, K1
-from ..analyzer import postings_arrow
-from .codec import encode_blocks_grouped, encode_postings
+from ..analyzer import postings_arrow, postings_positions_arrow
+from .codec import (
+    encode_blocks_grouped,
+    encode_positions_grouped,
+    encode_postings,
+    gather_runs,
+)
 
 ANALYZER_VERSION = "tok-v1"  # bump when analyzer semantics change
 
+# layout v2 adds the optional per-term positions stream (empty when the
+# index is built with positions=False — the column is always present so one
+# schema serves both layouts)
 SEGMENT_SCHEMA = (
     "shard int, kind string, term string, df int, cf long, "
-    "postings binary, blockmeta binary"
+    "postings binary, blockmeta binary, positions binary"
 )
+SEGMENT_COLS = [
+    "shard", "kind", "term", "df", "cf", "postings", "blockmeta", "positions"
+]
 
 
 def shard_expr(docid_col, n_shards: int):
@@ -90,14 +101,26 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     posts, metas = encode_blocks_grouped(docids, tfs, dlen, starts, ends)
     dfs = (ends - starts).astype(np.int64)
     cfs = np.add.reduceat(tfs, starts)
+    if "pos" in pdf.columns:
+        # layout v2: reorder each posting's position run into the sorted
+        # (term, docid) order, then encode per-term position streams
+        pos_obj = pdf["pos"].to_numpy()
+        if len(pos_obj):
+            flat_raw = np.concatenate(pos_obj.tolist()).astype(np.int64)
+            flat = gather_runs(flat_raw, raw_tfs, order)
+        else:
+            flat = np.zeros(0, np.int64)
+        posbytes = encode_positions_grouped(flat, tfs, starts, ends)
+    else:
+        posbytes = [b""] * len(starts)
     rows = [
-        (shard, "post", terms[s], int(df), int(cf), p, m)
-        for s, df, cf, p, m in zip(starts, dfs, cfs, posts, metas)
+        (shard, "post", terms[s], int(df), int(cf), p, m, pb)
+        for s, df, cf, p, m, pb in zip(starts, dfs, cfs, posts, metas, posbytes)
     ]
     # docmeta row: packed (docid, doclen) for query-time doclen lookup
     docs_row = (
         shard, "docs", None, int(len(doc_ids)), int(doc_lens.sum()),
-        encode_postings(doc_ids, doc_lens)[0], b"",
+        encode_postings(doc_ids, doc_lens)[0], b"", b"",
     )
     rows.append(docs_row)
 
@@ -114,7 +137,8 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
         h.update((r[2] or "").encode())
         h.update(r[5])
         h.update(r[6])
-        n_bytes += len(r[5]) + len(r[6])
+        h.update(r[7])  # no-op for layout v1 (positions empty)
+        n_bytes += len(r[5]) + len(r[6]) + len(r[7])
     metrics = {
         "shard": shard,
         "n_terms": len(rows) - 1,
@@ -130,9 +154,7 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
         with open(tmp, "w") as f:
             json.dump(metrics, f, sort_keys=True)
         os.replace(tmp, f"{pending_dir}/shard_{shard}.json")
-    return pd.DataFrame(
-        rows, columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"]
-    )
+    return pd.DataFrame(rows, columns=SEGMENT_COLS)
 
 
 def build_index(
@@ -144,19 +166,25 @@ def build_index(
     content_col: str = "content",
     resume: bool = False,
     batch_shards: int | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the index. Returns the stats dict.
 
     Single-pass: the block-max metadata is avgdl-free (codec.block_meta), so
     no corpus-stats pre-pass is needed — corpus stats are aggregated from the
     committed manifest afterwards.
+
+    ``positions=True`` builds layout v2: a per-term delta+varbyte positions
+    stream alongside the postings, serving index-backed phrase/proximity
+    queries (:mod:`gazetteer_spark.index.phrase`) at ~1.5-2× the segment
+    bytes. Scoring queries ignore the stream entirely.
     """
     os.makedirs(out_dir, exist_ok=True)
     build_path = f"{out_dir}/build.json"
     seg_path = f"{out_dir}/segments"
     man_path = f"{out_dir}/manifest"
     params = {"n_shards": n_shards, "analyzer_version": ANALYZER_VERSION,
-              "k1": K1, "b": B}
+              "k1": K1, "b": B, "positions": positions}
 
     committed: set[int] = set()
     if resume and os.path.exists(man_path) and os.path.exists(build_path):
@@ -177,13 +205,19 @@ def build_index(
 
     todo = sorted(set(range(n_shards)) - committed)
     if todo:
-        # pre-clean uncommitted shard dirs (a killed run may have written
-        # segment data whose manifest commit never landed)
+        # pre-clean uncommitted shard dirs AND their pending metadata (a
+        # killed run may have left segment data / metrics whose manifest
+        # commit never landed; a zero-row shard this run must not promote a
+        # stale metrics file)
         for s in todo:
             d = f"{seg_path}/gen=0/shard={s}"
             if os.path.exists(d):
                 shutil.rmtree(d)
-        postings_all = postings_arrow(docs, id_col, content_col).withColumn(
+            pj = f"{out_dir}/manifest_pending/gen0/shard_{s}.json"
+            if os.path.exists(pj):
+                os.remove(pj)
+        make_postings = postings_positions_arrow if positions else postings_arrow
+        postings_all = make_postings(docs, id_col, content_col).withColumn(
             "shard", shard_expr(F.col("docid"), n_shards)
         )
         batches = (
@@ -225,13 +259,20 @@ def add_documents(
     gens = committed_generations(out_dir)
     generation = max(gens) + 1
 
-    p = postings_arrow(docs, id_col, content_col).withColumn(
+    make_postings = (
+        postings_positions_arrow if params.get("positions") else postings_arrow
+    )
+    p = make_postings(docs, id_col, content_col).withColumn(
         "shard", shard_expr(F.col("docid"), n_shards)
     )
-    # a generation commits atomically (single batch, all shards)
+    # a generation commits atomically (single batch, all shards); orphan
+    # data AND pending metrics from a killed add at this gen are stale
     gen_dir = f"{out_dir}/segments/gen={generation}"
     if os.path.exists(gen_dir):
-        shutil.rmtree(gen_dir)  # orphan from a killed add — never committed
+        shutil.rmtree(gen_dir)
+    stale_pending = f"{out_dir}/manifest_pending/gen{generation}"
+    if os.path.exists(stale_pending):
+        shutil.rmtree(stale_pending)
     _write_generation(spark, p, out_dir, list(range(n_shards)), generation)
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)
@@ -275,13 +316,15 @@ def delete_documents(
             json.dump(metrics, f, sort_keys=True)
         os.replace(tmp, f"{pending}/shard_{shard}.json")
         return pd.DataFrame(
-            [(shard, "dels", None, int(len(ids)), 0, buf, b"")],
-            columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"],
+            [(shard, "dels", None, int(len(ids)), 0, buf, b"", b"")],
+            columns=SEGMENT_COLS,
         )
 
     gen_dir = f"{out_dir}/segments/gen={generation}"
     if os.path.exists(gen_dir):
         shutil.rmtree(gen_dir)
+    if os.path.exists(pending):
+        shutil.rmtree(pending)
     segments = df.groupBy("shard").applyInPandas(build_dels, SEGMENT_SCHEMA)
     segments = segments.withColumn("gen", F.lit(generation))
     segments.write.mode("append").partitionBy("gen", "shard").parquet(
@@ -308,9 +351,25 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/build.json", "w") as f:
         json.dump(params, f)
+    if os.path.exists(f"{out_dir}/manifest"):
+        raise ValueError(
+            f"compact_index target {out_dir} already has a committed manifest; "
+            "compact into a fresh directory"
+        )
     pending = f"{out_dir}/manifest_pending/gen0"
+    # a reused out_dir may hold stale pending metadata (and orphan segment
+    # data) from an earlier killed run — the commit below derives the shard
+    # list from pending files, so stale ones MUST go first
+    if os.path.exists(pending):
+        shutil.rmtree(pending)
+    stale_gen0 = f"{out_dir}/segments/gen=0"
+    if os.path.exists(stale_gen0):
+        shutil.rmtree(stale_gen0)
+
+    with_pos = bool(params.get("positions"))
 
     def compact_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import decode_positions as _decp
         from .codec import decode_postings as _dec
 
         dels_parts = [_dec(b)[0] for b in pdf[pdf["kind"] == "dels"]["postings"]]
@@ -319,25 +378,30 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
             if dels_parts else np.zeros(0, np.int64)
         )
 
-        def alive(ids: np.ndarray, vals: np.ndarray):
+        def alive_mask(ids: np.ndarray) -> np.ndarray:
             if len(dels) == 0 or len(ids) == 0:
-                return ids, vals
+                return np.ones(len(ids), dtype=bool)
             pos = np.searchsorted(dels, ids)
             hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
-            return ids[~hit], vals[~hit]
+            return ~hit
 
         shard = int(pdf["shard"].iloc[0])
         frames = []
         for r in pdf[pdf["kind"] == "post"].itertuples():
-            ids, tfs = alive(*_dec(r.postings))
-            if len(ids):
-                frames.append(
-                    pd.DataFrame({"docid": ids, "term": r.term, "tf": tfs})
-                )
+            ids, tfs = _dec(r.postings)
+            keep = alive_mask(ids)
+            if not keep.any():
+                continue
+            frame = {"docid": ids[keep], "term": r.term, "tf": tfs[keep]}
+            if with_pos:
+                flat_pos = _decp(r.positions, tfs)
+                runs = np.split(flat_pos, np.cumsum(tfs)[:-1])
+                frame["pos"] = [p for p, k in zip(runs, keep) if k]
+            frames.append(pd.DataFrame(frame))
         if not frames:
-            return pd.DataFrame(
-                columns=["shard", "kind", "term", "df", "cf", "postings", "blockmeta"]
-            ).astype({"shard": "int32", "df": "int32", "cf": "int64"})
+            return pd.DataFrame(columns=SEGMENT_COLS).astype(
+                {"shard": "int32", "df": "int32", "cf": "int64"}
+            )
         flat = pd.concat(frames, ignore_index=True)
         flat["shard"] = shard
         return _build_shard(flat, pending_dir=pending)
@@ -350,8 +414,14 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     )
     shards = sorted(
         int(f.split("_")[1].split(".")[0])
-        for f in os.listdir(pending) if f.startswith("shard_")
+        for f in (os.listdir(pending) if os.path.isdir(pending) else [])
+        if f.startswith("shard_")
     )
+    if not shards:
+        raise ValueError(
+            "compaction produced an empty index (every document tombstoned); "
+            "refusing to commit — drop the index directory instead"
+        )
     _commit_manifest(spark, out_dir, shards, generation=0)
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)

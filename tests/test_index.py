@@ -276,6 +276,46 @@ def test_compaction_equals_fresh_build(spark, documents, tmp_path_factory):
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
 
 
+def test_compact_ignores_stale_pending(spark, documents, tmp_path_factory):
+    """A reused compaction target with leftover pending metadata from a
+    killed run must not commit phantom shards."""
+    import json as _json
+    import os as _os
+
+    live = str(tmp_path_factory.mktemp("idx_live2"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 100), live,
+                      n_shards=4, id_col="doc_id", content_col="text")
+    target = str(tmp_path_factory.mktemp("idx_tgt"))
+    stale = f"{target}/manifest_pending/gen0"
+    _os.makedirs(stale)
+    with open(f"{stale}/shard_99.json", "w") as f:
+        _json.dump({"shard": 99, "n_terms": 1, "n_postings": 1, "n_docs": 1,
+                    "sum_doclen": 1, "n_bytes": 1, "checksum": "dead"}, f)
+    spimi.compact_index(spark, live, target)
+    shards = {r["shard"] for r in spimi.load_manifest(spark, target).collect()}
+    assert 99 not in shards
+    assert shards == set(range(4))
+
+
+def test_compact_all_tombstoned_raises(spark, documents, tmp_path_factory):
+    live = str(tmp_path_factory.mktemp("idx_live3"))
+    docs = documents.filter(F.col("doc_id") < 20)
+    spimi.build_index(spark, docs, live, n_shards=4, id_col="doc_id",
+                      content_col="text")
+    spimi.delete_documents(spark, list(range(20)), live)
+    target = str(tmp_path_factory.mktemp("idx_tgt2"))
+    with pytest.raises(ValueError, match="empty index"):
+        spimi.compact_index(spark, live, target)
+
+
+def test_compact_refuses_committed_target(spark, documents, tmp_path_factory):
+    live = str(tmp_path_factory.mktemp("idx_live4"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 50), live,
+                      n_shards=4, id_col="doc_id", content_col="text")
+    with pytest.raises(ValueError, match="committed manifest"):
+        spimi.compact_index(spark, live, live)
+
+
 def test_batched_build_equals_single(spark, documents, tmp_path_factory):
     a = str(tmp_path_factory.mktemp("idx_a"))
     b = str(tmp_path_factory.mktemp("idx_b"))

@@ -1,0 +1,207 @@
+"""Positional postings (layout v2) + index-backed phrase queries.
+
+Correctness oracle: the full-scan shingle recompute (the round-1
+ft_phrase_match path) — the index-backed result must match it exactly,
+including multi-generation and tombstone lifecycles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark.analyzer import (
+    analyze_positions_pdf,
+    py_tokenize,
+    shingles_expr,
+    tokens_expr,
+)
+from gazetteer_spark.index import phrase, spimi, wand
+from gazetteer_spark.index.codec import (
+    decode_positions,
+    encode_positions_grouped,
+    gather_runs,
+)
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def test_positions_roundtrip_multi_list():
+    rng = np.random.RandomState(7)
+    tfs, flat, starts, ends = [], [], [], []
+    cursor = 0
+    for _ in range(5):  # 5 terms
+        nlist = rng.randint(1, 8)
+        starts.append(cursor)
+        for _ in range(nlist):
+            tf = rng.randint(1, 20)
+            pos = np.cumsum(rng.randint(1, 1000, size=tf))
+            tfs.append(tf)
+            flat.append(pos)
+            cursor += 1
+        ends.append(cursor)
+    tfs = np.array(tfs, np.int64)
+    flat_all = np.concatenate(flat).astype(np.int64)
+    bufs = encode_positions_grouped(
+        flat_all, tfs, np.array(starts, np.int64), np.array(ends, np.int64)
+    )
+    assert len(bufs) == 5
+    cum = np.concatenate([[0], np.cumsum(tfs)])
+    for t, (s, e) in enumerate(zip(starts, ends)):
+        got = decode_positions(bufs[t], tfs[s:e])
+        want = flat_all[cum[s] : cum[e]]
+        assert np.array_equal(got, want)
+
+
+def test_positions_empty():
+    assert encode_positions_grouped(
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.array([0], np.int64), np.array([0], np.int64),
+    ) == [b""]
+    assert len(decode_positions(b"", np.zeros(0, np.int64))) == 0
+
+
+def test_gather_runs():
+    flat = np.array([10, 11, 20, 30, 31, 32], np.int64)
+    tfs = np.array([2, 1, 3], np.int64)
+    order = np.array([2, 0, 1], np.int64)
+    assert np.array_equal(
+        gather_runs(flat, tfs, order), np.array([30, 31, 32, 10, 11, 20])
+    )
+
+
+# ---------------------------------------------------------------------------
+# positional analyzer
+# ---------------------------------------------------------------------------
+
+def test_positional_analyzer_matches_py_tokenize(spark, documents):
+    rows = (
+        documents.limit(50)
+        .select("doc_id", "text", analyze_positions_pdf(F.col("text")).alias("tp"))
+        .collect()
+    )
+    for r in rows:
+        toks = py_tokenize(r["text"])
+        for e in r["tp"]:
+            assert e["tf"] == len(e["pos"])
+            assert list(e["pos"]) == sorted(e["pos"])
+            for p in e["pos"]:
+                assert toks[p] == e["term"]
+        assert sum(e["tf"] for e in r["tp"]) == len(toks)
+
+
+# ---------------------------------------------------------------------------
+# phrase via index
+# ---------------------------------------------------------------------------
+
+def _scan_phrase(documents, text_phrase):
+    """Full-scan shingle oracle (the round-1 path)."""
+    n = len(py_tokenize(text_phrase))
+    occ = documents.select(
+        F.col("doc_id").alias("docid"),
+        F.explode(shingles_expr(tokens_expr(F.col("text")), n)).alias("sh"),
+    )
+    return {
+        (r["docid"], r["n"]) for r in
+        occ.filter(F.col("sh") == " ".join(py_tokenize(text_phrase)))
+        .groupBy("docid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_pos"))
+    spimi.build_index(spark, documents, d, n_shards=8,
+                      id_col="doc_id", content_col="text", positions=True)
+    return d
+
+
+@pytest.mark.parametrize("text_phrase", ["key order", "the key", "key order by"])
+def test_phrase_matches_scan(spark, documents, pos_index, text_phrase):
+    got = {(r["docid"], r["n_occurrences"]) for r in
+           phrase.phrase_match(spark, pos_index, text_phrase).collect()}
+    assert got == _scan_phrase(documents, text_phrase)
+
+
+def test_single_term_phrase_equals_tf(spark, documents, pos_index):
+    got = {r["docid"]: r["n_occurrences"] for r in
+           phrase.phrase_match(spark, pos_index, "order").collect()}
+    tf = {r["docid"]: r["tf"] for r in
+          documents.select(
+              F.col("doc_id").alias("docid"),
+              F.explode(tokens_expr(F.col("text"))).alias("term"))
+          .filter(F.col("term") == "order")
+          .groupBy("docid").agg(F.count(F.lit(1)).alias("tf")).collect()}
+    assert got == tf
+
+
+def test_phrase_reads_only_index_files(spark, pos_index):
+    df = phrase.phrase_match(spark, pos_index, "key order")
+    files = df.inputFiles()
+    assert files
+    assert all(pos_index in f for f in files)
+
+
+def test_phrase_rejects_v1_index(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_v1"))
+    spimi.build_index(spark, documents.limit(50), d, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    with pytest.raises(ValueError, match="without positions"):
+        phrase.phrase_match(spark, d, "key order")
+
+
+def test_phrase_generations_and_tombstones(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_pos_gen"))
+    base = documents.filter(F.col("doc_id") < 300)
+    extra = documents.filter(F.col("doc_id") >= 300)
+    spimi.build_index(spark, base, d, n_shards=8,
+                      id_col="doc_id", content_col="text", positions=True)
+    spimi.add_documents(spark, extra, d, id_col="doc_id", content_col="text")
+    want = _scan_phrase(documents, "key order")
+    got = {(r["docid"], r["n_occurrences"]) for r in
+           phrase.phrase_match(spark, d, "key order").collect()}
+    assert got == want
+    # tombstone a matching doc: it must vanish from phrase results
+    victims = sorted(r[0] for r in want)[:2]
+    spimi.delete_documents(spark, victims, d)
+    got2 = {(r["docid"], r["n_occurrences"]) for r in
+            phrase.phrase_match(spark, d, "key order").collect()}
+    assert got2 == {(i, n) for i, n in want if i not in victims}
+
+
+def test_positional_compaction_byte_identical(spark, documents, tmp_path_factory):
+    live = str(tmp_path_factory.mktemp("idx_pos_live"))
+    spimi.build_index(spark, documents, live, n_shards=8,
+                      id_col="doc_id", content_col="text", positions=True)
+    deleted = [3, 77, 411]
+    spimi.delete_documents(spark, deleted, live)
+    compacted = str(tmp_path_factory.mktemp("idx_pos_compact"))
+    spimi.compact_index(spark, live, compacted)
+    fresh = str(tmp_path_factory.mktemp("idx_pos_fresh"))
+    spimi.build_index(spark, documents.filter(~F.col("doc_id").isin(deleted)),
+                      fresh, n_shards=8, id_col="doc_id", content_col="text",
+                      positions=True)
+    man_a = {r["shard"]: r["checksum"]
+             for r in spimi.load_manifest(spark, compacted).collect()}
+    man_b = {r["shard"]: r["checksum"]
+             for r in spimi.load_manifest(spark, fresh).collect()}
+    assert man_a == man_b
+    got = {(r["docid"], r["n_occurrences"]) for r in
+           phrase.phrase_match(spark, compacted, "key order").collect()}
+    want = _scan_phrase(documents.filter(~F.col("doc_id").isin(deleted)),
+                        "key order")
+    assert got == want
+
+
+def test_wand_ignores_positions(spark, documents, pos_index, tmp_path_factory):
+    """Scoring over a v2 index must equal scoring over a v1 index."""
+    d1 = str(tmp_path_factory.mktemp("idx_v1_cmp"))
+    spimi.build_index(spark, documents, d1, n_shards=8,
+                      id_col="doc_id", content_col="text")
+    q = [(0, "spark join merge"), (1, "customer filter group")]
+    a = wand.topk(spark, pos_index, q, k=10).orderBy("query_id", "rank").collect()
+    b = wand.topk(spark, d1, q, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

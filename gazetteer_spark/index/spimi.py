@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import B, K1
-from ..analyzer import postings_arrow, postings_positions_arrow
 from .codec import (
     encode_blocks_grouped,
     encode_positions_grouped,
@@ -70,14 +69,37 @@ def shard_expr(docid_col, n_shards: int):
     return F.pmod(F.xxhash64(docid_col), F.lit(n_shards)).cast("int")
 
 
+def _postings_source(
+    docs: DataFrame, id_col: str, content_col: str, positions: bool
+) -> DataFrame:
+    """(docid, term, tf[, pos]) — the build's map stage: JVM tokenizer +
+    Arrow tf/position fold, so the ONE wide shuffle carries tf-compressed
+    posting rows (map-side combine by construction). An occurrence-row
+    (pure-JVM) variant was measured 2× SLOWER end-to-end on the 5 KB-doc
+    corpus: shuffling one row per occurrence costs more than the Python
+    Counter fold saves."""
+    from ..analyzer import postings_arrow, postings_positions_arrow
+
+    make = postings_positions_arrow if positions else postings_arrow
+    return make(docs, id_col, content_col)
+
+
 def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFrame:
-    """One shard's postings (docid, term, tf) → segment rows. Runs inside
-    applyInPandas: numpy array-at-a-time, Python loop only over the shard's
-    vocabulary (each iteration vectorized over that term's postings)."""
+    """One shard's postings (docid, term, tf[, pos]) → segment rows. Runs
+    inside applyInPandas: numpy array-at-a-time, Python loop only over the
+    shard's vocabulary (each iteration vectorized over that term's
+    postings)."""
     shard = int(pdf["shard"].iloc[0])
     raw_ids = pdf["docid"].to_numpy(dtype=np.int64)
     raw_tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    raw_terms = pdf["term"].to_numpy()
+    # factorize terms to int codes with LEXICOGRAPHIC code order (sort=True)
+    # — one C-level hash pass; all sorting below runs on ints. Sorting the
+    # object array directly costs Python string compares per element and
+    # dominated the shard build before this.
+    codes, uniques = pd.factorize(pdf["term"], sort=True)
+    codes = codes.astype(np.int64)
+    uniq_arr = np.asarray(uniques, dtype=object)
+    has_pos = "pos" in pdf.columns
 
     # doclen per doc: every posting of a doc is in its shard (doc-sharded)
     doc_order = np.argsort(raw_ids, kind="stable")
@@ -87,29 +109,28 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     doc_ids = sorted_ids[doc_starts]
     doc_lens = np.add.reduceat(raw_tfs[doc_order], doc_starts)
 
-    # sort by (term, docid): terms via stable argsort on the object array
-    order = np.lexsort((raw_ids, raw_terms))
-    terms = raw_terms[order]
+    order = np.lexsort((raw_ids, codes))
+    tcodes = codes[order]
     docids = raw_ids[order]
     tfs = raw_tfs[order]
-    dlen = doc_lens[np.searchsorted(doc_ids, docids)]
-
-    bounds = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-    starts = np.concatenate([[0], bounds]).astype(np.int64)
-    ends = np.concatenate([bounds, [len(terms)]]).astype(np.int64)
-
-    posts, metas = encode_blocks_grouped(docids, tfs, dlen, starts, ends)
-    dfs = (ends - starts).astype(np.int64)
-    cfs = np.add.reduceat(tfs, starts)
-    if "pos" in pdf.columns:
-        # layout v2: reorder each posting's position run into the sorted
-        # (term, docid) order, then encode per-term position streams
+    if has_pos:
         pos_obj = pdf["pos"].to_numpy()
         if len(pos_obj):
             flat_raw = np.concatenate(pos_obj.tolist()).astype(np.int64)
             flat = gather_runs(flat_raw, raw_tfs, order)
         else:
             flat = np.zeros(0, np.int64)
+
+    dlen = doc_lens[np.searchsorted(doc_ids, docids)]
+    bounds = np.nonzero(tcodes[1:] != tcodes[:-1])[0] + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [len(tcodes)]]).astype(np.int64)
+    terms = uniq_arr[tcodes]
+
+    posts, metas = encode_blocks_grouped(docids, tfs, dlen, starts, ends)
+    dfs = (ends - starts).astype(np.int64)
+    cfs = np.add.reduceat(tfs, starts)
+    if has_pos:
         posbytes = encode_positions_grouped(flat, tfs, starts, ends)
     else:
         posbytes = [b""] * len(starts)
@@ -216,10 +237,9 @@ def build_index(
             pj = f"{out_dir}/manifest_pending/gen0/shard_{s}.json"
             if os.path.exists(pj):
                 os.remove(pj)
-        make_postings = postings_positions_arrow if positions else postings_arrow
-        postings_all = make_postings(docs, id_col, content_col).withColumn(
-            "shard", shard_expr(F.col("docid"), n_shards)
-        )
+        postings_all = _postings_source(
+            docs, id_col, content_col, positions
+        ).withColumn("shard", shard_expr(F.col("docid"), n_shards))
         batches = (
             [todo]
             if batch_shards is None
@@ -259,12 +279,9 @@ def add_documents(
     gens = committed_generations(out_dir)
     generation = max(gens) + 1
 
-    make_postings = (
-        postings_positions_arrow if params.get("positions") else postings_arrow
-    )
-    p = make_postings(docs, id_col, content_col).withColumn(
-        "shard", shard_expr(F.col("docid"), n_shards)
-    )
+    p = _postings_source(
+        docs, id_col, content_col, bool(params.get("positions"))
+    ).withColumn("shard", shard_expr(F.col("docid"), n_shards))
     # a generation commits atomically (single batch, all shards); orphan
     # data AND pending metrics from a killed add at this gen are stale
     gen_dir = f"{out_dir}/segments/gen={generation}"

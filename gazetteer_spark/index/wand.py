@@ -228,6 +228,13 @@ def _score_shard(
     )
 
 
+def _lookup_dfs(termstats: DataFrame, terms: list[str]) -> dict[str, int]:
+    """df per term for the given (small) term list — one tiny filtered
+    collect against the termstats table; absent terms are omitted."""
+    rows = termstats.filter(F.col("term").isin(terms)).collect()
+    return {r["term"]: r["df"] for r in rows}
+
+
 def _topk_impl(
     spark: SparkSession,
     seg: DataFrame,
@@ -237,6 +244,7 @@ def _topk_impl(
     k: int,
     round_to: int | None,
     tie_cap: int,
+    df_by_term: dict[str, int] | None = None,
 ) -> DataFrame:
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     qterms: dict[int, list[str]] = {
@@ -246,8 +254,8 @@ def _topk_impl(
     if not all_terms:
         raise ValueError("no query terms")
 
-    tstats = termstats.filter(F.col("term").isin(all_terms)).collect()
-    df_by_term = {r["term"]: r["df"] for r in tstats}
+    if df_by_term is None:
+        df_by_term = _lookup_dfs(termstats, all_terms)
     qplans = [
         (qid, [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term])
         for qid, ts in qterms.items()
@@ -300,7 +308,11 @@ def topk(
 class IndexReader:
     """Warm query handle: committed segments + term stats pinned in executor
     memory (StorageLevel MEMORY_AND_DISK), amortizing parquet scans across
-    queries — the serving-path analog of an ES shard held open."""
+    queries — the serving-path analog of an ES shard held open.
+
+    Term-df lookups are additionally memoized DRIVER-side across calls
+    (the working set is query vocabulary — tiny), so a warm query runs
+    exactly ONE Spark job; only first-seen terms pay a metadata lookup."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         from .spimi import committed_segments
@@ -312,12 +324,22 @@ class IndexReader:
         self.termstats = spark.read.parquet(f"{index_dir}/termstats").persist()
         self.termstats.count()  # materialize both caches
         self.seg.count()
+        self._df_cache: dict[str, int | None] = {}  # None = known-absent
+
+    def _dfs_for(self, queries) -> dict[str, int]:
+        terms = sorted({t for _, text in queries for t in py_tokenize(text)})
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            found = _lookup_dfs(self.termstats, missing)
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache[t]) is not None}
 
     def topk(self, queries, k: int = 10, round_to: int | None = 4,
              tie_cap: int = 4096) -> DataFrame:
         return _topk_impl(
             self.spark, self.seg, self.termstats, self.stats,
-            queries, k, round_to, tie_cap,
+            queries, k, round_to, tie_cap, df_by_term=self._dfs_for(queries),
         )
 
     def close(self) -> None:

@@ -145,6 +145,17 @@ def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase.phrase_match(spark, _index_dir(spark, sf_dir), "key order")
 
 
+def q_ft_export_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed term-stats export (P12 extractor surface): (term, df, cf, idf)
+    drawn from the INDEX's committed stats — must equal the same stats
+    recomputed from raw postings by the oracle."""
+    from gazetteer_spark.extractors import extract_terms
+
+    return extract_terms(
+        spark, _index_dir(spark, sf_dir), ["term", "df", "cf", "idf"]
+    )
+
+
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing every query term."""
     terms = sorted(set(py_tokenize("customer filter group")))
@@ -171,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
         "ft_phrase_via_index": q_ft_phrase_via_index,
+        "ft_export_terms": q_ft_export_terms,
         "ft_boolean_and": q_ft_boolean_and,
         **ops_queries(),
     }
@@ -223,6 +235,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_topk": bm25,
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_phrase_via_index": _oracle_phrase(),
+        "ft_export_terms": _DUCK_POSTINGS
+        + ", cs AS (SELECT count(DISTINCT docid) AS n FROM postings)"
+        " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,"
+        " round(ln(1.0 + ((SELECT n FROM cs) - count(*) + 0.5)"
+        " / (count(*) + 0.5)), 6) AS idf"
+        " FROM postings GROUP BY term",
         "ft_boolean_and": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",

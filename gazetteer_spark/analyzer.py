@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from collections.abc import Callable
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import Column
@@ -150,14 +152,72 @@ def count_tokens_pdf(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
-def postings_arrow(df, id_col: str = "docid", content_col: str = "content"):
+def postings_arrow(df, id_col: str = "docid", content_col: str = "content",
+                   tokens_fn=None):
     """(docid, term, tf) — zero-shuffle token counting: JVM tokenizer +
-    Arrow Counter fold (see count_tokens_pdf)."""
+    Arrow Counter fold (see count_tokens_pdf). ``tokens_fn`` swaps in a
+    registered analyzer's Column tokenizer (default: the frozen chain)."""
+    tk = tokens_fn or tokens_expr
     exploded = df.select(
         F.col(id_col).alias("docid"),
-        F.explode(count_tokens_pdf(tokens_expr(F.col(content_col)))).alias("tt"),
+        F.explode(count_tokens_pdf(tk(F.col(content_col)))).alias("tt"),
     )
     return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
+
+
+# ---------------------------------------------------------------------------
+# analyzer registry (extension seam)
+# ---------------------------------------------------------------------------
+
+TOKENIZER_VERSION = "tok-v1"  # the default chain's frozen version
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """A pluggable analyzer: the reference's Groovy plugin surface
+    (`Options.java:132-160`, `join/out_handlers/HandlerOptions.java:1-122`)
+    re-expressed as a typed registration — an analyzer supplies BOTH sides
+    of the contract:
+
+    - ``tokens_expr``: Column → Column(array<string>) — the JVM build/scan
+      tokenizer (runs in whole-stage codegen);
+    - ``py_tokenize``: str → list[str] — the query/oracle tokenizer, which
+      MUST agree with the JVM side (property-test yours like
+      tests/test_analyzer.py does for the default).
+
+    ``version`` is recorded in build.json at index build; every later
+    add/query resolves the analyzer by name and refuses a version mismatch
+    — the bump-enforcement seam the frozen default already obeys."""
+
+    name: str
+    version: str
+    tokens_expr: "Callable[[Column], Column]"
+    py_tokenize: "Callable[[str], list[str]]"
+
+
+_ANALYZERS: dict[str, Analyzer] = {}
+
+
+def register_analyzer(analyzer: Analyzer, replace: bool = False) -> None:
+    if analyzer.name in _ANALYZERS and not replace:
+        raise ValueError(f"analyzer {analyzer.name!r} already registered")
+    _ANALYZERS[analyzer.name] = analyzer
+
+
+def get_analyzer(name: str) -> Analyzer:
+    if name not in _ANALYZERS:
+        raise KeyError(
+            f"analyzer {name!r} is not registered in this process — "
+            "register_analyzer() it before opening the index"
+        )
+    return _ANALYZERS[name]
+
+
+DEFAULT_ANALYZER = Analyzer(
+    name="default", version=TOKENIZER_VERSION,
+    tokens_expr=tokens_expr, py_tokenize=py_tokenize,
+)
+register_analyzer(DEFAULT_ANALYZER)
 
 
 _TERMTFPOS = T.ArrayType(
@@ -209,12 +269,14 @@ def position_tokens_pdf(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
-def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "content"):
+def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "content",
+                             tokens_fn=None):
     """(docid, term, tf, pos array<int>) — JVM tokenizer + Arrow position
     fold (see count_tokens_pdf for the hybrid rationale)."""
+    tk = tokens_fn or tokens_expr
     exploded = df.select(
         F.col(id_col).alias("docid"),
-        F.explode(position_tokens_pdf(tokens_expr(F.col(content_col)))).alias("tt"),
+        F.explode(position_tokens_pdf(tk(F.col(content_col)))).alias("tt"),
     )
     return exploded.select(
         "docid",

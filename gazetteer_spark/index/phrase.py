@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analyzer import py_tokenize
+from ..analyzer import get_analyzer
 from .codec import decode_positions, decode_postings, gather_runs
 
 # positions are in-document token indexes; 2^21 (2M tokens/doc) leaves
@@ -120,7 +120,7 @@ def phrase_match(
             "index was built without positions (layout v1); "
             "rebuild with build_index(..., positions=True) for phrase queries"
         )
-    terms = py_tokenize(phrase)
+    terms = get_analyzer(params.get("analyzer", "default")).py_tokenize(phrase)
     if not terms:
         raise ValueError("empty phrase after analysis")
 

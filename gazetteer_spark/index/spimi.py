@@ -51,7 +51,10 @@ from .codec import (
     gather_runs,
 )
 
-ANALYZER_VERSION = "tok-v1"  # bump when analyzer semantics change
+# canonical frozen-tokenizer version lives in analyzer.TOKENIZER_VERSION
+# (bump it there when default-chain semantics change); aliased here because
+# the index layer is its main consumer
+from ..analyzer import TOKENIZER_VERSION as ANALYZER_VERSION  # noqa: E402
 
 # layout v2 adds the optional per-term positions stream (empty when the
 # index is built with positions=False — the column is always present so one
@@ -70,7 +73,8 @@ def shard_expr(docid_col, n_shards: int):
 
 
 def _postings_source(
-    docs: DataFrame, id_col: str, content_col: str, positions: bool
+    docs: DataFrame, id_col: str, content_col: str, positions: bool,
+    analyzer_name: str = "default",
 ) -> DataFrame:
     """(docid, term, tf[, pos]) — the build's map stage: JVM tokenizer +
     Arrow tf/position fold, so the ONE wide shuffle carries tf-compressed
@@ -78,10 +82,11 @@ def _postings_source(
     (pure-JVM) variant was measured 2× SLOWER end-to-end on the 5 KB-doc
     corpus: shuffling one row per occurrence costs more than the Python
     Counter fold saves."""
-    from ..analyzer import postings_arrow, postings_positions_arrow
+    from ..analyzer import get_analyzer, postings_arrow, postings_positions_arrow
 
+    tk = get_analyzer(analyzer_name).tokens_expr
     make = postings_positions_arrow if positions else postings_arrow
-    return make(docs, id_col, content_col)
+    return make(docs, id_col, content_col, tokens_fn=tk)
 
 
 def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFrame:
@@ -188,6 +193,7 @@ def build_index(
     resume: bool = False,
     batch_shards: int | None = None,
     positions: bool = False,
+    analyzer: str = "default",
 ) -> dict:
     """Build (or resume) the index. Returns the stats dict.
 
@@ -204,7 +210,10 @@ def build_index(
     build_path = f"{out_dir}/build.json"
     seg_path = f"{out_dir}/segments"
     man_path = f"{out_dir}/manifest"
-    params = {"n_shards": n_shards, "analyzer_version": ANALYZER_VERSION,
+    from ..analyzer import get_analyzer
+
+    params = {"n_shards": n_shards, "analyzer": analyzer,
+              "analyzer_version": get_analyzer(analyzer).version,
               "k1": K1, "b": B, "positions": positions}
 
     committed: set[int] = set()
@@ -238,7 +247,7 @@ def build_index(
             if os.path.exists(pj):
                 os.remove(pj)
         postings_all = _postings_source(
-            docs, id_col, content_col, positions
+            docs, id_col, content_col, positions, analyzer
         ).withColumn("shard", shard_expr(F.col("docid"), n_shards))
         batches = (
             [todo]
@@ -271,16 +280,22 @@ def add_documents(
     — updates/deletes need tombstones, a later generation feature); the
     caller can enforce with an anti-join on the doc registry.
     """
+    from ..analyzer import get_analyzer
+
     with open(f"{out_dir}/build.json") as f:
         params = json.load(f)
     n_shards = params["n_shards"]
-    if params["analyzer_version"] != ANALYZER_VERSION:
-        raise ValueError("analyzer version changed — full rebuild required")
+    analyzer = params.get("analyzer", "default")
+    if get_analyzer(analyzer).version != params["analyzer_version"]:
+        raise ValueError(
+            f"analyzer {analyzer!r} version changed since this index was "
+            "built — full rebuild required"
+        )
     gens = committed_generations(out_dir)
     generation = max(gens) + 1
 
     p = _postings_source(
-        docs, id_col, content_col, bool(params.get("positions"))
+        docs, id_col, content_col, bool(params.get("positions")), analyzer
     ).withColumn("shard", shard_expr(F.col("docid"), n_shards))
     # a generation commits atomically (single batch, all shards); orphan
     # data AND pending metrics from a killed add at this gen are stale
@@ -532,6 +547,8 @@ def _commit_manifest(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    with open(f"{out_dir}/build.json") as f:
+        analyzer_version = json.load(f).get("analyzer_version", ANALYZER_VERSION)
     recs = []
     for s in shards:
         path = f"{out_dir}/manifest_pending/gen{generation}/shard_{s}.json"
@@ -543,7 +560,7 @@ def _commit_manifest(
             m = {"shard": s, "n_terms": 0, "n_postings": 0, "n_docs": 0,
                  "sum_doclen": 0, "n_bytes": 0, "checksum": ""}
         m["generation"] = generation
-        m["analyzer_version"] = ANALYZER_VERSION
+        m["analyzer_version"] = analyzer_version
         m["status"] = "committed"
         recs.append(m)
     table = pa.Table.from_pylist(recs)

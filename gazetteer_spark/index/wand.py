@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from .. import B, K1
-from ..analyzer import py_tokenize
+from ..analyzer import get_analyzer
 from .codec import decode_block_meta, decode_blocks, decode_postings
 from .spimi import load_stats
 
@@ -247,8 +247,10 @@ def _topk_impl(
     df_by_term: dict[str, int] | None = None,
 ) -> DataFrame:
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    # queries tokenize with the INDEX's analyzer (recorded at build time)
+    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
     qterms: dict[int, list[str]] = {
-        qid: sorted(set(py_tokenize(text))) for qid, text in queries
+        qid: sorted(set(tokenize(text))) for qid, text in queries
     }
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
@@ -327,7 +329,8 @@ class IndexReader:
         self._df_cache: dict[str, int | None] = {}  # None = known-absent
 
     def _dfs_for(self, queries) -> dict[str, int]:
-        terms = sorted({t for _, text in queries for t in py_tokenize(text)})
+        tokenize = get_analyzer(self.stats.get("analyzer", "default")).py_tokenize
+        terms = sorted({t for _, text in queries for t in tokenize(text)})
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             found = _lookup_dfs(self.termstats, missing)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from gazetteer_spark.analyzer import postings_sql, py_tokenize
 from gazetteer_spark.bm25 import corpus_stats, doc_stats, score_queries, term_stats
-from gazetteer_spark.index import phrase, spimi, wand
+from gazetteer_spark.index import phrase, spimi, termindex, wand
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -138,11 +138,42 @@ def q_ft_wand_k100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.topk(spark, _index_dir(spark, sf_dir), [(0, "spark join")], k=100)
 
 
+_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir per process) the term-partitioned
+    secondary layout from the primary index."""
+    if sf_dir not in _LAYOUT_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gz_tl_")
+        termindex.build_term_layout(spark, _index_dir(spark, sf_dir), d,
+                                    n_buckets=16)
+        _LAYOUT_CACHE[sf_dir] = d
+    return _LAYOUT_CACHE[sf_dir]
+
+
+def q_ft_boolean_and_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval served from the term-partitioned layout
+    (bucket partition pruning + term min/max pruning) — must equal the
+    corpus-scan oracle."""
+    return termindex.boolean_and(
+        spark, _layout_dir(spark, sf_dir), "customer filter group"
+    )
+
+
 def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase match served from the POSITIONAL index (layout v2) — must be
     hash-identical to the full-scan shingle oracle (ft_phrase_match), while
     touching only segment files (plan-tested)."""
     return phrase.phrase_match(spark, _index_dir(spark, sf_dir), "key order")
+
+
+def q_ft_near_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/3) query served from the positional index: docs where
+    'key' and 'order' co-occur within 3 tokens, with pair counts."""
+    return phrase.near_match(spark, _index_dir(spark, sf_dir), "key", "order", k=3)
 
 
 def q_ft_export_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,8 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
         "ft_phrase_via_index": q_ft_phrase_via_index,
+        "ft_near_via_index": q_ft_near_via_index,
         "ft_export_terms": q_ft_export_terms,
         "ft_boolean_and": q_ft_boolean_and,
+        "ft_boolean_and_via_index": q_ft_boolean_and_via_index,
         **ops_queries(),
     }
 
@@ -235,6 +268,18 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_topk": bm25,
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_phrase_via_index": _oracle_phrase(),
+        "ft_near_via_index": (
+            "WITH d AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text")
+            + " AS t FROM documents),"
+            " p AS (SELECT docid, t[g.i] AS term, g.i AS i FROM d,"
+            " LATERAL unnest(generate_series(1, len(t))) AS g(i)),"
+            " a AS (SELECT docid, i FROM p WHERE term = 'key'),"
+            " b AS (SELECT docid, i FROM p WHERE term = 'order')"
+            " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_pairs"
+            " FROM a JOIN b ON a.docid = b.docid AND abs(a.i - b.i) <= 3"
+            " GROUP BY a.docid"
+        ),
         "ft_export_terms": _DUCK_POSTINGS
         + ", cs AS (SELECT count(DISTINCT docid) AS n FROM postings)"
         " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,"
@@ -242,6 +287,9 @@ def oracle_sql() -> dict[str, str]:
         " / (count(*) + 0.5)), 6) AS idf"
         " FROM postings GROUP BY term",
         "ft_boolean_and": _DUCK_POSTINGS
+        + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
+        " GROUP BY docid HAVING count(DISTINCT term) = 3",
+        "ft_boolean_and_via_index": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",
         **ops_oracles(),

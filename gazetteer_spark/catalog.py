@@ -182,6 +182,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with fixed seeded centroids (deterministic literals shared
+    with the oracle); n_probe=4 of 16 lists → ~25% scan. Training
+    (train_ivf_centroids) is pytest-covered; the oracle pins the probe and
+    scan semantics exactly."""
+    return similarity.ivf_cosine_topk(
+        _emb(spark, sf_dir), query_id=0, k=10,
+        centroids=similarity.ivf_seed_centroids(),
+    )
+
+
 def q_ann_label_centroids(spark, sf_dir):
     return similarity.pairwise_label_centroids(_emb(spark, sf_dir))
 
@@ -262,6 +273,33 @@ def _oracle_embedding_pairs() -> str:
         f" s AS (SELECT id_a, id_b, round({cos}, 6) AS sim FROM cand"
         " JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)"
         " SELECT id_a, id_b, sim FROM s WHERE sim >= 0.45"
+    )
+
+
+def _oracle_ivf_topk() -> str:
+    cents = similarity.ivf_seed_centroids()
+    n = len(cents)
+    cent_lits = ", ".join(
+        "[" + ",".join(f"{x!r}" for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    dots = "[" + ", ".join(
+        f"list_dot_product(v, cents[{i + 1}])" for i in range(n)
+    ) + "]"
+    cos = _DUCK_COS.format(a="a.v", b="q.v")
+    return (
+        f"WITH c AS (SELECT [{cent_lits}] AS cents),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " a AS (SELECT vec_id, v, list_position(d, list_max(d)) - 1 AS list_id"
+        f" FROM (SELECT vec_id, v, (SELECT {dots} FROM c) AS d FROM e)),"
+        " q AS (SELECT v FROM e WHERE vec_id = 0),"
+        " qd AS (SELECT t.i - 1 AS list_id,"
+        " (SELECT list_dot_product(q.v, cents[t.i]) FROM c) AS d"
+        f" FROM q, LATERAL unnest(generate_series(1, {n})) AS t(i)),"
+        " probe AS (SELECT list_id FROM qd ORDER BY d DESC, list_id ASC LIMIT 4),"
+        f" s AS (SELECT a.vec_id, round({cos}, 6) AS sim FROM a, q"
+        " WHERE a.list_id IN (SELECT list_id FROM probe) AND a.vec_id != 0)"
+        " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT)"
+        " AS rank, vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
     )
 
 
@@ -912,6 +950,7 @@ def ops_queries():
         "dd_simhash": q_dd_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_label_centroids": q_ann_label_centroids,
         "dd_embedding_pairs": q_dd_embedding_pairs,
         "tx_langid": q_tx_langid,
@@ -953,6 +992,7 @@ def ops_oracles():
         "dd_simhash": _oracle_simhash(),
         "ann_cosine_topk": _oracle_cosine_topk(),
         "ann_lsh_topk": _oracle_lsh_topk(),
+        "ann_ivf_topk": _oracle_ivf_topk(),
         "ann_label_centroids": _oracle_label_centroids(),
         "dd_embedding_pairs": _oracle_embedding_pairs(),
         "tx_langid": _oracle_langid(),

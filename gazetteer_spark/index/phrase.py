@@ -106,6 +106,89 @@ def _phrase_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     )
 
 
+def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataFrame:
+    """One shard → (docid, n_pairs): occurrence pairs of (term_a, term_b)
+    within token distance ≤ k, counted fully vectorized via packed keys."""
+    empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                          "n_pairs": pd.Series([], dtype="int64")})
+    per_term: dict[str, list[tuple[bytes, bytes]]] = {}
+    for r in pdf[pdf["kind"] == "post"].itertuples():
+        per_term.setdefault(r.term, []).append((r.postings, r.positions))
+    if term_a not in per_term or term_b not in per_term:
+        return empty
+    ma = _merge_term_generations(per_term[term_a])
+    mb = _merge_term_generations(per_term[term_b])
+
+    del_parts = [decode_postings(b)[0]
+                 for b in pdf[pdf["kind"] == "dels"]["postings"]]
+    dels = (np.unique(np.concatenate(del_parts))
+            if del_parts else np.zeros(0, np.int64))
+
+    common = np.intersect1d(ma[0], mb[0], assume_unique=True)
+    if len(dels) and len(common):
+        pos = np.searchsorted(dels, common)
+        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == common)
+        common = common[~hit]
+    if len(common) == 0:
+        return empty
+
+    def packed(m):
+        ids, tfs, flat = m
+        idx = np.searchsorted(common, ids)
+        keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids)
+        ranks = np.repeat(idx[keep], tfs[keep])
+        pos = flat[np.repeat(keep, tfs)]
+        return ranks, ranks * MAXPOS + pos  # keys globally sorted
+
+    ranks_a, keys_a = packed(ma)
+    _, keys_b = packed(mb)
+    # per a-occurrence: b-occurrences in the same doc within ±k (window
+    # clamped inside the doc's key range, so it never leaks across docs)
+    base = ranks_a * MAXPOS
+    lo = np.maximum(keys_a - k, base)
+    hi = np.minimum(keys_a + k, base + MAXPOS - 1)
+    counts = (np.searchsorted(keys_b, hi, side="right")
+              - np.searchsorted(keys_b, lo, side="left"))
+    n_pairs = np.bincount(ranks_a, weights=counts, minlength=len(common))
+    nz = np.nonzero(n_pairs)[0]
+    if len(nz) == 0:
+        return empty
+    return pd.DataFrame({"docid": common[nz].astype(np.int64),
+                         "n_pairs": n_pairs[nz].astype(np.int64)})
+
+
+def near_match(
+    spark: SparkSession, index_dir: str, term_a: str, term_b: str, k: int = 3
+) -> DataFrame:
+    """(docid, n_pairs): documents where analyzed terms a and b co-occur
+    within token distance ≤ k, with the pair count — a proximity (NEAR/k)
+    query served from the positional index. Same scan shape as
+    :func:`phrase_match`."""
+    from .spimi import committed_segments
+
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    if not params.get("positions"):
+        raise ValueError(
+            "index was built without positions (layout v1); "
+            "rebuild with build_index(..., positions=True) for NEAR queries"
+        )
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
+    if not ta or not tb or ta == tb:
+        raise ValueError("NEAR needs two distinct non-empty analyzed terms")
+
+    seg = committed_segments(spark, index_dir)
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin([ta, tb]))
+        | (F.col("kind") == "dels")
+    )
+    return relevant.groupBy("shard").applyInPandas(
+        lambda pdf: _near_shard(pdf, ta, tb, k),
+        "docid long, n_pairs long",
+    )
+
+
 def phrase_match(
     spark: SparkSession, index_dir: str, phrase: str
 ) -> DataFrame:

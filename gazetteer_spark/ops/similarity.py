@@ -165,6 +165,109 @@ def band_rows(
     )
 
 
+def ivf_seed_centroids(
+    dim: int = 64, n_lists: int = 16, seed: int = LSH_SEED
+) -> list[list[float]]:
+    """Deterministic seeded unit centroids (the k-means INIT, also usable
+    directly — rounded literals reproducible in pure SQL oracles)."""
+    rng = np.random.RandomState(seed + 1)
+    cents = rng.randn(n_lists, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in c] for c in cents]
+
+
+def train_ivf_centroids(
+    emb: DataFrame, n_lists: int = 16, dim: int = 64, iters: int = 5,
+    vec_col: str = "embedding", seed: int = LSH_SEED,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids for IVF partitioning.
+
+    Seeded init + a FIXED number of Lloyd iterations, each one Spark job:
+    assign = argmax dot(normalized vec, centroid) (JVM expression over the
+    broadcast centroid literals), update = per-dim means via posexplode +
+    groupBy — the centroid matrix (n_lists × dim floats) is the only thing
+    that ever reaches the driver. Deterministic: no data-dependent early
+    stop, ties broken by lowest list id."""
+    cents = np.asarray(ivf_seed_centroids(dim, n_lists, seed), dtype=np.float64)
+    # assignment works on RAW vectors: argmax_c dot(v, c) over unit
+    # centroids is scale-invariant in v, so cosine-argmax needs no per-row
+    # normalization; centroid update = mean of raw members, re-normalized
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assign = _argmax_list(vec, cents)
+        per_dim = (
+            emb.select(assign.alias("list_id"), F.posexplode(vec).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty lists keep their previous centroid
+        seen = {}
+        for r in per_dim:
+            seen.setdefault(r["list_id"], np.zeros(dim))[r["pos"]] = r["m"]
+        for li, v in seen.items():
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[li] = v / n
+        cents = new
+    return [[round(float(x), 6) for x in c] for c in cents]
+
+
+def _argmax_list(unit_vec, cents) -> "F.Column":
+    """list id with the max dot product against the unit vector (ties →
+    lowest id), as a pure JVM expression over centroid literals."""
+    dots = [
+        _dot(unit_vec, F.array(*[F.lit(float(x)) for x in c])) for c in cents
+    ]
+    arr = F.array(*dots)
+    best = F.array_max(arr)
+    return (F.array_position(arr, best) - 1).cast("int")
+
+
+def ivf_cosine_topk(
+    emb: DataFrame, query_id: int, k: int = 10, dim: int = 64,
+    n_lists: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(rank, vec_id, sim): IVF approximate top-k — exact cosine over the
+    ``n_probe`` inverted lists nearest the query.
+
+    The production shape: centroids are trained once
+    (:func:`train_ivf_centroids`) and the corpus is (re)partitioned by
+    list id; a query scans n_probe/n_lists of the data. Here the list
+    assignment is computed inline (same plan, no materialized layout)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists, dim, vec_col=vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = emb.withColumn("list_id", _argmax_list(vec, cents))
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    qrow = q.collect()
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    qv = np.asarray(qrow[0]["qvec"], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    probe = np.argsort(-(cents @ qv), kind="stable")[:n_probe].tolist()
+    scored = (
+        assigned.filter(F.col("list_id").isin([int(p) for p in probe]))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col), F.col("qvec")), round_to).alias("sim"),
+        )
+    )
+    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "sim")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 6,

@@ -146,6 +146,40 @@ def test_lsh_topk_multiprobe_recall(spark, sf_dir):
         assert exact[r["vec_id"]] == pytest.approx(r["sim"], abs=1e-9)
 
 
+def test_ivf_training_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.train_ivf_centroids(emb, n_lists=8, iters=2)
+    b = similarity.train_ivf_centroids(emb, n_lists=8, iters=2)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+
+
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """Probing every list is an exact scan — must equal brute-force top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_seed_centroids(n_lists=8)
+    ivf = similarity.ivf_cosine_topk(
+        emb, 0, k=10, n_lists=8, n_probe=8, centroids=cents
+    ).orderBy("rank").collect()
+    exact = similarity.cosine_topk(emb, 0, k=10).orderBy("rank").collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_trained_recall(spark, sf_dir):
+    """Trained centroids + partial probe: k rows returned, subset of exact
+    sims, reasonable recall on the clustered synthetic data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_lists=8, iters=3)
+    got = similarity.ivf_cosine_topk(
+        emb, 0, k=10, n_lists=8, n_probe=3, centroids=cents
+    ).collect()
+    assert len(got) == 10
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(emb, 0, k=10).collect()}
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.3
+
+
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):
     """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)

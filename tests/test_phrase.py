@@ -196,6 +196,25 @@ def test_positional_compaction_byte_identical(spark, documents, tmp_path_factory
     assert got == want
 
 
+def test_near_match_vs_python(spark, documents, pos_index):
+    got = {(r["docid"], r["n_pairs"]) for r in
+           phrase.near_match(spark, pos_index, "key", "order", k=3).collect()}
+    want = set()
+    for r in documents.collect():
+        toks = py_tokenize(r["text"])
+        pa = [i for i, t in enumerate(toks) if t == "key"]
+        pb = [i for i, t in enumerate(toks) if t == "order"]
+        n = sum(1 for a in pa for b in pb if abs(a - b) <= 3)
+        if n:
+            want.add((r["doc_id"], n))
+    assert got == want and got
+
+
+def test_near_match_validation(spark, pos_index):
+    with pytest.raises(ValueError, match="distinct"):
+        phrase.near_match(spark, pos_index, "key", "KEY", k=2)
+
+
 def test_wand_ignores_positions(spark, documents, pos_index, tmp_path_factory):
     """Scoring over a v2 index must equal scoring over a v1 index."""
     d1 = str(tmp_path_factory.mktemp("idx_v1_cmp"))

@@ -53,6 +53,77 @@ def test_stream_window_matches_batch(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_streaming_index_ingest_matches_batch(spark, documents, tmp_path_factory):
+    """foreachBatch incremental ingest: 3 micro-batches → 3 committed
+    generations; top-k over the streamed index is rank-identical to a
+    one-shot batch build."""
+    from gazetteer_spark import streaming
+    from gazetteer_spark.index import spimi, wand
+
+    work = tmp_path_factory.mktemp("stream_ingest")
+    src = str(work / "src")
+    # three source files → three micro-batches (maxFilesPerTrigger=1)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 350), (350, 10**9)]):
+        (documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}"))
+    stream = (
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(work / "idx")
+    q = streaming.index_stream(
+        spark, stream, idx, str(work / "ckpt"),
+        id_col="doc_id", content_col="text", n_shards=8,
+    )
+    q.awaitTermination()
+
+    gens = spimi.committed_generations(idx)
+    assert len(gens) == 3  # one generation per micro-batch
+
+    ref = str(work / "idx_batch")
+    spimi.build_index(spark, documents, ref, n_shards=8,
+                      id_col="doc_id", content_col="text")
+    queries = [(0, "spark join merge"), (1, "customer filter group")]
+    got = wand.topk(spark, idx, queries, k=10).orderBy("query_id", "rank").collect()
+    want = wand.topk(spark, ref, queries, k=10).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_apply_in_pandas_with_state_counts(spark, sf_dir, tmp_path_factory):
+    """Custom stateful operator (applyInPandasWithState): cumulative per-user
+    counts across micro-batches; final state equals the batch answer."""
+    from gazetteer_spark import streaming
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = streaming.running_user_counts(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_counts")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_state")))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM running_counts GROUP BY user_id"
+    ).collect()
+    got = {(r["user_id"], r["n"]) for r in rows}
+    want = {(r["user_id"], r["n"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and got
+
+
 def test_stream_stateful_latest_wins(spark, sf_dir):
     """Latest-event-per-user maintained incrementally via streaming dedup
     ordering — checked against the batch window answer."""

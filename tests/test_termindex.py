@@ -1,0 +1,74 @@
+"""Term-partitioned secondary layout (index/termindex.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark.analyzer import postings_sql
+from gazetteer_spark.index import spimi, termindex
+
+
+@pytest.fixture(scope="module")
+def primary(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_primary"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), d,
+                      n_shards=8, id_col="doc_id", content_col="text")
+    extra = documents.filter(F.col("doc_id") >= 300)
+    spimi.add_documents(spark, extra, d, id_col="doc_id", content_col="text")
+    return d
+
+
+@pytest.fixture(scope="module")
+def layout(spark, primary, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("layout"))
+    termindex.build_term_layout(spark, primary, d, n_buckets=8)
+    return d
+
+
+def test_term_postings_match_scan(spark, documents, layout):
+    terms = ["customer", "filter", "group", "spark"]
+    got = {(r["term"], r["docid"]): r["tf"] for r in
+           termindex.term_postings(spark, layout, terms).collect()}
+    want = {(r["term"], r["docid"]): r["tf"] for r in
+            postings_sql(documents, "doc_id", "text")
+            .filter(F.col("term").isin(terms)).collect()}
+    assert got == want
+
+
+def test_boolean_and_matches_scan(spark, documents, layout):
+    got = {r["docid"] for r in
+           termindex.boolean_and(spark, layout, "customer filter group").collect()}
+    p = postings_sql(documents, "doc_id", "text")
+    want = {r["docid"] for r in
+            p.filter(F.col("term").isin(["customer", "filter", "group"]))
+            .groupBy("docid").agg(F.countDistinct("term").alias("n"))
+            .filter(F.col("n") == 3).select("docid").collect()}
+    assert got == want and got
+
+
+def test_bucket_pruning(spark, layout):
+    df = termindex.term_postings(spark, layout, ["customer"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on bucket + parquet min/max pushdown on term
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in part_filters
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed
+
+
+def test_layout_applies_tombstones(spark, documents, primary, tmp_path_factory):
+    victims = [r["docid"] for r in
+               postings_sql(documents, "doc_id", "text")
+               .filter(F.col("term") == "customer")
+               .select("docid").limit(2).collect()]
+    spimi.delete_documents(spark, victims, primary)
+    d = str(tmp_path_factory.mktemp("layout_dels"))
+    termindex.build_term_layout(spark, primary, d, n_buckets=8)
+    got = {r["docid"] for r in
+           termindex.term_postings(spark, d, ["customer"]).collect()}
+    assert not (got & set(victims))
+    # df/cf reflect the surviving corpus
+    row = (spark.read.parquet(f"{d}/terms")
+           .filter(F.col("term") == "customer").collect())
+    assert len(row) == 1 and row[0]["df"] == len(got)

@@ -17,6 +17,7 @@ import os
 import subprocess
 import sys
 import tempfile
+from shutil import which as shutil_which
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -33,9 +34,7 @@ docs = spark.read.parquet(src)
 # warm-up (identical at both levels, excluded from throughput): file listing,
 # JIT, and the per-core Python worker pool for Arrow UDF stages
 docs.count()
-from pyspark.sql import functions as F
-from gazetteer_spark.analyzer import analyze_pdf
-docs.limit(32 * cores).select(F.explode(analyze_pdf(F.col("content")))).count()
+spimi._postings_source(docs.limit(32 * cores), "docid", "content", False).count()
 t0 = time.time()
 spimi.build_index(spark, docs, out, n_shards=n_shards)
 dt = time.time() - t0
@@ -44,7 +43,8 @@ print(json.dumps({{"cores": cores, "sec": dt, "files_per_sec": n / dt}}))
 """
 
 
-def main(n_files: int = 1_000_000, n_shards: int = 256, n_lo: int = 2, n_hi: int = 8):
+def main(n_files: int = 1_000_000, n_shards: int = 256, n_lo: int = 2,
+         n_hi: int = 8, n_trials: int = 2):
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="gz_scaling_", dir=base)
     src = f"{work}/source"
@@ -67,12 +67,18 @@ def main(n_files: int = 1_000_000, n_shards: int = 256, n_lo: int = 2, n_hi: int
     snippet = RUN_SNIPPET.format(repo=REPO)
     import shutil as _sh
 
-    for trial, cores in enumerate([n_lo, n_hi, n_lo, n_hi]):
+    # pin each level's ENTIRE process tree (JVM + Python workers) to exactly
+    # N CPUs: an N-core executor runs everything on its N cores, whereas an
+    # unpinned local[N] lets Python workers spill onto extra host cores and
+    # inflates the low level's throughput (measured +7% at local[2]),
+    # understating true N→4N scaling.
+    have_taskset = shutil_which("taskset")
+    for trial, cores in enumerate([n_lo, n_hi] * n_trials):
         out = f"{work}/idx_{cores}_{trial}"
-        r = subprocess.run(
-            [sys.executable, "-c", snippet, str(cores), src, out, str(n_shards)],
-            capture_output=True, text=True, check=True,
-        )
+        cmd = [sys.executable, "-c", snippet, str(cores), src, out, str(n_shards)]
+        if have_taskset:
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        r = subprocess.run(cmd, capture_output=True, text=True, check=True)
         _sh.rmtree(out, ignore_errors=True)
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
         rec = json.loads(line)

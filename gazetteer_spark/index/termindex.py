@@ -64,9 +64,12 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         buf, _ = encode_postings(ids, tfs)
         out_rows.append((bucket, term, int(len(ids)), int(tfs.sum()), buf))
-    return pd.DataFrame(
+    out = pd.DataFrame(
         out_rows, columns=["bucket", "term", "df", "cf", "postings"]
     )
+    if not out_rows:  # bucket held only dels rows / fully-tombstoned terms
+        out = out.astype({"bucket": "int32", "df": "int64", "cf": "int64"})
+    return out
 
 
 def build_term_layout(

@@ -57,6 +57,24 @@ def test_bucket_pruning(spark, layout):
     assert "term" in pushed
 
 
+def test_layout_dels_only_buckets(spark, tmp_path_factory):
+    """With many buckets and a tiny vocabulary, most buckets receive ONLY
+    replicated dels rows — the merge must emit a typed empty frame."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("idx_tiny"))
+    spimi.build_index(spark, docs, idx, n_shards=2,
+                      id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, [2], idx)
+    d = str(tmp_path_factory.mktemp("layout_tiny"))
+    termindex.build_term_layout(spark, idx, d, n_buckets=32)
+    got = {(r["term"], r["docid"]) for r in
+           termindex.term_postings(spark, d, ["alpha", "beta", "gamma"]).collect()}
+    assert got == {("alpha", 1), ("beta", 1), ("beta", 3), ("gamma", 3)}
+
+
 def test_layout_applies_tombstones(spark, documents, primary, tmp_path_factory):
     victims = [r["docid"] for r in
                postings_sql(documents, "doc_id", "text")

@@ -103,6 +103,7 @@ def main(n_files: int = 1_000_000, n_shards: int = 256, n_lo: int = 2,
     }
     print(json.dumps(summary))
 
+    _sh.rmtree(work, ignore_errors=True)  # 800k-file corpora fill tmpfs fast
     bench_md = os.path.join(REPO, "BENCH.md")
     with open(bench_md, "a") as f:
         f.write(

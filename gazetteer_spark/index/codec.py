@@ -200,11 +200,19 @@ def encode_positions_grouped(
     (term, docid)-sorted posting order; ``tfs`` gives each posting's run
     length; ``starts``/``ends`` are per-term POSTING ranges (same arrays as
     :func:`encode_blocks_grouped`). Per-posting delta coding: first position
-    raw, then gaps (≥1) — plain varbyte, no zigzag needed. Returns one bytes
-    blob per term; decodable with :func:`decode_positions` given the tfs
-    recovered from the postings stream."""
+    raw, then gaps (≥1) — plain varbyte, no zigzag needed.
+
+    Blob layout (self-contained, BLOCK-aligned with the postings stream):
+    ``uint32 n_blocks | int64[n_blocks] block byte-ends | varbyte stream``.
+    Block b's bytes are ``stream[end[b-1]:end[b]]`` and are independently
+    decodable (every posting's run starts with a raw value and a posting
+    never crosses a block) — so phrase/NEAR executors can decode ONLY the
+    blocks holding candidate docs (:func:`decode_positions_blocks`), the
+    positional analog of block-max skipping."""
     nlists = len(starts)
     n = len(positions)
+    s_arr = np.asarray(starts, np.int64)
+    e_arr = np.asarray(ends, np.int64)
     if n == 0:
         return [b""] * nlists
     p = positions.astype(np.uint64, copy=False)
@@ -218,10 +226,30 @@ def encode_positions_grouped(
     cum = np.concatenate([[0], np.cumsum(t)])
     raw = buf.tobytes()
     mv = memoryview(raw)
-    return [
-        bytes(mv[vstarts[cum[s]] : vstarts[cum[e]]])
-        for s, e in zip(np.asarray(starts, np.int64), np.asarray(ends, np.int64))
-    ]
+    b_starts, b_ends, nblocks = _block_bounds(s_arr, e_arr)
+    first_block = np.concatenate([[0], np.cumsum(nblocks)[:-1]])
+    out: list[bytes] = []
+    for li in range(nlists):
+        s, e = int(s_arr[li]), int(e_arr[li])
+        nb = int(nblocks[li])
+        base = vstarts[cum[s]]
+        stream = bytes(mv[base : vstarts[cum[e]]])
+        fb = int(first_block[li])
+        blk_ends = (
+            vstarts[cum[b_ends[fb : fb + nb]]] - base
+        ).astype("<i8") if nb else np.zeros(0, "<i8")
+        out.append(
+            np.uint32(nb).tobytes() + blk_ends.tobytes() + stream
+        )
+    return out
+
+
+def _split_positions_blob(buf: bytes):
+    """blob → (block byte-ends int64[], stream memoryview)."""
+    nb = int(np.frombuffer(buf[:4], dtype="<u4")[0])
+    head = 4 + 8 * nb
+    ends = np.frombuffer(buf[4:head], dtype="<i8")
+    return ends, memoryview(buf)[head:]
 
 
 def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
@@ -229,11 +257,41 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     the posting order the blob was encoded in). Segmented prefix-sum with a
     reset at every posting's first value — all numpy, no Python loop."""
     t = np.asarray(tfs, np.int64)
-    vals = _varbyte_decode(buf).astype(np.int64)
-    if len(vals) == 0:
+    if len(buf) == 0:
+        if int(t.sum()) if len(t) else 0:
+            raise ValueError("positions stream length does not match tf sum")
         return np.zeros(0, dtype=np.int64)
+    _, stream = _split_positions_blob(buf)
+    vals = _varbyte_decode(np.frombuffer(stream, dtype=np.uint8)).astype(np.int64)
     if len(vals) != int(t.sum()):
         raise ValueError("positions stream length does not match tf sum")
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.int64)
+    cum = np.cumsum(vals)
+    run_starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+    corr = cum[run_starts] - vals[run_starts]
+    return cum - np.repeat(corr, t)
+
+
+def decode_positions_blocks(
+    buf: bytes, block_idx: np.ndarray, tfs_sel: np.ndarray
+) -> np.ndarray:
+    """Selective positions decode: only ``block_idx`` (sorted unique)
+    blocks' bytes are touched. ``tfs_sel`` is the per-posting tf array of
+    exactly those blocks' postings (as returned by
+    :func:`decode_blocks` with the same ``block_idx``)."""
+    t = np.asarray(tfs_sel, np.int64)
+    if len(block_idx) == 0 or len(buf) == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends, stream = _split_positions_blob(buf)
+    bstarts = np.concatenate([[0], ends[:-1]])
+    parts = [stream[bstarts[i] : ends[i]] for i in block_idx]
+    joined = b"".join(bytes(p) for p in parts)
+    vals = _varbyte_decode(np.frombuffer(joined, dtype=np.uint8)).astype(np.int64)
+    if len(vals) != int(t.sum()):
+        raise ValueError("selected positions do not match tf sum")
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.int64)
     cum = np.cumsum(vals)
     run_starts = np.concatenate([[0], np.cumsum(t)[:-1]])
     corr = cum[run_starts] - vals[run_starts]

@@ -1,21 +1,27 @@
-"""Index-backed phrase (adjacent-token) matching over layout-v2 segments.
+"""Index-backed phrase (adjacent-token) and NEAR/k proximity matching over
+layout-v2 segments.
 
 The reference treats containment/phrase matching as a first-class query
 primitive (`addresses/impl/NamesMatcherImpl.java:38-46` — token-sequence
 containment between names); round-1 served it by re-tokenizing the whole
-corpus per phrase. This module serves it from the POSITIONS stream instead:
+corpus per phrase. This module serves it from the POSITIONS stream with
+BLOCK-SELECTIVE decode:
 
-per (shard, phrase): decode only the phrase terms' postings + positions,
-intersect docid sets, then intersect position sets shifted by slot offset —
-``doc matches iff ∃p: p ∈ pos(t0), p+1 ∈ pos(t1), …``. All-numpy: the
-per-slot position sets are packed into int64 keys ``rank(doc) * 2^21 +
-(pos - slot)`` and intersected with ``np.intersect1d``; occurrence counts
-fall out of the surviving keys.
+1. intersect the phrase terms' docid sets RAREST-FIRST: the rarest term is
+   decoded fully, every other term decodes only the posting blocks whose
+   block-max docid range can contain surviving candidates (the same skip
+   machinery WAND uses for scores, applied to conjunction);
+2. for the final candidates, decode positions ONLY for those blocks
+   (the positions blob embeds per-block byte offsets — codec layout);
+3. adjacency/proximity is an all-numpy intersection of packed int64 keys
+   ``rank(doc) * 2^21 + (pos - slot)``.
+
+A phrase containing "the" therefore touches ~|candidates|/128-rounded
+blocks of "the"'s postings and positions, not its full df.
 
 Scale shape: identical to WAND — the segment scan prunes by parquet
-min/max on term + the ``kind`` dictionary filter; per-shard work touches
-only the phrase terms' bytes; the only shuffle is the (docid, count) union
-(≤ matching docs). No full-corpus rescan, no driver-side data.
+min/max on term + the ``kind`` dictionary filter; the only shuffle is the
+(docid, count) union. No full-corpus rescan, no driver-side data.
 """
 
 from __future__ import annotations
@@ -28,75 +34,144 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..analyzer import get_analyzer
-from .codec import decode_positions, decode_postings, gather_runs
+from .codec import (
+    decode_block_meta,
+    decode_blocks,
+    decode_positions,
+    decode_positions_blocks,
+    decode_postings,
+    gather_runs,
+)
 
 # positions are in-document token indexes; 2^21 (2M tokens/doc) leaves
 # 2^42 doc ranks per shard — both far beyond any real segment
 MAXPOS = 1 << 21
 
+_EMPTY = (
+    np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+)
 
-def _merge_term_generations(bufs: list[tuple[bytes, bytes]]):
-    """[(postings, positions)…] per generation → (ids, tfs, flat_positions)
-    merged into global docid order (generations' docid sets are disjoint)."""
-    decoded = [decode_postings(p) for p, _ in bufs]
-    ids = np.concatenate([d[0] for d in decoded])
-    tfs = np.concatenate([d[1] for d in decoded]).astype(np.int64)
-    flat = np.concatenate(
-        [decode_positions(q, d[1]) for (_, q), d in zip(bufs, decoded)]
-    )
-    if len(decoded) > 1:
+
+class _Seg:
+    """One committed generation of one term's postings in this shard."""
+
+    __slots__ = ("pbuf", "posbuf", "blast", "bends")
+
+
+def _term_handles(pdf: pd.DataFrame):
+    """→ ({term: [segment handles]}, {term: total df}) — metadata only,
+    no posting bytes decoded."""
+    per_term: dict[str, list[_Seg]] = {}
+    df_tot: dict[str, int] = {}
+    for r in pdf[pdf["kind"] == "post"].itertuples():
+        s = _Seg()
+        s.pbuf, s.posbuf = r.postings, r.positions
+        s.blast, _, _, s.bends = decode_block_meta(r.blockmeta)
+        per_term.setdefault(r.term, []).append(s)
+        df_tot[r.term] = df_tot.get(r.term, 0) + int(r.df)
+    return per_term, df_tot
+
+
+def _dels_of(pdf: pd.DataFrame) -> np.ndarray:
+    parts = [decode_postings(b)[0]
+             for b in pdf[pdf["kind"] == "dels"]["postings"]]
+    return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+
+
+def _blocks_holding(seg: _Seg, cand: np.ndarray) -> np.ndarray:
+    """Sorted unique block indexes whose docid range may contain ``cand``."""
+    bi = np.searchsorted(seg.blast, cand, side="left")
+    return np.unique(bi[bi < len(seg.blast)])
+
+
+def _intersect_candidates(
+    per_term: dict[str, list[_Seg]], order: list[str]
+) -> np.ndarray:
+    """Conjunctive docid intersection, rarest term first; later terms decode
+    only blocks that can still hold survivors."""
+    cand: np.ndarray | None = None
+    for t in order:
+        parts = []
+        for s in per_term[t]:
+            if cand is None:
+                parts.append(decode_postings(s.pbuf)[0])
+            else:
+                bi = _blocks_holding(s, cand)
+                if len(bi):
+                    parts.append(decode_blocks(s.pbuf, s.bends, bi)[0])
+        ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
+        if len(cand) == 0:
+            return cand
+    return np.sort(cand)
+
+
+def _term_positions(segs: list[_Seg], cand: np.ndarray):
+    """(ids, tfs, flat positions) for one term, restricted to blocks holding
+    ``cand``, merged across generations into docid order."""
+    per = []
+    for s in segs:
+        bi = _blocks_holding(s, cand)
+        if len(bi) == 0:
+            continue
+        ids, tfs = decode_blocks(s.pbuf, s.bends, bi)
+        flat = decode_positions_blocks(s.posbuf, bi, tfs)
+        per.append((ids, tfs.astype(np.int64), flat))
+    if not per:
+        return _EMPTY
+    ids = np.concatenate([p[0] for p in per])
+    tfs = np.concatenate([p[1] for p in per])
+    flat = np.concatenate([p[2] for p in per])
+    if len(per) > 1:  # generations' docid sets are disjoint
         order = np.argsort(ids, kind="stable")
         flat = gather_runs(flat, tfs, order)
         ids, tfs = ids[order], tfs[order]
     return ids, tfs, flat
 
 
+def _packed_keys(ids, tfs, flat, common: np.ndarray, slot: int):
+    """int64 keys rank(doc)*MAXPOS + (pos - slot) for postings of docs in
+    ``common`` (sorted); negatives dropped."""
+    idx = np.searchsorted(common, ids)
+    keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids)
+    ranks = np.repeat(idx[keep], tfs[keep])
+    pos = flat[np.repeat(keep, tfs)]
+    shifted = pos - slot
+    ok = shifted >= 0
+    return ranks[ok] * MAXPOS + shifted[ok]
+
+
+def _mask_dels(cand: np.ndarray, dels: np.ndarray) -> np.ndarray:
+    if len(dels) == 0 or len(cand) == 0:
+        return cand
+    pos = np.searchsorted(dels, cand)
+    hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == cand)
+    return cand[~hit]
+
+
 def _phrase_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     """One shard's relevant segment rows → (docid, n_occurrences)."""
     empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
                           "n_occurrences": pd.Series([], dtype="int64")})
-    per_term: dict[str, list[tuple[bytes, bytes]]] = {}
-    for r in pdf[pdf["kind"] == "post"].itertuples():
-        per_term.setdefault(r.term, []).append((r.postings, r.positions))
+    per_term, df_tot = _term_handles(pdf)
     distinct = sorted(set(terms))
     if any(t not in per_term for t in distinct):
         return empty  # conjunctive: a missing term empties this shard
 
-    merged = {t: _merge_term_generations(per_term[t]) for t in distinct}
-
-    # doc-level tombstones
-    del_parts = [decode_postings(b)[0]
-                 for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    dels = (np.unique(np.concatenate(del_parts))
-            if del_parts else np.zeros(0, np.int64))
-
-    # candidate docs: present in EVERY distinct term, not deleted
-    common = merged[distinct[0]][0]
-    for t in distinct[1:]:
-        common = np.intersect1d(common, merged[t][0], assume_unique=True)
-    if len(dels) and len(common):
-        pos = np.searchsorted(dels, common)
-        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == common)
-        common = common[~hit]
+    order = sorted(distinct, key=lambda t: (df_tot[t], t))
+    common = _intersect_candidates(per_term, order)
+    common = _mask_dels(common, _dels_of(pdf))
     if len(common) == 0:
         return empty
 
-    # per-slot packed (doc-rank, shifted-position) keys, intersected
-    def slot_keys(term: str, slot: int) -> np.ndarray:
-        ids, tfs, flat = merged[term]
-        idx = np.searchsorted(common, ids)
-        keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids)
-        ranks = np.repeat(idx[keep], tfs[keep])
-        pos = flat[np.repeat(keep, tfs)]
-        shifted = pos - slot
-        ok = shifted >= 0
-        return ranks[ok] * MAXPOS + shifted[ok]
-
-    matched = slot_keys(terms[0], 0)
+    decoded = {t: _term_positions(per_term[t], common) for t in distinct}
+    matched = _packed_keys(*decoded[terms[0]], common, 0)
     for i, t in enumerate(terms[1:], start=1):
         if len(matched) == 0:
             return empty
-        matched = np.intersect1d(matched, slot_keys(t, i), assume_unique=True)
+        matched = np.intersect1d(
+            matched, _packed_keys(*decoded[t], common, i), assume_unique=True
+        )
     if len(matched) == 0:
         return empty
     ranks, counts = np.unique(matched // MAXPOS, return_counts=True)
@@ -111,37 +186,24 @@ def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataF
     within token distance ≤ k, counted fully vectorized via packed keys."""
     empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
                           "n_pairs": pd.Series([], dtype="int64")})
-    per_term: dict[str, list[tuple[bytes, bytes]]] = {}
-    for r in pdf[pdf["kind"] == "post"].itertuples():
-        per_term.setdefault(r.term, []).append((r.postings, r.positions))
+    per_term, df_tot = _term_handles(pdf)
     if term_a not in per_term or term_b not in per_term:
         return empty
-    ma = _merge_term_generations(per_term[term_a])
-    mb = _merge_term_generations(per_term[term_b])
-
-    del_parts = [decode_postings(b)[0]
-                 for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    dels = (np.unique(np.concatenate(del_parts))
-            if del_parts else np.zeros(0, np.int64))
-
-    common = np.intersect1d(ma[0], mb[0], assume_unique=True)
-    if len(dels) and len(common):
-        pos = np.searchsorted(dels, common)
-        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == common)
-        common = common[~hit]
+    order = sorted([term_a, term_b], key=lambda t: (df_tot[t], t))
+    common = _intersect_candidates(per_term, order)
+    common = _mask_dels(common, _dels_of(pdf))
     if len(common) == 0:
         return empty
 
-    def packed(m):
-        ids, tfs, flat = m
-        idx = np.searchsorted(common, ids)
-        keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids)
-        ranks = np.repeat(idx[keep], tfs[keep])
-        pos = flat[np.repeat(keep, tfs)]
-        return ranks, ranks * MAXPOS + pos  # keys globally sorted
+    ids_a, tfs_a, flat_a = _term_positions(per_term[term_a], common)
+    ids_b, tfs_b, flat_b = _term_positions(per_term[term_b], common)
 
-    ranks_a, keys_a = packed(ma)
-    _, keys_b = packed(mb)
+    idx = np.searchsorted(common, ids_a)
+    keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids_a)
+    ranks_a = np.repeat(idx[keep], tfs_a[keep])
+    pos_a = flat_a[np.repeat(keep, tfs_a)]
+    keys_a = ranks_a * MAXPOS + pos_a
+    keys_b = _packed_keys(ids_b, tfs_b, flat_b, common, 0)
     # per a-occurrence: b-occurrences in the same doc within ±k (window
     # clamped inside the doc's key range, so it never leaks across docs)
     base = ranks_a * MAXPOS
@@ -157,13 +219,7 @@ def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataF
                          "n_pairs": n_pairs[nz].astype(np.int64)})
 
 
-def near_match(
-    spark: SparkSession, index_dir: str, term_a: str, term_b: str, k: int = 3
-) -> DataFrame:
-    """(docid, n_pairs): documents where analyzed terms a and b co-occur
-    within token distance ≤ k, with the pair count — a proximity (NEAR/k)
-    query served from the positional index. Same scan shape as
-    :func:`phrase_match`."""
+def _positional_segments(spark: SparkSession, index_dir: str, terms: list[str]):
     from .spimi import committed_segments
 
     with open(f"{index_dir}/build.json") as f:
@@ -171,21 +227,13 @@ def near_match(
     if not params.get("positions"):
         raise ValueError(
             "index was built without positions (layout v1); "
-            "rebuild with build_index(..., positions=True) for NEAR queries"
+            "rebuild with build_index(..., positions=True) for "
+            "phrase/proximity queries"
         )
-    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
-    ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
-    if not ta or not tb or ta == tb:
-        raise ValueError("NEAR needs two distinct non-empty analyzed terms")
-
     seg = committed_segments(spark, index_dir)
-    relevant = seg.filter(
-        ((F.col("kind") == "post") & F.col("term").isin([ta, tb]))
+    return params, seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(sorted(set(terms))))
         | (F.col("kind") == "dels")
-    )
-    return relevant.groupBy("shard").applyInPandas(
-        lambda pdf: _near_shard(pdf, ta, tb, k),
-        "docid long, n_pairs long",
     )
 
 
@@ -194,25 +242,33 @@ def phrase_match(
 ) -> DataFrame:
     """(docid, n_occurrences): documents containing the exact token phrase,
     with occurrence counts — served entirely from the positional index."""
-    from .spimi import committed_segments
-
     with open(f"{index_dir}/build.json") as f:
         params = json.load(f)
-    if not params.get("positions"):
-        raise ValueError(
-            "index was built without positions (layout v1); "
-            "rebuild with build_index(..., positions=True) for phrase queries"
-        )
     terms = get_analyzer(params.get("analyzer", "default")).py_tokenize(phrase)
     if not terms:
         raise ValueError("empty phrase after analysis")
-
-    seg = committed_segments(spark, index_dir)
-    relevant = seg.filter(
-        ((F.col("kind") == "post") & F.col("term").isin(sorted(set(terms))))
-        | (F.col("kind") == "dels")
-    )
+    _, relevant = _positional_segments(spark, index_dir, terms)
     return relevant.groupBy("shard").applyInPandas(
         lambda pdf: _phrase_shard(pdf, terms),
         "docid long, n_occurrences long",
+    )
+
+
+def near_match(
+    spark: SparkSession, index_dir: str, term_a: str, term_b: str, k: int = 3
+) -> DataFrame:
+    """(docid, n_pairs): documents where analyzed terms a and b co-occur
+    within token distance ≤ k, with the pair count — a proximity (NEAR/k)
+    query served from the positional index. Same scan shape as
+    :func:`phrase_match`."""
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
+    if not ta or not tb or ta == tb:
+        raise ValueError("NEAR needs two distinct non-empty analyzed terms")
+    _, relevant = _positional_segments(spark, index_dir, [ta, tb])
+    return relevant.groupBy("shard").applyInPandas(
+        lambda pdf: _near_shard(pdf, ta, tb, k),
+        "docid long, n_pairs long",
     )

@@ -56,6 +56,38 @@ def test_positions_roundtrip_multi_list():
         assert np.array_equal(got, want)
 
 
+def test_positions_selective_block_decode():
+    """Selective decode of chosen blocks equals the matching slice of the
+    full decode — across a multi-block posting list."""
+    from gazetteer_spark.index.codec import BLOCK, decode_positions_blocks
+
+    rng = np.random.RandomState(11)
+    n_postings = 3 * BLOCK + 17  # 4 blocks
+    tfs = rng.randint(1, 6, size=n_postings).astype(np.int64)
+    flat = np.concatenate(
+        [np.cumsum(rng.randint(1, 50, size=t)) for t in tfs]
+    ).astype(np.int64)
+    bufs = encode_positions_grouped(
+        flat, tfs, np.array([0], np.int64), np.array([n_postings], np.int64)
+    )
+    full = decode_positions(bufs[0], tfs)
+    assert np.array_equal(full, flat)
+    for block_idx in ([1], [0, 2], [3], [1, 3]):
+        sel_posts = np.concatenate(
+            [np.arange(b * BLOCK, min((b + 1) * BLOCK, n_postings))
+             for b in block_idx]
+        )
+        tfs_sel = tfs[sel_posts]
+        cum = np.concatenate([[0], np.cumsum(tfs)])
+        want = np.concatenate([
+            flat[cum[p] : cum[p + 1]] for p in sel_posts
+        ])
+        got = decode_positions_blocks(
+            bufs[0], np.array(block_idx, np.int64), tfs_sel
+        )
+        assert np.array_equal(got, want), block_idx
+
+
 def test_positions_empty():
     assert encode_positions_grouped(
         np.zeros(0, np.int64), np.zeros(0, np.int64),

@@ -1,0 +1,33 @@
+"""Catalog-wide physical-plan hygiene.
+
+Every oracle-checked query must be scale-shaped BY CONSTRUCTION: no
+cartesian products, and nested-loop joins only where the build side is a
+broadcast of O(1) rows (a single query vector / scalar), which is a
+scan+filter, not a blow-up. This pins the round-1 verdict's fix (the
+all-pairs embedding join) against regressions for every entry at once.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# entries whose plan legitimately contains BroadcastNestedLoopJoin because
+# one side is a broadcast of exactly ONE row (query vector or scalar)
+ONE_ROW_BROADCAST = {
+    "ann_cosine_topk",   # broadcast(query vector)
+    "ann_lsh_topk",      # broadcast(query vector + bucket)
+    "ann_ivf_topk",      # broadcast(query vector)
+    "rel_j12_diff",      # broadcast(1-row max-scalar)
+    "ft_bm25_topk",      # broadcast(1-row corpus stats: n_docs, avgdl)
+}
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_unbounded_joins(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if name not in ONE_ROW_BROADCAST:
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -107,6 +107,15 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_queries(spark, postings, doc_stats(postings), FT_QUERIES, k=10)
 
 
+# conjunctive (AND + BM25 rank) query batch: last query's term is absent
+# from the corpus → strict AND returns no rows for it
+FT_AND_QUERIES: list[tuple[int, str]] = [
+    (0, "customer filter group"),
+    (1, "spark join"),
+    (2, "the window"),
+    (5, "hash aggregate zz_absent"),
+]
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -163,6 +172,12 @@ def q_ft_boolean_and_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_wand_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive retrieval + exact BM25 rank over the index: docs holding
+    EVERY query term, candidate intersection with block-selective decode."""
+    return wand.topk_and(spark, _index_dir(spark, sf_dir), FT_AND_QUERIES, k=10)
+
+
 def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase match served from the POSITIONAL index (layout v2) — must be
     hash-identical to the full-scan shingle oracle (ft_phrase_match), while
@@ -212,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
+        "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_near_via_index": q_ft_near_via_index,
         "ft_export_terms": q_ft_export_terms,
@@ -254,6 +270,34 @@ def oracle_sql() -> dict[str, str]:
             f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
         )
 
+    def bm25_and_sql(queries: list[tuple[int, str]], k: int) -> str:
+        return (
+            _DUCK_POSTINGS + ", "
+            "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
+            "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "qn AS (SELECT query_id, count(DISTINCT term) AS nt FROM q GROUP BY query_id), "
+            "cand AS (SELECT q.query_id, p.docid FROM q JOIN postings p USING (term) "
+            "  GROUP BY q.query_id, p.docid "
+            "  HAVING count(DISTINCT p.term) = "
+            "    (SELECT nt FROM qn WHERE qn.query_id = q.query_id)), "
+            "tstat AS (SELECT term, count(*) AS df FROM postings "
+            "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
+            "  FROM tstat t, cs), "
+            "scored AS (SELECT q.query_id, p.docid, "
+            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+            "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
+            "  JOIN ds ON ds.docid = p.docid "
+            "  JOIN cand c ON c.query_id = q.query_id AND c.docid = p.docid, cs "
+            "  GROUP BY q.query_id, p.docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+            f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
+        )
+
     bm25 = bm25_sql(FT_QUERIES, 10)
     return {
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",
@@ -267,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
+        "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_phrase_via_index": _oracle_phrase(),
         "ft_near_via_index": (
             "WITH d AS (SELECT doc_id AS docid, "

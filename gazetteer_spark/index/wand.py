@@ -307,6 +307,146 @@ def topk(
     )
 
 
+def _score_shard_and(
+    pdf: pd.DataFrame,
+    qplans: list[tuple[int, list[tuple[str, float]], int]],
+    avgdl: float,
+    k: int,
+    round_to: int | None,
+    cap: int,
+) -> pd.DataFrame:
+    """Conjunctive (AND) retrieval + exact BM25 over one shard: intersect
+    the query terms' docid sets rarest-first with BLOCK-SELECTIVE decode
+    (only blocks whose docid range can hold survivors are touched), then
+    score exactly the candidates. qplans rows carry (query_id,
+    [(term, idf)…] sorted by df asc, n_terms_required)."""
+    from .phrase import _intersect_candidates, _mask_dels, _term_handles
+
+    per_term, _ = _term_handles(pdf)
+    docs_rows = pdf[pdf["kind"] == "docs"]
+    empty = pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+        {"query_id": "int32", "docid": "int64", "score": "float64"}
+    )
+    if docs_rows.empty:
+        return empty
+    parts = [decode_postings(b) for b in docs_rows["postings"]]
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    if len(parts) > 1:
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_lens = all_ids[order], all_lens[order]
+    norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
+    del_parts = [decode_postings(b)[0]
+                 for b in pdf[pdf["kind"] == "dels"]["postings"]]
+    dels = (np.unique(np.concatenate(del_parts))
+            if del_parts else np.zeros(0, np.int64))
+
+    out_q, out_d, out_s = [], [], []
+    for qid, weighted_terms, n_required in qplans:
+        # conjunctive semantics: every analyzed term must exist in the
+        # corpus AND in this shard's candidate docs
+        if len(weighted_terms) < n_required or any(
+            t not in per_term for t, _ in weighted_terms
+        ):
+            continue
+        order_terms = [t for t, _ in weighted_terms]
+        cand = _intersect_candidates(per_term, order_terms)
+        cand = _mask_dels(cand, dels)
+        if len(cand) == 0:
+            continue
+        scores = np.zeros(len(cand))
+        from .phrase import _blocks_holding
+
+        for term, idf in weighted_terms:
+            for s in per_term[term]:
+                bi = _blocks_holding(s, cand)
+                if len(bi) == 0:
+                    continue
+                ids, tfs = decode_blocks(s.pbuf, s.bends, bi)
+                hit = np.searchsorted(cand, ids)
+                ok = (hit < len(cand)) & (cand[np.minimum(hit, len(cand) - 1)] == ids)
+                pos = np.searchsorted(all_ids, ids[ok])
+                contrib = idf * (tfs[ok] * (K1 + 1.0)) / (tfs[ok] + norm_by_doc[pos])
+                scores[hit[ok]] += contrib
+        rounded = np.round(scores, round_to) if round_to is not None else scores
+        if len(cand) > k:
+            bar = np.partition(rounded, -k)[-k]
+            sel = rounded >= bar
+        else:
+            sel = np.ones(len(cand), dtype=bool)
+        ids_e, raw_e, rnd_e = cand[sel], scores[sel], rounded[sel]
+        order_e = np.lexsort((ids_e, -rnd_e))[:cap]
+        out_q.extend([qid] * len(order_e))
+        out_d.extend(ids_e[order_e].tolist())
+        out_s.extend(raw_e[order_e].tolist())
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "docid": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        }
+    )
+
+
+def topk_and(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    tie_cap: int = 4096,
+) -> DataFrame:
+    """(query_id, rank, docid, score): conjunctive retrieval — only docs
+    containing EVERY analyzed query term, ranked by exact BM25 with the
+    engine's (score desc, docid asc) pinning. Queries whose terms are not
+    all in the corpus return no rows (strict AND)."""
+    from .spimi import committed_segments
+
+    stats = load_stats(index_dir)
+    seg = committed_segments(spark, index_dir)
+    termstats = spark.read.parquet(f"{index_dir}/termstats")
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    df_by_term = _lookup_dfs(termstats, all_terms)
+    qplans = []
+    for qid, ts in qterms.items():
+        present = [t for t in ts if t in df_by_term]
+        if len(present) < len(ts):
+            continue  # a term missing from the corpus → strict AND empties
+        weighted = sorted(
+            ((t, _idf(n_docs, df_by_term[t])) for t in present),
+            key=lambda x: (df_by_term[x[0]], x[0]),
+        )
+        qplans.append((qid, weighted, len(ts)))
+    if not qplans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(all_terms))
+        | (F.col("kind") == "docs")
+        | (F.col("kind") == "dels")
+    )
+    local = relevant.groupBy("shard").applyInPandas(
+        lambda pdf: _score_shard_and(pdf, qplans, avgdl, k, round_to, tie_cap),
+        "query_id int, docid long, score double",
+    )
+    score = (
+        F.round(F.col("score"), round_to) if round_to is not None else F.col("score")
+    )
+    scored = local.select("query_id", "docid", score.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
 class IndexReader:
     """Warm query handle: committed segments + term stats pinned in executor
     memory (StorageLevel MEMORY_AND_DISK), amortizing parquet scans across

@@ -247,6 +247,47 @@ def test_near_match_validation(spark, pos_index):
         phrase.near_match(spark, pos_index, "key", "KEY", k=2)
 
 
+def test_topk_and_conjunctive_bm25(spark, documents, pos_index):
+    """AND retrieval: every hit contains all terms; scores equal the exact
+    scorer's; a query with an out-of-corpus term returns nothing."""
+    from gazetteer_spark.bm25 import doc_stats, score_queries
+    from gazetteer_spark.analyzer import postings_sql, tokens_expr
+
+    queries = [(0, "customer filter group"), (7, "key zzz_not_a_term")]
+    got = wand.topk_and(spark, pos_index, queries, k=10).collect()
+    assert all(r["query_id"] == 0 for r in got)  # strict AND drops query 7
+    terms = set(py_tokenize("customer filter group"))
+    tok = {r["doc_id"]: set(r["t"]) for r in
+           documents.select("doc_id", tokens_expr(F.col("text")).alias("t")).collect()}
+    for r in got:
+        assert terms <= tok[r["docid"]]
+    # scores must equal the exact (non-index) scorer for the same docids
+    postings = postings_sql(documents, "doc_id", "text")
+    exact = {(r["query_id"], r["docid"]): r["score"] for r in
+             score_queries(spark, postings, doc_stats(postings),
+                           [(0, "customer filter group")], k=10**6).collect()}
+    for r in got:
+        assert exact[(0, r["docid"])] == pytest.approx(r["score"], abs=1e-9)
+    # rank pinning: (score desc, docid asc)
+    seq = [(r["rank"], -r["score"], r["docid"]) for r in
+           sorted(got, key=lambda r: r["rank"])]
+    assert seq == sorted(seq)
+
+
+def test_topk_and_respects_tombstones(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_and_dels"))
+    spimi.build_index(spark, documents, d, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    before = {r["docid"] for r in
+              wand.topk_and(spark, d, [(0, "customer filter group")], k=5).collect()}
+    assert before
+    victim = min(before)
+    spimi.delete_documents(spark, [victim], d)
+    after = {r["docid"] for r in
+             wand.topk_and(spark, d, [(0, "customer filter group")], k=5).collect()}
+    assert victim not in after
+
+
 def test_wand_ignores_positions(spark, documents, pos_index, tmp_path_factory):
     """Scoring over a v2 index must equal scoring over a v1 index."""
     d1 = str(tmp_path_factory.mktemp("idx_v1_cmp"))

@@ -101,6 +101,35 @@ def decode_features(media: DataFrame, real_codecs: bool = False) -> DataFrame:
     )
 
 
+def embed_media(media: DataFrame, real_codecs: bool = False) -> DataFrame:
+    """(media_id, embedding array<float>): media → feature vector, the
+    bridge from the multimodal surface into similarity search (ANN / IVF /
+    near-dup all consume this column directly).
+
+    ``real_codecs=True`` is the production path (a vision/audio encoder) —
+    STUBBED like :func:`decode_features`; the fake decoder recovers the
+    synthetic payload's float vector, exercising the identical Arrow batch
+    shape: binary in → array<float> out."""
+    if real_codecs:
+        raise NotImplementedError(
+            "media encoders are not available in this container; "
+            "the Spark-side plumbing below is the real, tested path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "embedding": [_decode_fake(b) for b in pdf["media"]],
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(
+        batches, "media_id long, embedding array<float>"
+    )
+
+
 def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """(media_id, frame_idx, frame binary): deterministic frame sampling —
     the payload split on ',' plays the role of a frame sequence; JVM-side

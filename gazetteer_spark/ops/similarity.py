@@ -268,6 +268,72 @@ def ivf_cosine_topk(
     )
 
 
+def build_ivf_layout(
+    emb: DataFrame, out_dir: str,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: vectors partitioned by inverted-list id
+    (``list_id=`` parquet partitions) + the centroid matrix in layout.json.
+
+    The production serving shape: a query prunes to n_probe partitions —
+    at 10^12 vectors a probe touches n_probe/n_lists of the data with
+    PartitionFilters, no recomputed assignments."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_lists, dim, vec_col=vec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _argmax_list(vec, cents).alias("list_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{out_dir}/vectors"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.layout.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_lists": len(centroids), "dim": dim,
+                   "centroids": centroids}, f)
+    os.replace(tmp, f"{out_dir}/layout.json")
+
+
+def ivf_topk_layout(
+    spark, layout_dir: str, query_vec: list[float], k: int = 10,
+    n_probe: int = 4, round_to: int = 6,
+) -> DataFrame:
+    """(rank, vec_id, sim): IVF top-k over the MATERIALIZED layout — reads
+    only the n_probe partitions nearest the query (partition pruning)."""
+    import json
+
+    with open(f"{layout_dir}/layout.json") as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe = [int(p) for p in np.argsort(-(cents @ qn), kind="stable")[:n_probe]]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        spark.read.parquet(f"{layout_dir}/vectors")
+        .filter(F.col("list_id").isin(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), qlit), round_to).alias("sim"),
+        )
+    )
+    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "sim")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 6,

@@ -180,6 +180,27 @@ def test_ivf_trained_recall(spark, sf_dir):
     assert recall >= 0.3
 
 
+def test_ivf_layout_matches_inline(spark, sf_dir, tmp_path_factory):
+    """The materialized IVF layout serves the same result as the inline
+    assignment path, and the scan prunes to the probed partitions."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.ivf_seed_centroids(n_lists=8)
+    d = str(tmp_path_factory.mktemp("ivf_layout"))
+    similarity.build_ivf_layout(emb, d, centroids=cents, n_lists=8)
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    got = similarity.ivf_topk_layout(spark, d, list(qvec), k=11, n_probe=3)
+    rows = [r for r in got.collect() if r["vec_id"] != 0][:10]
+    inline = similarity.ivf_cosine_topk(
+        emb, 0, k=10, n_lists=8, n_probe=3, centroids=cents
+    ).orderBy("rank").collect()
+    assert [(r["vec_id"], r["sim"]) for r in rows] == [
+        (r["vec_id"], pytest.approx(r["sim"], abs=1e-9)) for r in inline
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "list_id" in part_filters
+
+
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):
     """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)
@@ -226,6 +247,26 @@ def test_label_centroids(spark, sf_dir):
     assert len(got) == 1
     assert got[0]["mean"] == pytest.approx(want, abs=2e-6)
     assert got[0]["n"] == len(rows)
+
+
+def test_embed_media_roundtrip_and_ann(spark, sf_dir):
+    """media → embedding bridge: vectors round-trip through the synthetic
+    container at 6dp, and the result feeds ANN directly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    media = multimodal.synth_media(emb)
+    back = multimodal.embed_media(media)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in back.collect():
+        want = orig[r["media_id"]]
+        assert len(r["embedding"]) == len(want)
+        assert all(abs(a - b) < 1e-5 for a, b in zip(r["embedding"], want))
+    topk = similarity.cosine_topk(
+        back, query_id=back.first()["media_id"], k=5,
+        id_col="media_id", vec_col="embedding",
+    ).collect()
+    assert len(topk) == 5
+    with pytest.raises(NotImplementedError):
+        multimodal.embed_media(media, real_codecs=True)
 
 
 def test_lang_scores(spark):

@@ -228,6 +228,63 @@ def test_positional_compaction_byte_identical(spark, documents, tmp_path_factory
     assert got == want
 
 
+def test_phrase_randomized_small_vocab(spark, tmp_path_factory):
+    """Seeded randomized corpus with a 12-token vocabulary: every posting
+    list spans multiple blocks, phrases repeat within docs, and the
+    selective-block executor must agree with a pure-Python oracle on
+    25 sampled phrases and 10 NEAR pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(123)
+    vocab = [f"tok{i}" for i in range(12)]
+    rows = []
+    for i in range(300):
+        n = rng.randint(5, 60)
+        rows.append((i, " ".join(vocab[j] for j in rng.randint(0, 12, size=n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("idx_rand"))
+    spimi.build_index(spark, docs, d, n_shards=4,
+                      id_col="doc_id", content_col="text", positions=True)
+
+    toks = {i: t.split() for i, t in rows}
+
+    def py_phrase(terms):
+        out = {}
+        for i, ts in toks.items():
+            c = sum(
+                1 for p in range(len(ts) - len(terms) + 1)
+                if ts[p : p + len(terms)] == terms
+            )
+            if c:
+                out[(i, c)] = None
+        return set(out)
+
+    for trial in range(25):
+        di = int(rng.randint(0, 300))
+        ts = toks[di]
+        ln = int(rng.randint(2, min(4, len(ts)) + 1))
+        start = int(rng.randint(0, len(ts) - ln + 1))
+        terms = ts[start : start + ln]
+        got = {(r["docid"], r["n_occurrences"]) for r in
+               phrase.phrase_match(spark, d, " ".join(terms)).collect()}
+        assert got == py_phrase(terms), terms
+
+    for trial in range(10):
+        a, b = rng.choice(12, size=2, replace=False)
+        ta, tb = vocab[a], vocab[b]
+        k = int(rng.randint(1, 5))
+        got = {(r["docid"], r["n_pairs"]) for r in
+               phrase.near_match(spark, d, ta, tb, k=k).collect()}
+        want = set()
+        for i, ts in toks.items():
+            pa = [p for p, t in enumerate(ts) if t == ta]
+            pb = [p for p, t in enumerate(ts) if t == tb]
+            n = sum(1 for x in pa for y in pb if abs(x - y) <= k)
+            if n:
+                want.add((i, n))
+        assert got == want, (ta, tb, k)
+
+
 def test_near_match_vs_python(spark, documents, pos_index):
     got = {(r["docid"], r["n_pairs"]) for r in
            phrase.near_match(spark, pos_index, "key", "order", k=3).collect()}

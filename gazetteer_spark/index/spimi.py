@@ -130,7 +130,6 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     bounds = np.nonzero(tcodes[1:] != tcodes[:-1])[0] + 1
     starts = np.concatenate([[0], bounds]).astype(np.int64)
     ends = np.concatenate([bounds, [len(tcodes)]]).astype(np.int64)
-    terms = uniq_arr[tcodes]
 
     posts, metas = encode_blocks_grouped(docids, tfs, dlen, starts, ends)
     dfs = (ends - starts).astype(np.int64)
@@ -139,16 +138,13 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
         posbytes = encode_positions_grouped(flat, tfs, starts, ends)
     else:
         posbytes = [b""] * len(starts)
-    rows = [
-        (shard, "post", terms[s], int(df), int(cf), p, m, pb)
-        for s, df, cf, p, m, pb in zip(starts, dfs, cfs, posts, metas, posbytes)
-    ]
-    # docmeta row: packed (docid, doclen) for query-time doclen lookup
+    term_vals = uniq_arr[tcodes[starts]]
+    # docmeta row appended last: packed (docid, doclen) for query-time
+    # doclen lookup
     docs_row = (
         shard, "docs", None, int(len(doc_ids)), int(doc_lens.sum()),
         encode_postings(doc_ids, doc_lens)[0], b"", b"",
     )
-    rows.append(docs_row)
 
     # shard manifest computed here, while the data is in memory — avoids a
     # second full read+hash of the postings bytes. Checksum = sha256 over
@@ -159,15 +155,20 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     # (content is a pure function of the shard's data), so this is safe.
     h = hashlib.sha256()
     n_bytes = 0
-    for r in rows:
-        h.update((r[2] or "").encode())
-        h.update(r[5])
-        h.update(r[6])
-        h.update(r[7])  # no-op for layout v1 (positions empty)
-        n_bytes += len(r[5]) + len(r[6]) + len(r[7])
+    for term, p, m, pb in zip(term_vals, posts, metas, posbytes):
+        h.update(term.encode())
+        h.update(p)
+        h.update(m)
+        h.update(pb)  # no-op for layout v1 (positions empty)
+        n_bytes += len(p) + len(m) + len(pb)
+    h.update(b"")  # docs row: term None
+    h.update(docs_row[5])
+    h.update(docs_row[6])
+    h.update(docs_row[7])
+    n_bytes += len(docs_row[5])
     metrics = {
         "shard": shard,
-        "n_terms": len(rows) - 1,
+        "n_terms": len(term_vals),
         "n_postings": int(tfs.size),
         "n_docs": int(len(doc_ids)),
         "sum_doclen": int(doc_lens.sum()),
@@ -180,7 +181,21 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
         with open(tmp, "w") as f:
             json.dump(metrics, f, sort_keys=True)
         os.replace(tmp, f"{pending_dir}/shard_{shard}.json")
-    return pd.DataFrame(rows, columns=SEGMENT_COLS)
+    out = pd.DataFrame(
+        {
+            "shard": np.full(len(term_vals), shard, dtype=np.int32),
+            "kind": "post",
+            "term": term_vals,
+            "df": dfs.astype(np.int32),
+            "cf": cfs.astype(np.int64),
+            "postings": posts,
+            "blockmeta": metas,
+            "positions": posbytes,
+        },
+        columns=SEGMENT_COLS,
+    )
+    out.loc[len(out)] = docs_row
+    return out
 
 
 def build_index(

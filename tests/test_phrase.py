@@ -345,6 +345,20 @@ def test_topk_and_respects_tombstones(spark, documents, tmp_path_factory):
     assert victim not in after
 
 
+def test_positional_batched_build_byte_identical(spark, documents, tmp_path_factory):
+    """Partial-build (batch_shards) resume path must produce byte-identical
+    positional segments (manifest checksums cover the positions stream)."""
+    a = str(tmp_path_factory.mktemp("idx_pos_a"))
+    b = str(tmp_path_factory.mktemp("idx_pos_b"))
+    spimi.build_index(spark, documents, a, n_shards=8, id_col="doc_id",
+                      content_col="text", positions=True)
+    spimi.build_index(spark, documents, b, n_shards=8, id_col="doc_id",
+                      content_col="text", positions=True, batch_shards=3)
+    ca = {r["shard"]: r["checksum"] for r in spimi.load_manifest(spark, a).collect()}
+    cb = {r["shard"]: r["checksum"] for r in spimi.load_manifest(spark, b).collect()}
+    assert ca == cb
+
+
 def test_wand_ignores_positions(spark, documents, pos_index, tmp_path_factory):
     """Scoring over a v2 index must equal scoring over a v1 index."""
     d1 = str(tmp_path_factory.mktemp("idx_v1_cmp"))

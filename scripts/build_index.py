@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True)
+    ap.add_argument("--source", default=None,
+                    help="source parquet (required unless --compact-from "
+                         "or --delete-ids)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--resume", action="store_true")
@@ -36,6 +38,15 @@ def main(argv=None):
     ap.add_argument("--id-cols", default="repo,path,commit")
     ap.add_argument("--docid-col", default=None)
     ap.add_argument("--content-col", default="content")
+    ap.add_argument("--positions", action="store_true",
+                    help="layout v2: per-term positions stream enabling "
+                         "phrase/NEAR queries (scripts/query.py --mode "
+                         "phrase|near)")
+    ap.add_argument("--compact-from", default=None,
+                    help="compact an existing index (apply tombstones, "
+                         "merge generations) into --out instead of building")
+    ap.add_argument("--delete-ids", default=None,
+                    help="comma-separated docids to tombstone in --out")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -44,6 +55,21 @@ def main(argv=None):
     from gazetteer_spark.index import spimi
 
     spark = SparkSession.builder.appName("gazetteer_build_index").getOrCreate()
+    if args.compact_from:
+        t0 = time.time()
+        stats = spimi.compact_index(spark, args.compact_from, args.out)
+        print(json.dumps({"compacted": args.out,
+                          "sec": round(time.time() - t0, 2), **stats}))
+        return
+    if args.delete_ids:
+        t0 = time.time()
+        ids = [int(x) for x in args.delete_ids.split(",") if x]
+        stats = spimi.delete_documents(spark, ids, args.out)
+        print(json.dumps({"deleted": len(ids), "index": args.out,
+                          "sec": round(time.time() - t0, 2), **stats}))
+        return
+    if not args.source:
+        raise SystemExit("--source is required for build/--add")
     src = spark.read.parquet(args.source)
     t0 = time.time()
     if args.docid_col:
@@ -61,7 +87,7 @@ def main(argv=None):
         stats = spimi.build_index(
             spark, docs, args.out, n_shards=args.n_shards, id_col=id_col,
             content_col=args.content_col, resume=args.resume,
-            batch_shards=args.batch_shards,
+            batch_shards=args.batch_shards, positions=args.positions,
         )
     dt = time.time() - t0
     print(json.dumps({"built": args.out, "sec": round(dt, 2),

@@ -1,10 +1,15 @@
-"""spark-submit entry point: block-max BM25 top-k queries against an index.
+"""spark-submit entry point: queries against an index.
 
 Usage:
   spark-submit --py-files gazetteer_spark.zip scripts/query.py \
       --index /path/to/index --query "parse http response" [--k 10]
   # or a batch file with one query per line:
   ... --queries-file queries.txt
+  # retrieval modes:
+  ...   --mode or       disjunctive block-max BM25 top-k (default)
+  ...   --mode and      conjunctive: docs holding EVERY term, BM25-ranked
+  ...   --mode phrase   exact adjacent-token phrase (positional index)
+  ...   --mode near --near-k 3   two terms within k tokens (positional)
 """
 
 from __future__ import annotations
@@ -25,11 +30,15 @@ def main(argv=None):
     ap.add_argument("--query", default=None)
     ap.add_argument("--queries-file", default=None)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["or", "and", "phrase", "near"],
+                    default="or")
+    ap.add_argument("--near-k", type=int, default=3,
+                    help="token distance for --mode near (query = two terms)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from gazetteer_spark.index import wand
+    from gazetteer_spark.index import phrase, wand
 
     if args.query:
         queries = [(0, args.query)]
@@ -41,14 +50,30 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("gazetteer_query").getOrCreate()
     t0 = time.time()
-    rows = wand.topk(spark, args.index, queries, k=args.k).collect()
+    out: dict = {}
+    if args.mode in ("or", "and"):
+        fn = wand.topk if args.mode == "or" else wand.topk_and
+        for r in fn(spark, args.index, queries, k=args.k).collect():
+            out.setdefault(r["query_id"], []).append(
+                {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
+            )
+    elif args.mode == "phrase":
+        for qid, text in queries:
+            rows = phrase.phrase_match(spark, args.index, text).collect()
+            out[qid] = [{"docid": r["docid"], "n_occurrences": r["n_occurrences"]}
+                        for r in rows]
+    else:  # near
+        for qid, text in queries:
+            parts = text.split()
+            if len(parts) != 2:
+                raise SystemExit("--mode near expects exactly two terms per query")
+            rows = phrase.near_match(
+                spark, args.index, parts[0], parts[1], k=args.near_k
+            ).collect()
+            out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
+                        for r in rows]
     dt = time.time() - t0
-    out = {}
-    for r in rows:
-        out.setdefault(r["query_id"], []).append(
-            {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
-        )
-    print(json.dumps({"sec": round(dt, 3), "results": out}))
+    print(json.dumps({"mode": args.mode, "sec": round(dt, 3), "results": out}))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ re-expressed Spark-first per SURVEY.md:
   :mod:`gazetteer_spark.index.spimi` (manifest commit lives there).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 K1 = 1.2
 B = 0.75

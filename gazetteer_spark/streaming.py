@@ -71,6 +71,61 @@ def index_stream(
     )
 
 
+def index_cdc_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "docid",
+    content_col: str = "content",
+    action_col: str = "action",
+    n_shards: int = 8,
+    positions: bool = False,
+    analyzer: str = "default",
+    **trigger_kwargs,
+):
+    """Change-data-capture ingest: each record carries an ``action`` column
+    ('add' | 'remove') — the reference's sortupdate action rows
+    (`sortupdate/SortAndUpdateTask.java:30-92`) driven by a stream.
+
+    Per micro-batch: adds commit as a segment generation, then removals
+    commit as a tombstone generation (so a doc added and removed in the
+    same batch ends up deleted). Removal ids pass through the driver (the
+    tombstone API takes an id list — deletes per batch are metadata-scale).
+    Compaction later folds tombstones away (spimi.compact_index)."""
+    if not trigger_kwargs:
+        trigger_kwargs = {"availableNow": True}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        adds = batch_df.filter(F.col(action_col) == "add").drop(action_col)
+        if not adds.isEmpty():
+            if not os.path.exists(f"{out_dir}/build.json"):
+                spimi.build_index(
+                    spark, adds, out_dir, n_shards=n_shards,
+                    id_col=id_col, content_col=content_col,
+                    positions=positions, analyzer=analyzer,
+                )
+            else:
+                spimi.add_documents(
+                    spark, adds, out_dir, id_col=id_col, content_col=content_col
+                )
+        removes = [
+            r[0] for r in batch_df.filter(F.col(action_col) == "remove")
+            .select(id_col).distinct().collect()
+        ]
+        if removes and os.path.exists(f"{out_dir}/build.json"):
+            spimi.delete_documents(spark, removes, out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**trigger_kwargs)
+        .start()
+    )
+
+
 def running_user_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Streaming per-key running event counts via applyInPandasWithState.
 

@@ -91,6 +91,51 @@ def test_streaming_index_ingest_matches_batch(spark, documents, tmp_path_factory
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_streaming_cdc_add_remove(spark, documents, tmp_path_factory):
+    """CDC ingest (action add/remove per record): the streamed index must be
+    byte-identical (manifest checksums) to the same operation sequence
+    applied imperatively."""
+    from gazetteer_spark import streaming
+    from gazetteer_spark.index import spimi
+
+    work = tmp_path_factory.mktemp("stream_cdc")
+    src = str(work / "src")
+    batch1 = documents.filter(F.col("doc_id") < 300).withColumn(
+        "action", F.lit("add"))
+    adds2 = documents.filter(F.col("doc_id") >= 300).withColumn(
+        "action", F.lit("add"))
+    removes2 = documents.filter(F.col("doc_id").isin([5, 310])).withColumn(
+        "action", F.lit("remove"))
+    batch1.coalesce(1).write.parquet(f"{src}/b1")
+    adds2.unionByName(removes2).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(work / "idx")
+    q = streaming.index_cdc_stream(
+        spark, stream, idx, str(work / "ckpt"),
+        id_col="doc_id", content_col="text", n_shards=8,
+    )
+    q.awaitTermination()
+
+    ref = str(work / "idx_ref")
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), ref,
+                      n_shards=8, id_col="doc_id", content_col="text")
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), ref,
+                        id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, [5, 310], ref)
+
+    man_a = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, idx).collect()}
+    man_b = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, ref).collect()}
+    assert man_a == man_b
+
+
 def test_apply_in_pandas_with_state_counts(spark, sf_dir, tmp_path_factory):
     """Custom stateful operator (applyInPandasWithState): cumulative per-user
     counts across micro-batches; final state equals the batch answer."""

@@ -144,8 +144,13 @@ def count_tokens_pdf(tokens: pd.Series) -> pd.Series:
     the frozen regex chain runs JVM-side (tokens_expr, whole-stage codegen)
     and Python only Counter-folds the already-split tokens — ~1.3× faster
     end-to-end than regexing in Python (analyze_pdf), with the identical
-    one-shuffle plan. Semantics equality is property-tested."""
+    one-shuffle plan. Semantics equality is property-tested.
+
+    NULL content tokenizes to a NULL array JVM-side, which Arrow delivers
+    as None — guard it (a null row must not kill the build)."""
     def one(ts):
+        if ts is None:
+            return []
         c = Counter(ts)
         return [(t, int(n)) for t, n in c.items()]
 
@@ -259,8 +264,11 @@ def analyze_positions_pdf(content: pd.Series) -> pd.Series:
 @pandas_udf(_TERMTFPOS)
 def position_tokens_pdf(tokens: pd.Series) -> pd.Series:
     """Token array → [(term, tf, [pos…])…] — the hybrid positional half
-    (JVM tokenizer upstream; Python only enumerates occurrences)."""
+    (JVM tokenizer upstream; Python only enumerates occurrences). NULL
+    content arrives as None — guard it."""
     def one(ts):
+        if ts is None:
+            return []
         d: dict[str, list[int]] = {}
         for i, t in enumerate(ts):
             d.setdefault(t, []).append(i)

@@ -604,15 +604,14 @@ def q_rel_j9_hierarchy(spark, sf_dir):
     that converges in O(log depth) rounds instead of O(depth).
 
     The hierarchy is synthesized deterministically from data (node =
-    dense rank of o_orderkey, parent = node div 8; real deployments carry
+    o_orderkey itself — no global row_number, so the fixture has NO
+    single-task sort/window; parent = node div 8; real deployments carry
     an explicit parent column). Each round is one equi-join on the ancestor
     pointer; at 10^12 edges the round count stays ~log2(depth) ≈ 5-7 and
     every round is a plain shuffled hash join — the classic Shiloach-Vishkin
     shape, no driver-side data movement (the fixpoint check is a count)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    nodes = o.select(
-        F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("node")
-    )
+    nodes = o.select(F.col("o_orderkey").cast("long").alias("node"))
     parent = F.expr("node div 8")
     state = nodes.select(
         "node",
@@ -640,8 +639,8 @@ def q_rel_j9_hierarchy(spark, sf_dir):
 
 def _oracle_j9_hierarchy() -> str:
     return (
-        "WITH RECURSIVE n AS (SELECT row_number() OVER (ORDER BY o_orderkey)"
-        " AS node FROM orders),"
+        "WITH RECURSIVE n AS (SELECT CAST(o_orderkey AS BIGINT) AS node"
+        " FROM orders),"
         " r AS (SELECT node, node AS cur, 0 AS depth FROM n"
         "  UNION ALL SELECT node, cur // 8, depth + 1 FROM r WHERE cur // 8 > 0)"
         " SELECT node, CAST(cur AS BIGINT) AS root, CAST(depth AS INT) AS depth"

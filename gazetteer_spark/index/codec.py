@@ -375,3 +375,60 @@ def decode_blocks(buf: bytes, byte_ends: np.ndarray,
         out_d.append(d)
         out_t.append(t)
     return np.concatenate(out_d), np.concatenate(out_t)
+
+
+class DelIndex:
+    """Generation-ordered tombstones.
+
+    A 'dels' row committed at generation g masks docids only in OLDER
+    generations (< g): deleting then re-adding a docid in a later generation
+    makes the new document visible again, and a remove recorded at gen g
+    never touches an add from gen ≥ g. This is the reference's latest-wins
+    timestamp semantics (`sortupdate/SortAndUpdateTask.java:36-85`) with the
+    generation number as the timestamp.
+
+    Built per shard/bucket inside applyInPandas workers from the committed
+    'dels' segment rows; ``mask_for(gen)`` returns the sorted unique docids
+    a posting row of that generation must drop (cached per distinct gen).
+    """
+
+    __slots__ = ("_gens", "_ids", "_cache")
+
+    def __init__(self, gens_and_bufs):
+        """``gens_and_bufs``: iterable of (generation, postings_bytes)."""
+        items = sorted(
+            (int(g), decode_postings(b)[0]) for g, b in gens_and_bufs
+        )
+        self._gens = np.array([g for g, _ in items], dtype=np.int64)
+        self._ids = [ids for _, ids in items]
+        self._cache: dict[int, np.ndarray] = {}
+
+    @classmethod
+    def from_pdf(cls, pdf) -> "DelIndex":
+        """From a segment-row pandas frame holding kind=='dels' rows with
+        their ``gen`` partition column."""
+        dels = pdf[pdf["kind"] == "dels"]
+        return cls(zip(dels["gen"].astype(int), dels["postings"]))
+
+    def __bool__(self) -> bool:
+        return len(self._gens) > 0
+
+    def mask_for(self, gen: int) -> np.ndarray:
+        """Sorted unique docids deleted by generations NEWER than ``gen``."""
+        gen = int(gen)
+        if gen not in self._cache:
+            parts = [ids for g, ids in zip(self._gens, self._ids) if g > gen]
+            self._cache[gen] = (
+                np.unique(np.concatenate(parts)) if parts
+                else np.zeros(0, np.int64)
+            )
+        return self._cache[gen]
+
+    def keep_mask(self, gen: int, ids: np.ndarray) -> np.ndarray:
+        """Boolean mask over ``ids`` (sorted or not): True = doc survives."""
+        dels = self.mask_for(gen)
+        if len(dels) == 0 or len(ids) == 0:
+            return np.ones(len(ids), dtype=bool)
+        pos = np.searchsorted(dels, ids)
+        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
+        return ~hit

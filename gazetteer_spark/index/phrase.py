@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import get_analyzer
 from .codec import (
+    DelIndex,
     decode_block_meta,
     decode_blocks,
     decode_positions,
@@ -55,7 +56,7 @@ _EMPTY = (
 class _Seg:
     """One committed generation of one term's postings in this shard."""
 
-    __slots__ = ("pbuf", "posbuf", "blast", "bends")
+    __slots__ = ("pbuf", "posbuf", "blast", "bends", "gen")
 
 
 def _term_handles(pdf: pd.DataFrame):
@@ -63,19 +64,15 @@ def _term_handles(pdf: pd.DataFrame):
     no posting bytes decoded."""
     per_term: dict[str, list[_Seg]] = {}
     df_tot: dict[str, int] = {}
+    gens = pdf["gen"] if "gen" in pdf.columns else None
     for r in pdf[pdf["kind"] == "post"].itertuples():
         s = _Seg()
         s.pbuf, s.posbuf = r.postings, r.positions
+        s.gen = int(r.gen) if gens is not None else 0
         s.blast, _, _, s.bends = decode_block_meta(r.blockmeta)
         per_term.setdefault(r.term, []).append(s)
         df_tot[r.term] = df_tot.get(r.term, 0) + int(r.df)
     return per_term, df_tot
-
-
-def _dels_of(pdf: pd.DataFrame) -> np.ndarray:
-    parts = [decode_postings(b)[0]
-             for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    return np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
 
 
 def _blocks_holding(seg: _Seg, cand: np.ndarray) -> np.ndarray:
@@ -85,20 +82,28 @@ def _blocks_holding(seg: _Seg, cand: np.ndarray) -> np.ndarray:
 
 
 def _intersect_candidates(
-    per_term: dict[str, list[_Seg]], order: list[str]
+    per_term: dict[str, list[_Seg]], order: list[str],
+    dels: DelIndex | None = None,
 ) -> np.ndarray:
     """Conjunctive docid intersection, rarest term first; later terms decode
-    only blocks that can still hold survivors."""
+    only blocks that can still hold survivors. Tombstones are applied PER
+    SEGMENT GENERATION (a del masks only older generations), so a docid
+    deleted and later re-added intersects through its new generation's
+    postings only — and the per-generation parts stay docid-disjoint."""
     cand: np.ndarray | None = None
     for t in order:
         parts = []
         for s in per_term[t]:
             if cand is None:
-                parts.append(decode_postings(s.pbuf)[0])
+                ids = decode_postings(s.pbuf)[0]
             else:
                 bi = _blocks_holding(s, cand)
-                if len(bi):
-                    parts.append(decode_blocks(s.pbuf, s.bends, bi)[0])
+                if len(bi) == 0:
+                    continue
+                ids = decode_blocks(s.pbuf, s.bends, bi)[0]
+            if dels:
+                ids = ids[dels.keep_mask(s.gen, ids)]
+            parts.append(ids)
         ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
         cand = ids if cand is None else np.intersect1d(cand, ids, assume_unique=True)
         if len(cand) == 0:
@@ -106,9 +111,12 @@ def _intersect_candidates(
     return np.sort(cand)
 
 
-def _term_positions(segs: list[_Seg], cand: np.ndarray):
+def _term_positions(segs: list[_Seg], cand: np.ndarray,
+                    dels: DelIndex | None = None):
     """(ids, tfs, flat positions) for one term, restricted to blocks holding
-    ``cand``, merged across generations into docid order."""
+    ``cand``, merged across generations into docid order. Tombstoned
+    postings (per-generation mask) are dropped so a re-added docid never
+    sees its dead predecessor's positions."""
     per = []
     for s in segs:
         bi = _blocks_holding(s, cand)
@@ -116,6 +124,13 @@ def _term_positions(segs: list[_Seg], cand: np.ndarray):
             continue
         ids, tfs = decode_blocks(s.pbuf, s.bends, bi)
         flat = decode_positions_blocks(s.posbuf, bi, tfs)
+        if dels:
+            keep = dels.keep_mask(s.gen, ids)
+            if not keep.all():
+                flat = flat[np.repeat(keep, tfs)]
+                ids, tfs = ids[keep], tfs[keep]
+        if len(ids) == 0:
+            continue
         per.append((ids, tfs.astype(np.int64), flat))
     if not per:
         return _EMPTY
@@ -141,14 +156,6 @@ def _packed_keys(ids, tfs, flat, common: np.ndarray, slot: int):
     return ranks[ok] * MAXPOS + shifted[ok]
 
 
-def _mask_dels(cand: np.ndarray, dels: np.ndarray) -> np.ndarray:
-    if len(dels) == 0 or len(cand) == 0:
-        return cand
-    pos = np.searchsorted(dels, cand)
-    hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == cand)
-    return cand[~hit]
-
-
 def _phrase_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     """One shard's relevant segment rows → (docid, n_occurrences)."""
     empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
@@ -158,13 +165,13 @@ def _phrase_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     if any(t not in per_term for t in distinct):
         return empty  # conjunctive: a missing term empties this shard
 
+    dels = DelIndex.from_pdf(pdf)
     order = sorted(distinct, key=lambda t: (df_tot[t], t))
-    common = _intersect_candidates(per_term, order)
-    common = _mask_dels(common, _dels_of(pdf))
+    common = _intersect_candidates(per_term, order, dels)
     if len(common) == 0:
         return empty
 
-    decoded = {t: _term_positions(per_term[t], common) for t in distinct}
+    decoded = {t: _term_positions(per_term[t], common, dels) for t in distinct}
     matched = _packed_keys(*decoded[terms[0]], common, 0)
     for i, t in enumerate(terms[1:], start=1):
         if len(matched) == 0:
@@ -189,14 +196,14 @@ def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataF
     per_term, df_tot = _term_handles(pdf)
     if term_a not in per_term or term_b not in per_term:
         return empty
+    dels = DelIndex.from_pdf(pdf)
     order = sorted([term_a, term_b], key=lambda t: (df_tot[t], t))
-    common = _intersect_candidates(per_term, order)
-    common = _mask_dels(common, _dels_of(pdf))
+    common = _intersect_candidates(per_term, order, dels)
     if len(common) == 0:
         return empty
 
-    ids_a, tfs_a, flat_a = _term_positions(per_term[term_a], common)
-    ids_b, tfs_b, flat_b = _term_positions(per_term[term_b], common)
+    ids_a, tfs_a, flat_a = _term_positions(per_term[term_a], common, dels)
+    ids_b, tfs_b, flat_b = _term_positions(per_term[term_b], common, dels)
 
     idx = np.searchsorted(common, ids_a)
     keep = (idx < len(common)) & (common[np.minimum(idx, len(common) - 1)] == ids_a)
@@ -219,7 +226,8 @@ def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataF
                          "n_pairs": n_pairs[nz].astype(np.int64)})
 
 
-def _positional_segments(spark: SparkSession, index_dir: str, terms: list[str]):
+def _positional_segments(spark: SparkSession, index_dir: str):
+    """(build params, committed segment rows) — one build.json read."""
     from .spimi import committed_segments
 
     with open(f"{index_dir}/build.json") as f:
@@ -230,8 +238,11 @@ def _positional_segments(spark: SparkSession, index_dir: str, terms: list[str]):
             "rebuild with build_index(..., positions=True) for "
             "phrase/proximity queries"
         )
-    seg = committed_segments(spark, index_dir)
-    return params, seg.filter(
+    return params, committed_segments(spark, index_dir)
+
+
+def _relevant_rows(seg: DataFrame, terms: list[str]) -> DataFrame:
+    return seg.filter(
         ((F.col("kind") == "post") & F.col("term").isin(sorted(set(terms))))
         | (F.col("kind") == "dels")
     )
@@ -242,13 +253,11 @@ def phrase_match(
 ) -> DataFrame:
     """(docid, n_occurrences): documents containing the exact token phrase,
     with occurrence counts — served entirely from the positional index."""
-    with open(f"{index_dir}/build.json") as f:
-        params = json.load(f)
+    params, seg = _positional_segments(spark, index_dir)
     terms = get_analyzer(params.get("analyzer", "default")).py_tokenize(phrase)
     if not terms:
         raise ValueError("empty phrase after analysis")
-    _, relevant = _positional_segments(spark, index_dir, terms)
-    return relevant.groupBy("shard").applyInPandas(
+    return _relevant_rows(seg, terms).groupBy("shard").applyInPandas(
         lambda pdf: _phrase_shard(pdf, terms),
         "docid long, n_occurrences long",
     )
@@ -261,14 +270,12 @@ def near_match(
     within token distance ≤ k, with the pair count — a proximity (NEAR/k)
     query served from the positional index. Same scan shape as
     :func:`phrase_match`."""
-    with open(f"{index_dir}/build.json") as f:
-        params = json.load(f)
+    params, seg = _positional_segments(spark, index_dir)
     tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
     ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
     if not ta or not tb or ta == tb:
         raise ValueError("NEAR needs two distinct non-empty analyzed terms")
-    _, relevant = _positional_segments(spark, index_dir, [ta, tb])
-    return relevant.groupBy("shard").applyInPandas(
+    return _relevant_rows(seg, [ta, tb]).groupBy("shard").applyInPandas(
         lambda pdf: _near_shard(pdf, ta, tb, k),
         "docid long, n_pairs long",
     )

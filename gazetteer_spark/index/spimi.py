@@ -209,6 +209,7 @@ def build_index(
     batch_shards: int | None = None,
     positions: bool = False,
     analyzer: str = "default",
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Build (or resume) the index. Returns the stats dict.
 
@@ -273,7 +274,8 @@ def build_index(
             p = postings_all
             if len(batch) < n_shards:
                 p = p.filter(F.col("shard").isin(batch))
-            _write_generation(spark, p, out_dir, batch, generation=0)
+            _write_generation(spark, p, out_dir, batch, generation=0,
+                              manifest_extra=manifest_extra)
 
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)
@@ -285,15 +287,18 @@ def add_documents(
     out_dir: str,
     id_col: str = "docid",
     content_col: str = "content",
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Incremental (append-only) index update: a new segment GENERATION.
 
     The reference's diff/append lifecycle (`diff/Diff.java:132-235`,
     `split --append` Split.java:34-74) re-expressed: new docs become
     per-shard delta segments under ``segments/gen=N``; queries merge all
-    COMMITTED generations per (shard, term). Docids must be new (append-only
-    — updates/deletes need tombstones, a later generation feature); the
-    caller can enforce with an anti-join on the doc registry.
+    COMMITTED generations per (shard, term). Docids must be either brand-new
+    or previously TOMBSTONED (tombstones are generation-ordered, so a
+    re-added docid's new document becomes visible and its dead predecessor
+    stays masked); adding a currently-LIVE docid is undefined — enforce with
+    an anti-join on the doc registry when the feed can't guarantee it.
     """
     from ..analyzer import get_analyzer
 
@@ -320,22 +325,38 @@ def add_documents(
     stale_pending = f"{out_dir}/manifest_pending/gen{generation}"
     if os.path.exists(stale_pending):
         shutil.rmtree(stale_pending)
-    _write_generation(spark, p, out_dir, list(range(n_shards)), generation)
+    _write_generation(spark, p, out_dir, list(range(n_shards)), generation,
+                      manifest_extra=manifest_extra)
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)
 
 
 def delete_documents(
-    spark: SparkSession, docids: list[int], out_dir: str
+    spark: SparkSession, docids: list[int], out_dir: str,
+    manifest_extra: dict | None = None,
+) -> dict:
+    """Tombstone delete from a driver-side id list — convenience wrapper
+    over :func:`delete_documents_df` for metadata-scale deletes."""
+    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    return delete_documents_df(spark, df, out_dir, manifest_extra=manifest_extra)
+
+
+def delete_documents_df(
+    spark: SparkSession, docids: DataFrame, out_dir: str,
+    id_col: str = "docid", manifest_extra: dict | None = None,
 ) -> dict:
     """Tombstone delete: a generation whose per-shard rows (kind='dels')
     carry the deleted docids; queries mask them out at decode time.
+    DataFrame-native — the removal ids never pass through the driver, so
+    delete-heavy feeds (re-ingest, purge) stay distributed end-to-end.
 
     Reference parity: sortupdate's ``action=remove`` rows and diff's ``-``
     ops (`sortupdate/SortAndUpdateTask.java:30-92`, `diff/Diff.java`).
     Lucene-like semantics: corpus stats (N, avgdl, df) stay as built until a
-    compaction (full rebuild); deleted docs simply stop matching. Re-adding
-    a tombstoned docid is unsupported until compaction.
+    compaction (full rebuild); deleted docs simply stop matching. Tombstones
+    are GENERATION-ORDERED (codec.DelIndex): they mask only generations
+    older than this delete, so a docid re-added by a LATER add_documents
+    becomes visible again.
     """
     with open(f"{out_dir}/build.json") as f:
         params = json.load(f)
@@ -343,8 +364,8 @@ def delete_documents(
     gens = committed_generations(out_dir)
     generation = max(gens) + 1
 
-    df = spark.createDataFrame([(int(d),) for d in docids], "docid long")
-    df = df.withColumn("shard", shard_expr(F.col("docid"), n_shards))
+    df = (docids.select(F.col(id_col).cast("long").alias("docid"))
+          .withColumn("shard", shard_expr(F.col("docid"), n_shards)))
     pending = f"{out_dir}/manifest_pending/gen{generation}"
 
     def build_dels(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -377,9 +398,16 @@ def delete_documents(
     segments.write.mode("append").partitionBy("gen", "shard").parquet(
         f"{out_dir}/segments"
     )
-    _commit_manifest(spark, out_dir, sorted({r["shard"] for r in
-                                             df.select("shard").distinct().collect()}),
-                     generation)
+    # shard list from the pending side files the write just produced — no
+    # second job over the removal ids, nothing data-sized on the driver
+    shards = sorted(
+        int(f.split("_")[1].split(".")[0])
+        for f in (os.listdir(pending) if os.path.isdir(pending) else [])
+        if f.startswith("shard_")
+    )
+    if shards:
+        _commit_manifest(spark, out_dir, shards, generation,
+                         extra=manifest_extra)
     return load_stats(out_dir)
 
 
@@ -416,27 +444,19 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     with_pos = bool(params.get("positions"))
 
     def compact_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import DelIndex
         from .codec import decode_positions as _decp
         from .codec import decode_postings as _dec
 
-        dels_parts = [_dec(b)[0] for b in pdf[pdf["kind"] == "dels"]["postings"]]
-        dels = (
-            np.unique(np.concatenate(dels_parts))
-            if dels_parts else np.zeros(0, np.int64)
-        )
-
-        def alive_mask(ids: np.ndarray) -> np.ndarray:
-            if len(dels) == 0 or len(ids) == 0:
-                return np.ones(len(ids), dtype=bool)
-            pos = np.searchsorted(dels, ids)
-            hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
-            return ~hit
+        # generation-ordered: a del masks only OLDER generations, so a
+        # docid deleted then re-added keeps its newest document
+        dels = DelIndex.from_pdf(pdf)
 
         shard = int(pdf["shard"].iloc[0])
         frames = []
         for r in pdf[pdf["kind"] == "post"].itertuples():
             ids, tfs = _dec(r.postings)
-            keep = alive_mask(ids)
+            keep = dels.keep_mask(int(r.gen), ids)
             if not keep.any():
                 continue
             frame = {"docid": ids[keep], "term": r.term, "tf": tfs[keep]}
@@ -476,7 +496,7 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
 
 def _write_generation(
     spark: SparkSession, postings: DataFrame, out_dir: str,
-    shards: list[int], generation: int,
+    shards: list[int], generation: int, manifest_extra: dict | None = None,
 ) -> None:
     # groupBy itself shuffles on the group key — an explicit repartition
     # would be a second, redundant shuffle. With shuffle.partitions >
@@ -496,7 +516,7 @@ def _write_generation(
         f"{out_dir}/segments"
     )
     # segments land first; the manifest row is the commit point
-    _commit_manifest(spark, out_dir, shards, generation)
+    _commit_manifest(spark, out_dir, shards, generation, extra=manifest_extra)
 
 
 def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
@@ -530,6 +550,38 @@ def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
     os.replace(tmp, f"{out_dir}/stats.json")
 
 
+def last_stream_commit(out_dir: str, stream_id: str) -> tuple[int | None, set[str]]:
+    """(newest applied batch_id for this stream, the batch_steps committed
+    at that batch) read from the manifest — the streaming sinks' idempotence
+    check. (None, set()) if the stream has never committed. Driver-side
+    metadata I/O only (one tiny parquet footer+read per commit batch)."""
+    man = f"{out_dir}/manifest"
+    if not os.path.isdir(man):
+        return None, set()
+    import pyarrow.parquet as pq
+
+    best: int | None = None
+    steps: set[str] = set()
+    for name in sorted(os.listdir(man)):
+        if not name.endswith(".parquet"):
+            continue
+        path = f"{man}/{name}"
+        if "batch_id" not in pq.read_schema(path).names:
+            continue  # commit from before batch markers existed
+        t = pq.read_table(path, columns=["stream_id", "batch_id", "batch_step"])
+        for sid, bid, step in zip(
+            t["stream_id"].to_pylist(), t["batch_id"].to_pylist(),
+            t["batch_step"].to_pylist(),
+        ):
+            if sid != stream_id or bid is None or bid < 0:
+                continue
+            if best is None or bid > best:
+                best, steps = bid, set()
+            if bid == best:
+                steps.add(step)
+    return best, steps
+
+
 def committed_generations(out_dir: str) -> set[int]:
     import pyarrow.parquet as pq
 
@@ -554,14 +606,23 @@ def committed_segments(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _commit_manifest(
-    spark: SparkSession, out_dir: str, shards: list[int], generation: int
+    spark: SparkSession, out_dir: str, shards: list[int], generation: int,
+    extra: dict | None = None,
 ) -> None:
     """Promote the pending per-task metadata files of ``shards`` to the
     manifest table — the durable commit point. Pure driver-side metadata
-    I/O (the Iceberg commit pattern): no Spark job, no data-file reads."""
+    I/O (the Iceberg commit pattern): no Spark job, no data-file reads.
+
+    ``extra`` rides in the SAME atomic rename (streaming exactly-once:
+    stream_id/batch_id/batch_step land with — not after — the commit, so
+    there is no window where a generation is visible but its batch marker
+    is not). The three columns are always present (defaults) to keep every
+    manifest file schema-identical."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    marker = {"stream_id": "", "batch_id": -1, "batch_step": "",
+              **(extra or {})}
     with open(f"{out_dir}/build.json") as f:
         analyzer_version = json.load(f).get("analyzer_version", ANALYZER_VERSION)
     recs = []
@@ -577,6 +638,9 @@ def _commit_manifest(
         m["generation"] = generation
         m["analyzer_version"] = analyzer_version
         m["status"] = "committed"
+        m["stream_id"] = str(marker["stream_id"])
+        m["batch_id"] = int(marker["batch_id"])
+        m["batch_step"] = str(marker["batch_step"])
         recs.append(m)
     table = pa.Table.from_pylist(recs)
     os.makedirs(f"{out_dir}/manifest", exist_ok=True)

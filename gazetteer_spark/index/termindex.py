@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .codec import decode_postings, encode_postings
+from .codec import DelIndex, decode_postings, encode_postings
 
 TERM_LAYOUT_SCHEMA = "bucket int, term string, df long, cf long, postings binary"
 
@@ -40,26 +40,27 @@ def term_bucket_expr(term_col, n_buckets: int):
 
 
 def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One bucket's segment rows → one merged row per term."""
+    """One bucket's segment rows → one merged row per term. Tombstones are
+    generation-ordered (a del masks only older generations — see
+    codec.DelIndex), so re-added docids keep their newest postings."""
     bucket = int(pdf["bucket"].iloc[0])
-    dels_parts = [decode_postings(b)[0]
-                  for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    dels = (np.unique(np.concatenate(dels_parts))
-            if dels_parts else np.zeros(0, np.int64))
+    dels = DelIndex.from_pdf(pdf)
 
     posts = pdf[pdf["kind"] == "post"]
     out_rows = []
     for term, grp in posts.groupby("term", sort=True):
-        parts = [decode_postings(b) for b in grp["postings"]]
+        parts = []
+        for r in grp.itertuples():  # mask per generation, then merge
+            ids, tfs = decode_postings(r.postings)
+            if dels:
+                keep = dels.keep_mask(int(r.gen), ids)
+                ids, tfs = ids[keep], tfs[keep]
+            parts.append((ids, tfs))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
         if len(parts) > 1:
-            order = np.argsort(ids, kind="stable")  # shard/gen docids disjoint
+            order = np.argsort(ids, kind="stable")  # survivors stay disjoint
             ids, tfs = ids[order], tfs[order]
-        if len(dels):
-            pos = np.searchsorted(dels, ids)
-            hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
-            ids, tfs = ids[~hit], tfs[~hit]
         if len(ids) == 0:
             continue
         buf, _ = encode_postings(ids, tfs)
@@ -83,7 +84,7 @@ def build_term_layout(
     seg = committed_segments(spark, index_dir)
     rows = seg.filter(F.col("kind").isin(["post", "dels"])).select(
         term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
-        "kind", "term", "postings",
+        "kind", "term", "postings", "gen",
     )
     # dels rows have term NULL → xxhash64(NULL) bucket; they must reach EVERY
     # bucket (any term may hold deleted docids): explode them across buckets
@@ -92,7 +93,9 @@ def build_term_layout(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
     posts = rows.filter(F.col("kind") == "post")
-    allrows = posts.unionByName(dels_all.select("bucket", "kind", "term", "postings"))
+    allrows = posts.unionByName(
+        dels_all.select("bucket", "kind", "term", "postings", "gen")
+    )
     merged = allrows.groupBy("bucket").applyInPandas(
         _merge_bucket, TERM_LAYOUT_SCHEMA
     )

@@ -44,7 +44,7 @@ from pyspark.sql import Window as W
 
 from .. import B, K1
 from ..analyzer import get_analyzer
-from .codec import decode_block_meta, decode_blocks, decode_postings
+from .codec import DelIndex, decode_block_meta, decode_blocks, decode_postings
 from .spimi import load_stats
 
 EPS = 1e-9
@@ -52,6 +52,25 @@ EPS = 1e-9
 
 def _idf(n_docs: int, df: int) -> float:
     return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _doc_meta(docs_rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-generation doc tables → (docids sorted, doclens). A docid
+    re-added after a tombstone appears once per generation; the NEWEST
+    generation's doclen wins (generation-ordered latest-wins, the
+    reference's `sortupdate/SortAndUpdateTask.java:36-85` semantics)."""
+    ordered = (docs_rows.sort_values("gen") if "gen" in docs_rows.columns
+               else docs_rows)
+    parts = [decode_postings(b) for b in ordered["postings"]]
+    all_ids = np.concatenate([p[0] for p in parts])
+    all_lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    if len(parts) > 1:
+        order = np.argsort(all_ids, kind="stable")
+        all_ids, all_lens = all_ids[order], all_lens[order]
+        keep = np.ones(len(all_ids), dtype=bool)  # last of each run = newest
+        keep[:-1] = all_ids[1:] != all_ids[:-1]
+        all_ids, all_lens = all_ids[keep], all_lens[keep]
+    return all_ids, all_lens
 
 
 def _score_shard(
@@ -66,51 +85,46 @@ def _score_shard(
     # group rows by term — a term can have one row per committed generation.
     # Posting bytes stay ENCODED until a term actually needs them; per-block
     # upper bounds come from the metadata alone.
-    post_rows: dict[str, list[tuple[bytes, bytes]]] = {}
+    has_gen = "gen" in pdf.columns
+    post_rows: dict[str, list[tuple[bytes, bytes, int]]] = {}
     for r in pdf[pdf["kind"] == "post"].itertuples():
-        post_rows.setdefault(r.term, []).append((r.postings, r.blockmeta))
+        post_rows.setdefault(r.term, []).append(
+            (r.postings, r.blockmeta, int(r.gen) if has_gen else 0)
+        )
     docs_rows = pdf[pdf["kind"] == "docs"]
     if docs_rows.empty or not post_rows:
         return pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
             {"query_id": "int32", "docid": "int64", "score": "float64"}
         )
-    parts = [decode_postings(b) for b in docs_rows["postings"]]
-    all_ids = np.concatenate([p[0] for p in parts])
-    all_lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
-    if len(parts) > 1:  # merge generations' doc tables
-        order = np.argsort(all_ids, kind="stable")
-        all_ids, all_lens = all_ids[order], all_lens[order]
+    all_ids, all_lens = _doc_meta(docs_rows)
     norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
 
-    # tombstones: union of all committed 'dels' generations; masked at
-    # decode time (Lucene-like: stats stay as built until compaction)
-    del_parts = [decode_postings(b)[0] for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    dels = (
-        np.unique(np.concatenate(del_parts)) if del_parts else np.zeros(0, np.int64)
-    )
+    # tombstones: GENERATION-ORDERED — a del masks only OLDER generations'
+    # postings, so re-adds stay visible (Lucene-like otherwise: stats stay
+    # as built until compaction)
+    dels = DelIndex.from_pdf(pdf)
 
-    def mask_deleted(ids: np.ndarray, tfs: np.ndarray):
-        if len(dels) == 0 or len(ids) == 0:
+    def mask_deleted(ids: np.ndarray, tfs: np.ndarray, gen: int):
+        if not dels or len(ids) == 0:
             return ids, tfs
-        pos = np.searchsorted(dels, ids)
-        hit = (pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == ids)
-        if not hit.any():
+        keep = dels.keep_mask(gen, ids)
+        if keep.all():
             return ids, tfs
-        return ids[~hit], tfs[~hit]
+        return ids[keep], tfs[keep]
 
     # per-term segment handles: (pbuf, byte_ends, block_last, block_ub) per
     # generation + the term-level bound; block_ub includes idf-free
     # (k1+1)*tfnorm(max_tf, min_dl) evaluated with the scoring float ops
     class _Seg:
-        __slots__ = ("pbuf", "bends", "blast", "bub")
+        __slots__ = ("pbuf", "bends", "blast", "bub", "gen")
 
     terms_meta: dict[str, tuple[list, float]] = {}
     for term, bufs in post_rows.items():
         segs, tmax = [], 0.0
-        for pbuf, bbuf in bufs:
+        for pbuf, bbuf, gen in bufs:
             blast, bmax_tf, bmin_dl, bends = decode_block_meta(bbuf)
             s = _Seg()
-            s.pbuf, s.bends, s.blast = pbuf, bends, blast
+            s.pbuf, s.bends, s.blast, s.gen = pbuf, bends, blast, gen
             if len(bmax_tf):
                 s.bub = (bmax_tf * (K1 + 1.0)) / (
                     bmax_tf + K1 * (1.0 - B + B * bmin_dl.astype(np.float64) / avgdl)
@@ -126,13 +140,15 @@ def _score_shard(
     def decode_full(term):
         if term not in full_cache:
             segs, _ = terms_meta[term]
-            ps = [decode_postings(s.pbuf) for s in segs]
+            # mask per generation BEFORE merging: survivors stay disjoint
+            # across generations even when a docid was deleted and re-added
+            ps = [mask_deleted(*decode_postings(s.pbuf), s.gen) for s in segs]
             ids = np.concatenate([p[0] for p in ps])
             tfs = np.concatenate([p[1] for p in ps])
-            if len(ps) > 1:  # generations' docid sets are disjoint
+            if len(ps) > 1:
                 order = np.argsort(ids, kind="stable")
                 ids, tfs = ids[order], tfs[order]
-            full_cache[term] = mask_deleted(ids, tfs)
+            full_cache[term] = (ids, tfs)
         return full_cache[term]
 
     # pruning must never drop a doc that could TIE the k-th result after
@@ -189,7 +205,7 @@ def _score_shard(
                     need = np.unique(bi[keep & inside]) if len(bi) else bi[:0]
                     if len(need) == 0:
                         continue
-                    ids, tfs = mask_deleted(*decode_blocks(s.pbuf, s.bends, need))
+                    ids, tfs = mask_deleted(*decode_blocks(s.pbuf, s.bends, need), s.gen)
                     pos = np.searchsorted(all_ids, ids)
                     contrib = idf * (tfs * (K1 + 1.0)) / (tfs + norm_by_doc[pos])
                     hit = np.searchsorted(cand_ids, ids)
@@ -320,7 +336,7 @@ def _score_shard_and(
     (only blocks whose docid range can hold survivors are touched), then
     score exactly the candidates. qplans rows carry (query_id,
     [(term, idf)…] sorted by df asc, n_terms_required)."""
-    from .phrase import _intersect_candidates, _mask_dels, _term_handles
+    from .phrase import _intersect_candidates, _term_handles
 
     per_term, _ = _term_handles(pdf)
     docs_rows = pdf[pdf["kind"] == "docs"]
@@ -329,17 +345,9 @@ def _score_shard_and(
     )
     if docs_rows.empty:
         return empty
-    parts = [decode_postings(b) for b in docs_rows["postings"]]
-    all_ids = np.concatenate([p[0] for p in parts])
-    all_lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
-    if len(parts) > 1:
-        order = np.argsort(all_ids, kind="stable")
-        all_ids, all_lens = all_ids[order], all_lens[order]
+    all_ids, all_lens = _doc_meta(docs_rows)
     norm_by_doc = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
-    del_parts = [decode_postings(b)[0]
-                 for b in pdf[pdf["kind"] == "dels"]["postings"]]
-    dels = (np.unique(np.concatenate(del_parts))
-            if del_parts else np.zeros(0, np.int64))
+    dels = DelIndex.from_pdf(pdf)
 
     out_q, out_d, out_s = [], [], []
     for qid, weighted_terms, n_required in qplans:
@@ -350,8 +358,7 @@ def _score_shard_and(
         ):
             continue
         order_terms = [t for t, _ in weighted_terms]
-        cand = _intersect_candidates(per_term, order_terms)
-        cand = _mask_dels(cand, dels)
+        cand = _intersect_candidates(per_term, order_terms, dels)
         if len(cand) == 0:
             continue
         scores = np.zeros(len(cand))
@@ -363,6 +370,9 @@ def _score_shard_and(
                 if len(bi) == 0:
                     continue
                 ids, tfs = decode_blocks(s.pbuf, s.bends, bi)
+                if dels:  # per-generation mask (re-add correctness)
+                    keep = dels.keep_mask(s.gen, ids)
+                    ids, tfs = ids[keep], tfs[keep]
                 hit = np.searchsorted(cand, ids)
                 ok = (hit < len(cand)) & (cand[np.minimum(hit, len(cand) - 1)] == ids)
                 pos = np.searchsorted(all_ids, ids[ok])

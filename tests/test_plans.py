@@ -31,3 +31,15 @@ def test_no_unbounded_joins(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, name
     if name not in ONE_ROW_BROADCAST:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_jaccard_candidate_gate_pushed_below_pair_join(spark, sf_dir):
+    """minhash_dedup_pairs must gate the shingle rows by candidate DOCIDS on
+    both sides of the heavy pair self-join (pushdown), in addition to the
+    exact pair-level semi afterwards: ≥3 LeftSemi joins in the plan (the
+    docid gate appears once per self-join side + the pair gate).
+    dd_lsh_pairs is the candidate-gated entry (dd_jaccard_pairs is the
+    ungated all-pairs verify)."""
+    df = entrymod.queries()["dd_lsh_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 3, plan

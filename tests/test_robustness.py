@@ -23,6 +23,22 @@ def test_build_with_empty_and_whitespace_docs(spark, tmp_path_factory):
     assert [r["docid"] for r in hits] == [0]
 
 
+def test_build_with_null_content_rows(spark, tmp_path_factory):
+    """NULL content must not kill the build (the JVM tokenizer yields a NULL
+    array that Arrow delivers as None to the fold UDFs) — both layouts."""
+    df = spark.createDataFrame(
+        [(0, "real content words here"), (1, None), (2, "more real words")],
+        "doc_id long, text string",
+    )
+    for positions in (False, True):
+        d = str(tmp_path_factory.mktemp(f"idx_null_{positions}"))
+        stats = spimi.build_index(spark, df, d, n_shards=4, id_col="doc_id",
+                                  content_col="text", positions=positions)
+        assert stats["n_docs"] == 2
+        hits = wand.topk(spark, d, [(0, "content")], k=5).collect()
+        assert [r["docid"] for r in hits] == [0]
+
+
 def test_resume_incompatible_params_rejected(spark, documents, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_params"))
     spimi.build_index(spark, documents, d, n_shards=4, id_col="doc_id",

@@ -94,7 +94,8 @@ def test_streaming_index_ingest_matches_batch(spark, documents, tmp_path_factory
 def test_streaming_cdc_add_remove(spark, documents, tmp_path_factory):
     """CDC ingest (action add/remove per record): the streamed index must be
     byte-identical (manifest checksums) to the same operation sequence
-    applied imperatively."""
+    applied imperatively — removals apply BEFORE adds within a batch (the
+    upsert convention), so [remove X, add X] in one batch keeps X."""
     from gazetteer_spark import streaming
     from gazetteer_spark.index import spimi
 
@@ -122,18 +123,120 @@ def test_streaming_cdc_add_remove(spark, documents, tmp_path_factory):
     )
     q.awaitTermination()
 
+    # imperative twin of the SAME semantics: batch 2 deletes land first
     ref = str(work / "idx_ref")
     spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), ref,
                       n_shards=8, id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, [5, 310], ref)
     spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), ref,
                         id_col="doc_id", content_col="text")
-    spimi.delete_documents(spark, [5, 310], ref)
 
     man_a = {(r["generation"], r["shard"]): r["checksum"]
              for r in spimi.load_manifest(spark, idx).collect()}
     man_b = {(r["generation"], r["shard"]): r["checksum"]
              for r in spimi.load_manifest(spark, ref).collect()}
     assert man_a == man_b
+
+    # semantics: doc 5 (added batch 1, removed batch 2) is gone; doc 310
+    # (removed and added in the SAME batch) survives — compaction counts
+    # exactly the visible docs
+    compacted = str(work / "idx_compact")
+    stats = spimi.compact_index(spark, idx, compacted)
+    assert stats["n_docs"] == documents.count() - 1
+
+
+def test_streaming_replay_is_idempotent(spark, documents, tmp_path_factory):
+    """Exactly-once: the batch marker rides in the manifest commit, so
+    replaying already-applied micro-batches (fresh checkpoint, same
+    stream identity and batch ids) must not change the index at all."""
+    import shutil
+
+    from gazetteer_spark import streaming
+    from gazetteer_spark.index import spimi
+
+    work = tmp_path_factory.mktemp("stream_replay")
+    src = str(work / "src")
+    for i, (lo, hi) in enumerate([(0, 250), (250, 10**9)]):
+        (documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.parquet(f"{src}/part{i}"))
+    stream_of = lambda: (  # noqa: E731
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx, ckpt = str(work / "idx"), str(work / "ckpt")
+    streaming.index_stream(
+        spark, stream_of(), idx, ckpt, id_col="doc_id",
+        content_col="text", n_shards=8,
+    ).awaitTermination()
+    man1 = sorted(
+        (r["generation"], r["shard"], r["checksum"])
+        for r in spimi.load_manifest(spark, idx).collect()
+    )
+    # wipe the checkpoint: the source replays every batch from 0 with the
+    # same stream identity — all must be skipped via the manifest markers
+    shutil.rmtree(ckpt)
+    streaming.index_stream(
+        spark, stream_of(), idx, ckpt, id_col="doc_id",
+        content_col="text", n_shards=8,
+    ).awaitTermination()
+    man2 = sorted(
+        (r["generation"], r["shard"], r["checksum"])
+        for r in spimi.load_manifest(spark, idx).collect()
+    )
+    assert man1 == man2
+
+
+def test_cdc_delete_heavy_distributed(spark, documents, tmp_path_factory):
+    """A delete-heavy CDC batch (100k removals in one micro-batch) flows
+    shard-partitioned through delete_documents_df — no driver-side id list —
+    and lands byte-identical to the imperative delete."""
+    from gazetteer_spark import streaming
+    from gazetteer_spark.index import spimi
+
+    work = tmp_path_factory.mktemp("stream_cdc_heavy")
+    src = str(work / "src")
+    batch1 = documents.withColumn("action", F.lit("add"))
+    removes = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        F.lit("remove").alias("action"),
+    )
+    batch1.coalesce(1).write.parquet(f"{src}/b1")
+    removes.coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(work / "idx")
+    streaming.index_cdc_stream(
+        spark, stream, idx, str(work / "ckpt"),
+        id_col="doc_id", content_col="text", n_shards=8,
+    ).awaitTermination()
+
+    ref = str(work / "idx_ref")
+    spimi.build_index(spark, documents, ref, n_shards=8,
+                      id_col="doc_id", content_col="text")
+    spimi.delete_documents_df(
+        spark, spark.range(100_000).select(F.col("id").alias("docid")), ref
+    )
+    man_a = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, idx).collect()}
+    man_b = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, ref).collect()}
+    assert man_a == man_b
+    # every document is tombstoned → compaction refuses an empty commit
+    import pytest
+
+    with pytest.raises(ValueError, match="empty index"):
+        spimi.compact_index(spark, idx, str(work / "idx_compact"))
 
 
 def test_apply_in_pandas_with_state_counts(spark, sf_dir, tmp_path_factory):

@@ -191,6 +191,32 @@ def q_ft_near_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase.near_match(spark, _index_dir(spark, sf_dir), "key", "order", k=3)
 
 
+def q_ft_near3_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered 3-term NEAR/4: anchors ('key' occurrences) with 'order'
+    AND 'sort' each within 4 tokens — generalized N-term proximity served
+    from the positional index."""
+    return phrase.near_match_n(
+        spark, _index_dir(spark, sf_dir), ["key", "order", "sort"], k=4
+    )
+
+
+def q_ft_near3_ordered_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-term NEAR/6: anchors starting a strictly-increasing chain
+    key → order → sort with each gap ≤ 6 tokens."""
+    return phrase.near_match_n(
+        spark, _index_dir(spark, sf_dir), ["key", "order", "sort"], k=6,
+        ordered=True,
+    )
+
+
+def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked phrase: docs containing the exact phrase 'key order', ordered
+    by BM25 over the phrase terms with (score desc, docid asc) pinning —
+    phrase candidates, tfs, and doclens all from the positional index."""
+    return phrase.phrase_topk(spark, _index_dir(spark, sf_dir), "key order",
+                              k=10)
+
+
 def q_ft_export_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed term-stats export (P12 extractor surface): (term, df, cf, idf)
     drawn from the INDEX's committed stats — must equal the same stats
@@ -199,6 +225,88 @@ def q_ft_export_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return extract_terms(
         spark, _index_dir(spark, sf_dir), ["term", "df", "cf", "idf"]
+    )
+
+
+_FUZZY_CACHE: dict[str, str] = {}
+
+
+def _fuzzy_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Gram-over-dictionary layout built from the primary index (once per
+    sf_dir per process)."""
+    if sf_dir not in _FUZZY_CACHE:
+        import tempfile
+
+        from gazetteer_spark import fuzzy
+
+        d = tempfile.mkdtemp(prefix="gz_fuzzy_")
+        fuzzy.build_fuzzy_layout(spark, _index_dir(spark, sf_dir), d,
+                                 n_shards=4)
+        _FUZZY_CACHE[sf_dir] = d
+    return _FUZZY_CACHE[sf_dir]
+
+
+def q_ft_fuzzy_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (fuzzy) retrieval served from the gram-over-dictionary
+    index: docs holding any vocabulary term containing 'par' (e.g. part,
+    spark) — candidates by 3-gram intersection, exact contains verify,
+    posting fan-in. Must hash-equal the corpus-scan oracle while never
+    reading the documents table."""
+    from gazetteer_spark import fuzzy
+
+    return fuzzy.fuzzy_docs(
+        spark, _fuzzy_dir(spark, sf_dir), _index_dir(spark, sf_dir), "par"
+    )
+
+
+# fielded (BM25F) surface: 3 fields over documents with per-field boosts;
+# queries mix body terms with src/lang field terms
+FIELDED_FIELDS = {"body": "text", "src": "source", "lang": "lang"}
+FIELDED_BOOSTS = {"body": 1.0, "src": 2.0, "lang": 0.5}
+FIELDED_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join src13"),
+    (1, "window src8"),
+    (2, "customer filter en"),
+    (3, "the"),
+]
+
+_FIELDED_CACHE: dict[str, str] = {}
+
+
+def _fielded_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _FIELDED_CACHE:
+        import tempfile
+
+        from gazetteer_spark import fielded
+
+        d = tempfile.mkdtemp(prefix="gz_fidx_")
+        fielded.build_fielded_index(
+            spark, _docs(spark, sf_dir), d, FIELDED_FIELDS,
+            n_shards=8, id_col="doc_id",
+        )
+        _FIELDED_CACHE[sf_dir] = d
+    return _FIELDED_CACHE[sf_dir]
+
+
+def q_ft_fielded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F top-k served from the fielded index (composite (field, term)
+    postings + per-field fdocs length rows) — must be rank-identical to the
+    exact corpus-scan scorer and the DuckDB oracle."""
+    from gazetteer_spark import fielded
+
+    return fielded.fielded_topk(
+        spark, _fielded_dir(spark, sf_dir), FIELDED_QUERIES,
+        boosts=FIELDED_BOOSTS, k=10,
+    )
+
+
+def q_ft_fielded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (corpus-scan) BM25F — the DataFrame twin of ft_fielded_topk."""
+    from gazetteer_spark import fielded
+
+    return fielded.bm25f_topk(
+        spark, _docs(spark, sf_dir), "doc_id", FIELDED_FIELDS,
+        FIELDED_QUERIES, boosts=FIELDED_BOOSTS, k=10,
     )
 
 
@@ -219,6 +327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from gazetteer_spark.catalog import ops_queries
 
     return {
+        "ft_fielded_topk": q_ft_fielded_topk,
+        "ft_fielded_exact": q_ft_fielded_exact,
+        "ft_fuzzy_via_index": q_ft_fuzzy_via_index,
         "ft_tokens": q_ft_tokens,
         "ft_docstats": q_ft_docstats,
         "ft_termstats": q_ft_termstats,
@@ -230,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_near_via_index": q_ft_near_via_index,
+        "ft_near3_via_index": q_ft_near3_via_index,
+        "ft_near3_ordered_via_index": q_ft_near3_ordered_via_index,
+        "ft_phrase_topk": q_ft_phrase_topk,
         "ft_export_terms": q_ft_export_terms,
         "ft_boolean_and": q_ft_boolean_and,
         "ft_boolean_and_via_index": q_ft_boolean_and_via_index,
@@ -298,8 +412,116 @@ def oracle_sql() -> dict[str, str]:
             f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
         )
 
+    def bm25f_sql(queries: list[tuple[int, str]], k: int,
+                  boosts: dict[str, float]) -> str:
+        """BM25F oracle over per-field postings (fields body/src/lang =
+        text/source/lang) — the frozen equations in fielded.py."""
+        fp = " UNION ALL ".join(
+            f"SELECT doc_id AS docid, '{fn}' AS field, t.term AS term"
+            f" FROM documents, LATERAL unnest("
+            + _DUCK_TOKENS.format(col=col) + ") AS t(term)"
+            for fn, col in (("body", "text"), ("lang", "lang"),
+                            ("src", "source"))
+        )
+        bst = ", ".join(f"('{f}', {b})" for f, b in sorted(boosts.items()))
+        return (
+            f"WITH fp AS ({fp}), "
+            "p AS (SELECT docid, field, term, CAST(count(*) AS INT) AS tf"
+            " FROM fp GROUP BY docid, field, term), "
+            "flen AS (SELECT docid, field, sum(tf) AS flen FROM p"
+            " GROUP BY docid, field), "
+            "nd AS (SELECT count(DISTINCT docid) AS n FROM p), "
+            "avgl AS (SELECT field, sum(flen) * 1.0 / (SELECT n FROM nd)"
+            " AS avglen FROM flen GROUP BY field), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "dft AS (SELECT term, count(DISTINCT docid) AS df FROM p"
+            " WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT term, ln(1.0 + ((SELECT n FROM nd) - df + 0.5)"
+            " / (df + 0.5)) AS idf FROM dft), "
+            f"bst(field, boost) AS (VALUES {bst}), "
+            "w AS (SELECT q.query_id, p.docid, p.term,"
+            " sum(b.boost * p.tf / (1.0 - 0.75 + 0.75 * f.flen / a.avglen))"
+            " AS tfw FROM q JOIN p USING (term)"
+            " JOIN flen f ON f.docid = p.docid AND f.field = p.field"
+            " JOIN avgl a ON a.field = p.field"
+            " JOIN bst b ON b.field = p.field"
+            " GROUP BY q.query_id, p.docid, p.term), "
+            "scored AS (SELECT query_id, docid,"
+            " sum(i.idf * w.tfw / (1.2 + w.tfw)) AS s"
+            " FROM w JOIN idf i USING (term) GROUP BY query_id, docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            " SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank,"
+            f" docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
+        )
+
+    def _positions_cte() -> str:
+        return (
+            "WITH d AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text")
+            + " AS t FROM documents),"
+            " p AS (SELECT docid, t[g.i] AS term, g.i AS i FROM d,"
+            " LATERAL unnest(generate_series(1, len(t))) AS g(i)),"
+            " a AS (SELECT docid, i FROM p WHERE term = 'key'),"
+            " b AS (SELECT docid, i FROM p WHERE term = 'order'),"
+            " c AS (SELECT docid, i FROM p WHERE term = 'sort')"
+        )
+
+    near3 = (
+        _positions_cte()
+        + " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_anchors"
+        " FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.docid = a.docid"
+        "   AND abs(b.i - a.i) <= 4)"
+        " AND EXISTS (SELECT 1 FROM c WHERE c.docid = a.docid"
+        "   AND abs(c.i - a.i) <= 4)"
+        " GROUP BY a.docid"
+    )
+    near3_ordered = (
+        _positions_cte()
+        + " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_anchors"
+        " FROM a WHERE EXISTS (SELECT 1 FROM b, c"
+        "   WHERE b.docid = a.docid AND c.docid = a.docid"
+        "   AND b.i > a.i AND b.i <= a.i + 6"
+        "   AND c.i > b.i AND c.i <= b.i + 6)"
+        " GROUP BY a.docid"
+    )
+    phrase_topk_sql = (
+        "WITH d AS (SELECT doc_id AS docid, "
+        + _DUCK_TOKENS.format(col="text")
+        + " AS t FROM documents),"
+        " occ AS (SELECT docid, s.sh AS sh FROM d, LATERAL unnest("
+        "list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+        " i -> t[i] || ' ' || t[i+1])) AS s(sh)),"
+        " ph AS (SELECT DISTINCT docid FROM occ WHERE sh = 'key order'),"
+        " tok AS (SELECT docid, u.term AS term FROM d,"
+        " LATERAL unnest(t) AS u(term)),"
+        " postings AS (SELECT docid, term, CAST(count(*) AS INT) AS tf"
+        " FROM tok GROUP BY docid, term),"
+        " ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen"
+        " FROM postings GROUP BY docid),"
+        " cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds),"
+        " q(term) AS (VALUES ('key'), ('order')),"
+        " tstat AS (SELECT term, count(*) AS df FROM postings"
+        " WHERE term IN (SELECT term FROM q) GROUP BY term),"
+        " idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)"
+        " / (t.df + 0.5)) AS idf FROM tstat t, cs),"
+        " scored AS (SELECT p.docid, sum(i.idf * (p.tf * (1.2 + 1.0))"
+        " / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s"
+        " FROM postings p JOIN idf i USING (term) JOIN ds USING (docid)"
+        " JOIN ph USING (docid), cs GROUP BY p.docid)"
+        " SELECT rank, docid, score FROM ("
+        " SELECT CAST(row_number() OVER (ORDER BY round(s, 4) DESC,"
+        " docid ASC) AS INT) AS rank, docid, round(s, 4) AS score"
+        " FROM scored) WHERE rank <= 10"
+    )
+
     bm25 = bm25_sql(FT_QUERIES, 10)
+    bm25f = bm25f_sql(FIELDED_QUERIES, 10, FIELDED_BOOSTS)
     return {
+        "ft_fielded_topk": bm25f,
+        "ft_fielded_exact": bm25f,
+        "ft_fuzzy_via_index": _DUCK_POSTINGS
+        + " SELECT DISTINCT docid FROM postings WHERE contains(term, 'par')",
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",
         "ft_docstats": _DUCK_POSTINGS
         + " SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid",
@@ -325,6 +547,9 @@ def oracle_sql() -> dict[str, str]:
             " FROM a JOIN b ON a.docid = b.docid AND abs(a.i - b.i) <= 3"
             " GROUP BY a.docid"
         ),
+        "ft_near3_via_index": near3,
+        "ft_near3_ordered_via_index": near3_ordered,
+        "ft_phrase_topk": phrase_topk_sql,
         "ft_export_terms": _DUCK_POSTINGS
         + ", cs AS (SELECT count(DISTINCT docid) AS n FROM postings)"
         " SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,"

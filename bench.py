@@ -111,12 +111,13 @@ def main():
         big.count()
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "512")  # > n_shards
-        # two runs, min reported: the first big build in a process pays JIT/
-        # codegen warm-up and is exposed to host-contention spikes (observed
-        # 4× run-to-run swings on the shared VM); the min is the honest
-        # steady-state figure (BENCH.md records the control experiments)
+        # three runs, min reported: the first big build in a process pays
+        # JIT/codegen warm-up and every run is exposed to host-contention
+        # spikes (observed 4× run-to-run swings on the shared VM; a quiet
+        # run measures 6.8-7.9 s at 100k). The min is the honest steady-
+        # state figure (BENCH.md records the control experiments).
         runs = []
-        for i in range(2):
+        for i in range(3):
             t0 = time.time()
             spimi.build_index(spark, big, f"{work}/idx{i}", n_shards=128)
             runs.append(time.time() - t0)

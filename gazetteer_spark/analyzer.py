@@ -163,9 +163,19 @@ def postings_arrow(df, id_col: str = "docid", content_col: str = "content",
     Arrow Counter fold (see count_tokens_pdf). ``tokens_fn`` swaps in a
     registered analyzer's Column tokenizer (default: the frozen chain)."""
     tk = tokens_fn or tokens_expr
-    exploded = df.select(
-        F.col(id_col).alias("docid"),
-        F.explode(count_tokens_pdf(tk(F.col(content_col)))).alias("tt"),
+    # tokens are materialized in their own projection BEFORE the pandas UDF:
+    # if the analyzer's tokens_expr contains a higher-order function (lambda),
+    # ExtractPythonUDFs cannot pull the UDF out of the Generate when the HOF
+    # is inlined in its argument, and the plan dies at runtime with
+    # "Cannot evaluate expression: count_tokens_pdf(...)" (GenerateExec.eval).
+    # CollapseProject leaves lambda-bearing projections alone, so this split
+    # survives the optimizer; for the default (lambda-free) chain the plan is
+    # unchanged (the expression is re-inlined into ArrowEvalPython).
+    toked = df.select(
+        F.col(id_col).alias("docid"), tk(F.col(content_col)).alias("toks")
+    )
+    exploded = toked.select(
+        "docid", F.explode(count_tokens_pdf(F.col("toks"))).alias("tt")
     )
     return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
 
@@ -282,9 +292,12 @@ def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "cont
     """(docid, term, tf, pos array<int>) — JVM tokenizer + Arrow position
     fold (see count_tokens_pdf for the hybrid rationale)."""
     tk = tokens_fn or tokens_expr
-    exploded = df.select(
-        F.col(id_col).alias("docid"),
-        F.explode(position_tokens_pdf(tk(F.col(content_col)))).alias("tt"),
+    # same pre-projection split as postings_arrow (HOF analyzers + Generate)
+    toked = df.select(
+        F.col(id_col).alias("docid"), tk(F.col(content_col)).alias("toks")
+    )
+    exploded = toked.select(
+        "docid", F.explode(position_tokens_pdf(F.col("toks"))).alias("tt")
     )
     return exploded.select(
         "docid",

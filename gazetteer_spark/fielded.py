@@ -1,0 +1,456 @@
+"""Fielded documents + BM25F ranking — multi-field search documents.
+
+Reference parity: gazetteer's search doc is inherently multi-field — name,
+alt_names, translations, per-level address parts with level sizes acting as
+per-field weights (`join/out_handlers/GazetteerOutWriter.java:455-550,
+739-864`, level→size table `addresses/Constants.java:31-59`). This module
+re-expresses that as (field, term) postings with per-field boosts and BM25F
+ranking (Zaragoza et al.'s simple-BM25F: per-field length-normalized,
+boost-weighted term frequencies combined BEFORE the BM25 saturation).
+
+FROZEN scoring semantics (both the exact DataFrame path, the index-served
+path, and the DuckDB oracle in catalog.py implement these equations):
+
+    len_f(d)   = token count of doc d in field f
+    avglen_f   = (Σ_d len_f(d)) / N          N = docs with ≥1 token anywhere
+    tfw(d,t)   = Σ_f boost_f · tf_{d,f,t} / (1 − b + b·len_f(d)/avglen_f)
+    idf(t)     = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   df_t = docs with t
+                                                          in ANY field
+    score(d,q) = Σ_{t∈q} idf(t) · tfw(d,t) / (k1 + tfw(d,t))
+
+k1 = K1, b = B (the engine's frozen BM25 constants); ranks pinned
+(score rounded to 4dp desc, docid asc) like every other top-k.
+
+Physical design (index-served path): per-(field, term) postings are stored
+in the UNCHANGED segment layout as composite terms ``field\\x1fterm``
+(spimi.FIELD_SEP) — doc-sharded, so every field of a doc lives in the same
+shard; per-field doc lengths are kind='fdocs' rows (term = field name) in
+the same shard. A fielded query scans only its query terms' composite rows
+(parquet In(term, …) pruning) + the fdocs/dels rows; scoring is one
+applyInPandas over shards + the global top-k window. Doc-level df (for idf)
+is one extra tiny job over the same pruned rows (shard-disjoint docids →
+per-shard distinct counts sum exactly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import B, K1
+from .analyzer import get_analyzer, postings_arrow, postings_sql
+from .index import spimi
+from .index.codec import DelIndex, decode_postings
+from .index.spimi import FIELD_SEP
+from .index.wand import _idf
+
+DEFAULT_BOOST = 1.0
+
+
+def fielded_postings(
+    docs: DataFrame, id_col: str, fields: dict[str, str],
+    analyzer: str = "default", arrow: bool = True,
+) -> DataFrame:
+    """(docid, field, term, tf): per-field postings — one analyzer pass per
+    field (JVM tokenizer + Arrow fold), unioned. Fields iterate in sorted
+    name order for deterministic plans."""
+    tk = get_analyzer(analyzer).tokens_expr
+    parts = []
+    for name in sorted(fields):
+        make = postings_arrow if arrow else postings_sql
+        p = make(docs, id_col, fields[name], **(
+            {"tokens_fn": tk} if arrow else {}
+        ))
+        parts.append(p.select(
+            "docid", F.lit(name).alias("field"), "term", "tf"))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _boost_expr(boosts: dict[str, float]):
+    expr = F.lit(DEFAULT_BOOST).cast("double")
+    for name, b in boosts.items():
+        expr = F.when(F.col("field") == name, F.lit(float(b))).otherwise(expr)
+    return expr
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    fields: dict[str, str],
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int | None = 4,
+    analyzer: str = "default",
+) -> DataFrame:
+    """(query_id, rank, docid, score): exact (corpus-scan) BM25F — the
+    DataFrame twin of the index-served :func:`fielded_topk`, and the shape
+    the DuckDB oracle mirrors. One postings pass; every aggregate is a
+    partial-agg groupBy; the per-field stats and query terms broadcast."""
+    boosts = boosts or {}
+    tokenize = get_analyzer(analyzer).py_tokenize
+    qrows = [
+        (qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id int, term string")
+
+    fp = fielded_postings(docs, id_col, fields, analyzer)
+    flen = fp.groupBy("docid", "field").agg(F.sum("tf").alias("flen"))
+    nd = fp.select(F.countDistinct("docid").alias("n"))
+    avgl = (
+        flen.groupBy("field").agg(F.sum("flen").alias("tot"))
+        .crossJoin(F.broadcast(nd))
+        .select("field", (F.col("tot").cast("double") / F.col("n")).alias("avglen"))
+    )
+    dft = (
+        fp.join(F.broadcast(qdf.select("term").distinct()), "term", "left_semi")
+        .groupBy("term").agg(F.countDistinct("docid").alias("df"))
+    )
+    idf = dft.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        .alias("idf"),
+    )
+    w = (
+        fp.join(F.broadcast(qdf), "term")
+        .join(flen, ["docid", "field"])
+        .join(F.broadcast(avgl), "field")
+        .withColumn(
+            "w",
+            _boost_expr(boosts) * F.col("tf")
+            / (1.0 - B + B * F.col("flen") / F.col("avglen")),
+        )
+        .groupBy("query_id", "docid", "term")
+        .agg(F.sum("w").alias("tfw"))
+    )
+    scored = (
+        w.join(F.broadcast(idf), "term")
+        .groupBy("query_id", "docid")
+        .agg(F.sum(F.col("idf") * F.col("tfw") / (K1 + F.col("tfw"))).alias("s"))
+    )
+    score = F.round(F.col("s"), round_to) if round_to is not None else F.col("s")
+    win = W.partitionBy("query_id").orderBy(score.desc(), F.col("docid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", score.alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# index-served path
+# ---------------------------------------------------------------------------
+
+def build_fielded_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    fields: dict[str, str],
+    n_shards: int = 32,
+    id_col: str = "docid",
+    analyzer: str = "default",
+) -> dict:
+    """Build a fielded index: composite ``field\\x1fterm`` postings in the
+    standard segment layout + per-field kind='fdocs' doc-length rows, all
+    doc-sharded (every field of a doc co-lives in its shard). Records the
+    field list and per-field totals in stats.json. Tombstone deletes and
+    compaction work unchanged; incremental adds go through
+    :func:`add_fielded_documents`."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for sub in ("segments", "manifest", "manifest_pending"):  # fresh build
+        if os.path.exists(f"{out_dir}/{sub}"):
+            shutil.rmtree(f"{out_dir}/{sub}")
+    params = {
+        "n_shards": n_shards, "analyzer": analyzer,
+        "analyzer_version": get_analyzer(analyzer).version,
+        "k1": K1, "b": B, "positions": False,
+        "fields": sorted(fields),
+    }
+    with open(f"{out_dir}/build.json", "w") as f:
+        json.dump(params, f)
+    p = _fielded_source(docs, id_col, fields, analyzer, n_shards)
+    spimi._write_generation(spark, p, out_dir, list(range(n_shards)), 0)
+    spimi._refresh_derived(spark, out_dir, params)
+    _refresh_field_stats(spark, out_dir)
+    return spimi.load_stats(out_dir)
+
+
+def add_fielded_documents(
+    spark: SparkSession, docs: DataFrame, out_dir: str,
+    fields: dict[str, str], id_col: str = "docid",
+) -> dict:
+    """Incremental fielded add — a new generation of composite postings +
+    fdocs rows (same contract as spimi.add_documents)."""
+    with open(f"{out_dir}/build.json") as f:
+        params = json.load(f)
+    if sorted(fields) != params.get("fields"):
+        raise ValueError("field set differs from the built index")
+    analyzer = params.get("analyzer", "default")
+    if get_analyzer(analyzer).version != params["analyzer_version"]:
+        raise ValueError("analyzer version changed — full rebuild required")
+    generation = max(spimi.committed_generations(out_dir)) + 1
+    import shutil
+
+    gen_dir = f"{out_dir}/segments/gen={generation}"
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
+    stale = f"{out_dir}/manifest_pending/gen{generation}"
+    if os.path.exists(stale):
+        shutil.rmtree(stale)
+    p = _fielded_source(docs, id_col, fields, analyzer, params["n_shards"])
+    spimi._write_generation(spark, p, out_dir,
+                            list(range(params["n_shards"])), generation)
+    spimi._refresh_derived(spark, out_dir, params)
+    _refresh_field_stats(spark, out_dir)
+    return spimi.load_stats(out_dir)
+
+
+def _fielded_source(docs, id_col, fields, analyzer, n_shards):
+    fp = fielded_postings(docs, id_col, fields, analyzer)
+    return fp.select(
+        "docid",
+        F.concat(F.col("field"), F.lit(FIELD_SEP), F.col("term")).alias("term"),
+        "tf", "field",
+    ).withColumn("shard", spimi.shard_expr(F.col("docid"), n_shards))
+
+
+def _refresh_field_stats(spark: SparkSession, out_dir: str) -> None:
+    """Per-field total token counts from termstats (composite-term cf sums)
+    → stats.json field_totals; avglen_f = total_f / n_docs at query time."""
+    ts = spark.read.parquet(f"{out_dir}/termstats")
+    rows = (
+        ts.groupBy(F.split(F.col("term"), FIELD_SEP, 2).getItem(0).alias("field"))
+        .agg(F.sum("cf").alias("total"))
+        .collect()
+    )
+    with open(f"{out_dir}/stats.json") as f:
+        stats = json.load(f)
+    stats["field_totals"] = {r["field"]: int(r["total"]) for r in rows}
+    tmp = f"{out_dir}/.stats.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, f"{out_dir}/stats.json")
+
+
+def _fdocs_tables(pdf: pd.DataFrame) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Per-field (docids sorted, lens), generations merged latest-wins."""
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    rows = pdf[pdf["kind"] == "fdocs"]
+    if "gen" in rows.columns:
+        rows = rows.sort_values("gen")
+    for fname, grp in rows.groupby("term", sort=True):
+        parts = [decode_postings(b) for b in grp["postings"]]
+        ids = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        if len(parts) > 1:
+            order = np.argsort(ids, kind="stable")
+            ids, lens = ids[order], lens[order]
+            keep = np.ones(len(ids), dtype=bool)
+            keep[:-1] = ids[1:] != ids[:-1]
+            ids, lens = ids[keep], lens[keep]
+        out[str(fname)] = (ids, lens)
+    return out
+
+
+def _decode_composite(pdf: pd.DataFrame, comp_term: str, dels: DelIndex):
+    """Merged (ids, tfs) of one composite term across generations, masked."""
+    rows = pdf[(pdf["kind"] == "post") & (pdf["term"] == comp_term)]
+    parts = []
+    for r in rows.itertuples():
+        ids, tfs = decode_postings(r.postings)
+        if dels:
+            keep = dels.keep_mask(int(r.gen), ids)
+            ids, tfs = ids[keep], tfs[keep]
+        parts.append((ids, tfs.astype(np.int64)))
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    if len(parts) > 1:
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+    return ids, tfs
+
+
+def _df_shard_fielded(pdf, base_terms, fields) -> pd.DataFrame:
+    """(term, df_partial): per-shard doc-level df — distinct docids holding
+    the term in ANY field. Shards hold disjoint docids, so the global df is
+    the plain sum."""
+    dels = DelIndex.from_pdf(pdf)
+    out_t, out_n = [], []
+    for t in base_terms:
+        parts = [
+            _decode_composite(pdf, f + FIELD_SEP + t, dels)[0] for f in fields
+        ]
+        ids = np.unique(np.concatenate(parts)) if parts else np.zeros(0)
+        if len(ids):
+            out_t.append(t)
+            out_n.append(len(ids))
+    return pd.DataFrame({"term": pd.Series(out_t, dtype="str"),
+                         "df": pd.Series(out_n, dtype="int64")})
+
+
+def _score_shard_fielded(
+    pdf: pd.DataFrame,
+    qplans: list[tuple[int, list[tuple[str, float]]]],
+    fields: list[str],
+    boosts: dict[str, float],
+    avglen: dict[str, float],
+    k: int,
+    round_to: int | None,
+    cap: int,
+) -> pd.DataFrame:
+    empty = pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
+        {"query_id": "int32", "docid": "int64", "score": "float64"}
+    )
+    fdocs = _fdocs_tables(pdf)
+    if not fdocs:
+        return empty
+    dels = DelIndex.from_pdf(pdf)
+
+    tfw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def tfw_of(term):
+        """(docids sorted, tfw) for one base term — boost-weighted,
+        per-field length-normalized tf summed across fields (sorted field
+        order, deterministic float summation)."""
+        if term not in tfw_cache:
+            acc_ids = np.zeros(0, np.int64)
+            acc_w = np.zeros(0, np.float64)
+            for f in fields:
+                if f not in fdocs:
+                    continue
+                ids, tfs = _decode_composite(pdf, f + FIELD_SEP + term, dels)
+                if len(ids) == 0:
+                    continue
+                f_ids, f_lens = fdocs[f]
+                lens = f_lens[np.searchsorted(f_ids, ids)]
+                w = (boosts.get(f, DEFAULT_BOOST) * tfs
+                     / (1.0 - B + B * lens.astype(np.float64) / avglen[f]))
+                merged = np.union1d(acc_ids, ids)
+                nw = np.zeros(len(merged))
+                nw[np.searchsorted(merged, acc_ids)] = acc_w
+                nw[np.searchsorted(merged, ids)] += w
+                acc_ids, acc_w = merged, nw
+            tfw_cache[term] = (acc_ids, acc_w)
+        return tfw_cache[term]
+
+    out_q, out_d, out_s = [], [], []
+    for qid, weighted_terms in qplans:
+        cand_ids = np.zeros(0, np.int64)
+        cand_s = np.zeros(0, np.float64)
+        for term, idf in weighted_terms:
+            ids, tfw = tfw_of(term)
+            if len(ids) == 0:
+                continue
+            contrib = idf * tfw / (K1 + tfw)
+            merged = np.union1d(cand_ids, ids)
+            ns = np.zeros(len(merged))
+            ns[np.searchsorted(merged, cand_ids)] = cand_s
+            ns[np.searchsorted(merged, ids)] += contrib
+            cand_ids, cand_s = merged, ns
+        if len(cand_ids) == 0:
+            continue
+        rounded = np.round(cand_s, round_to) if round_to is not None else cand_s
+        if len(cand_ids) > k:
+            bar = np.partition(rounded, -k)[-k]
+            sel = rounded >= bar
+        else:
+            sel = np.ones(len(cand_ids), dtype=bool)
+        ids_e, raw_e, rnd_e = cand_ids[sel], cand_s[sel], rounded[sel]
+        order_e = np.lexsort((ids_e, -rnd_e))[:cap]
+        out_q.extend([qid] * len(order_e))
+        out_d.extend(ids_e[order_e].tolist())
+        out_s.extend(raw_e[order_e].tolist())
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(out_q, dtype="int32"),
+            "docid": pd.Series(out_d, dtype="int64"),
+            "score": pd.Series(out_s, dtype="float64"),
+        }
+    )
+
+
+def fielded_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int | None = 4,
+    tie_cap: int = 4096,
+) -> DataFrame:
+    """(query_id, rank, docid, score): BM25F top-k served from a fielded
+    index — two jobs over the term-pruned segment scan (doc-level df, then
+    scoring), one global top-k window. Rank-identical to :func:`bm25f_topk`
+    and the DuckDB oracle."""
+    boosts = boosts or {}
+    stats = spimi.load_stats(index_dir)
+    fields = stats["fields"]
+    n_docs = stats["n_docs"]
+    avglen = {
+        f: stats["field_totals"].get(f, 0) / n_docs for f in fields
+    }
+    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
+
+    seg = spimi.committed_segments(spark, index_dir)
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(comp))
+        | (F.col("kind") == "fdocs")
+        | (F.col("kind") == "dels")
+    )
+    # job 1: doc-level df per base term (shard-partial counts sum exactly)
+    df_rows = (
+        relevant.groupBy("shard")
+        .applyInPandas(
+            lambda p: _df_shard_fielded(p, all_terms, fields),
+            "term string, df long",
+        )
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+    qplans = [
+        (qid, [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term])
+        for qid, ts in qterms.items()
+    ]
+    qplans = [(qid, ts) for qid, ts in qplans if ts]
+    if not qplans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    # job 2: score
+    local = relevant.groupBy("shard").applyInPandas(
+        lambda p: _score_shard_fielded(
+            p, qplans, fields, boosts, avglen, k, round_to, tie_cap
+        ),
+        "query_id int, docid long, score double",
+    )
+    score = (
+        F.round(F.col("score"), round_to) if round_to is not None
+        else F.col("score")
+    )
+    scored = local.select("query_id", "docid", score.alias("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )

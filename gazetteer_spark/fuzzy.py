@@ -1,0 +1,252 @@
+"""Index-backed fuzzy / containment term lookup.
+
+The reference's name matching is bidirectional substring containment over
+normalized names (`addresses/impl/NamesMatcherImpl.java:38-46`). Serving
+that from an index means answering "which VOCABULARY terms contain this
+fragment?" without scanning the corpus — the classic Lucene wildcard/fuzzy
+strategy: index the TERM DICTIONARY itself under a character-n-gram
+analyzer, intersect the fragment's grams for candidates, verify exact
+containment on the (tiny) candidate set, then fan in the matched terms'
+postings from the main index.
+
+Layout (built from a committed primary index):
+
+- ``fuzzy_dir/gramidx/``  a standard segment index whose "documents" are
+  the primary index's vocabulary terms (docid = xxhash64(term), content =
+  the term string) built with the registered ``ngram3`` analyzer — every
+  3-gram of a term becomes a posting. Scale: the dictionary is orders of
+  magnitude smaller than the corpus, and the gram index shards it.
+- ``fuzzy_dir/terms/``    the dictionary table (term_id, term, df) for the
+  exact-containment verify, parquet.
+- ``fuzzy_dir/layout.json`` lineage (source index, analyzer versions).
+
+A fragment query touches: the gram index's segment files (parquet
+``In(term, grams)`` pruning), the dictionary table, and — for doc fan-in —
+the primary index's segment files. The corpus is never read.
+
+Soundness: if canonical fragment f is a substring of term t, every 3-gram
+of f is a 3-gram of t — the gram intersection is a SUPERSET of the true
+matches; the verify step makes it exact. Fragments shorter than 3 chars
+have no 3-grams and fall back to a dictionary-table scan (documented, same
+as Lucene leading-wildcard behavior).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import (
+    Analyzer,
+    get_analyzer,
+    ngram_tokens_expr,
+    py_tokenize,
+    register_analyzer,
+)
+from .index import spimi
+from .index.codec import DelIndex, decode_postings
+from .index.phrase import _intersect_candidates, _term_handles
+
+NGRAM_N = 3
+
+
+def _py_ngram_tokenize(text: str) -> list[str]:
+    """Python twin of analyzer.ngram_tokens_expr (property-tested)."""
+    out = []
+    for t in py_tokenize(text):
+        if len(t) >= NGRAM_N:
+            out.extend(t[i : i + NGRAM_N] for i in range(len(t) - NGRAM_N + 1))
+        else:
+            out.append(t)
+    return out
+
+
+NGRAM_ANALYZER = Analyzer(
+    name="ngram3",
+    version="ngram3-v1+tok-v1",  # bump when the base chain or N changes
+    tokens_expr=lambda c: ngram_tokens_expr(c, NGRAM_N),
+    py_tokenize=_py_ngram_tokenize,
+)
+try:
+    register_analyzer(NGRAM_ANALYZER)
+except ValueError:  # re-import in the same process
+    pass
+
+
+def term_id_expr(term_col):
+    return F.xxhash64(term_col)
+
+
+def build_fuzzy_layout(
+    spark: SparkSession, index_dir: str, out_dir: str, n_shards: int = 8
+) -> None:
+    """Materialize the gram-over-dictionary layout from a committed index."""
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    terms = (
+        spark.read.parquet(f"{index_dir}/termstats")
+        .select(term_id_expr(F.col("term")).alias("term_id"), "term", "df")
+    )
+    terms.write.mode("overwrite").parquet(f"{out_dir}/terms")
+    dict_df = spark.read.parquet(f"{out_dir}/terms")
+    spimi.build_index(
+        spark, dict_df, f"{out_dir}/gramidx", n_shards=n_shards,
+        id_col="term_id", content_col="term", analyzer="ngram3",
+    )
+    meta = {
+        "source_index": os.path.abspath(index_dir),
+        "base_analyzer": params.get("analyzer", "default"),
+        "base_analyzer_version": params["analyzer_version"],
+        "gram_analyzer_version": NGRAM_ANALYZER.version,
+        "n": NGRAM_N,
+    }
+    tmp = f"{out_dir}/.layout.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{out_dir}/layout.json")
+
+
+def _grams_of(fragment: str) -> list[str]:
+    if len(fragment) < NGRAM_N:
+        return []
+    return sorted(
+        {fragment[i : i + NGRAM_N] for i in range(len(fragment) - NGRAM_N + 1)}
+    )
+
+
+def _and_shard(pdf: pd.DataFrame, grams: list[str]) -> pd.DataFrame:
+    """Conjunctive gram intersection over one gram-index shard → term_ids."""
+    empty = pd.DataFrame({"term_id": pd.Series([], dtype="int64")})
+    per_term, df_tot = _term_handles(pdf)
+    if any(g not in per_term for g in grams):
+        return empty
+    dels = DelIndex.from_pdf(pdf)
+    order = sorted(set(grams), key=lambda g: (df_tot[g], g))
+    cand = _intersect_candidates(per_term, order, dels)
+    return pd.DataFrame({"term_id": cand.astype(np.int64)})
+
+
+def _or_shard(pdf: pd.DataFrame, grams: list[str]) -> pd.DataFrame:
+    """Disjunctive gram union (bidirectional candidates) → term_ids."""
+    per_term, _ = _term_handles(pdf)
+    dels = DelIndex.from_pdf(pdf)
+    parts = []
+    for g in grams:
+        for s in per_term.get(g, []):
+            ids = decode_postings(s.pbuf)[0]
+            if dels:
+                ids = ids[dels.keep_mask(s.gen, ids)]
+            parts.append(ids)
+    ids = (np.unique(np.concatenate(parts)) if parts
+           else np.zeros(0, np.int64))
+    return pd.DataFrame({"term_id": ids})
+
+
+def fuzzy_terms(
+    spark: SparkSession, fuzzy_dir: str, fragment: str,
+    bidirectional: bool = False,
+) -> DataFrame:
+    """(term_id, term, df): vocabulary terms matching the fragment.
+
+    Default mode = containment (fragment ⊆ term): candidates are the
+    conjunctive gram intersection (sound superset), verified with an exact
+    ``contains``. ``bidirectional=True`` additionally matches terms that
+    are substrings OF the fragment (the reference's two-way containment):
+    candidates become the gram UNION plus all sub-3-char dictionary terms,
+    verified both ways — costlier (union-sized), documented trade-off."""
+    with open(f"{fuzzy_dir}/layout.json") as f:
+        meta = json.load(f)
+    base = get_analyzer(meta["base_analyzer"])
+    toks = base.py_tokenize(fragment)
+    if len(toks) != 1:
+        raise ValueError(
+            "fuzzy term lookup takes a single-token fragment; analyze "
+            f"{fragment!r} → {toks}"
+        )
+    frag = toks[0]
+    grams = _grams_of(frag)
+    terms_tbl = spark.read.parquet(f"{fuzzy_dir}/terms")
+
+    verify = F.col("term").contains(F.lit(frag))
+    if bidirectional:
+        verify = verify | F.lit(frag).contains(F.col("term"))
+
+    if not grams:  # sub-3-char fragment: dictionary-table scan fallback
+        return terms_tbl.filter(verify)
+
+    seg = spimi.committed_segments(spark, f"{fuzzy_dir}/gramidx")
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(grams))
+        | (F.col("kind") == "dels")
+    )
+    shard_fn = _or_shard if bidirectional else _and_shard
+    cand = relevant.groupBy("shard").applyInPandas(
+        lambda p: shard_fn(p, grams), "term_id long"
+    )
+    matched = terms_tbl.join(cand, "term_id", "left_semi").filter(verify)
+    if bidirectional:
+        # terms shorter than the gram width can never gram-collide with the
+        # fragment but may be substrings of it — pull them from the (tiny)
+        # short tail of the dictionary directly
+        short = terms_tbl.filter(
+            (F.length("term") < NGRAM_N) & F.lit(frag).contains(F.col("term"))
+        )
+        matched = matched.unionByName(short).distinct()
+    return matched
+
+
+def _docs_of_terms_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
+    """Primary-index shard rows → distinct docids holding ANY given term."""
+    per_term, _ = _term_handles(pdf)
+    dels = DelIndex.from_pdf(pdf)
+    parts = []
+    for t in terms:
+        for s in per_term.get(t, []):
+            ids = decode_postings(s.pbuf)[0]
+            if dels:
+                ids = ids[dels.keep_mask(s.gen, ids)]
+            parts.append(ids)
+    ids = (np.unique(np.concatenate(parts)) if parts
+           else np.zeros(0, np.int64))
+    return pd.DataFrame({"docid": ids})
+
+
+MAX_FUZZY_TERMS = 4096
+
+
+def fuzzy_docs(
+    spark: SparkSession, fuzzy_dir: str, index_dir: str, fragment: str,
+    bidirectional: bool = False,
+) -> DataFrame:
+    """(docid): documents containing any vocabulary term that matches the
+    fragment — gram-index candidates → exact verify → primary-index posting
+    fan-in. The corpus itself is never scanned; docids are shard-disjoint so
+    no global distinct is needed.
+
+    The matched-term list rides the driver (same as every query's term list
+    — pruning needs literal ``In(term, …)``); MAX_FUZZY_TERMS guards
+    against degenerate fragments matching half the dictionary."""
+    matched = [r["term"] for r in
+               fuzzy_terms(spark, fuzzy_dir, fragment, bidirectional)
+               .select("term").collect()]
+    if len(matched) > MAX_FUZZY_TERMS:
+        raise ValueError(
+            f"fragment {fragment!r} matches {len(matched)} terms "
+            f"(> {MAX_FUZZY_TERMS}); refine the fragment"
+        )
+    if not matched:
+        return spark.createDataFrame([], "docid long")
+    seg = spimi.committed_segments(spark, index_dir)
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(matched))
+        | (F.col("kind") == "dels")
+    )
+    return relevant.groupBy("shard").applyInPandas(
+        lambda p: _docs_of_terms_shard(p, matched), "docid long"
+    )

@@ -226,6 +226,111 @@ def _near_shard(pdf: pd.DataFrame, term_a: str, term_b: str, k: int) -> pd.DataF
                          "n_pairs": n_pairs[nz].astype(np.int64)})
 
 
+def _near_n_shard(
+    pdf: pd.DataFrame, terms: list[str], k: int, ordered: bool
+) -> pd.DataFrame:
+    """One shard → (docid, n_anchors): N-term proximity.
+
+    Unordered: an anchor = an occurrence of terms[0] with, for EVERY other
+    term, at least one occurrence within token distance ≤ k of the anchor.
+    Ordered: an anchor = an occurrence p₁ of terms[0] starting a chain
+    p₁ < p₂ < … < p_N with each gap ≤ k (terms in the given order) —
+    computed by backward reachability (filter term i's occurrences to those
+    with a reachable term-i+1 occurrence in (p, p+k]), all searchsorted."""
+    empty = pd.DataFrame({"docid": pd.Series([], dtype="int64"),
+                          "n_anchors": pd.Series([], dtype="int64")})
+    per_term, df_tot = _term_handles(pdf)
+    distinct = sorted(set(terms))
+    if any(t not in per_term for t in distinct):
+        return empty
+    dels = DelIndex.from_pdf(pdf)
+    order = sorted(distinct, key=lambda t: (df_tot[t], t))
+    common = _intersect_candidates(per_term, order, dels)
+    if len(common) == 0:
+        return empty
+    keys = {
+        t: _packed_keys(*_term_positions(per_term[t], common, dels), common, 0)
+        for t in distinct
+    }
+    anchors = keys[terms[0]]
+    if len(anchors) == 0:
+        return empty
+    base = (anchors // MAXPOS) * MAXPOS
+    if not ordered:
+        ok = np.ones(len(anchors), dtype=bool)
+        for t in terms[1:]:
+            other = keys[t]
+            lo = np.maximum(anchors - k, base)
+            hi = np.minimum(anchors + k, base + MAXPOS - 1)
+            cnt = (np.searchsorted(other, hi, side="right")
+                   - np.searchsorted(other, lo, side="left"))
+            ok &= cnt > 0
+        good = anchors[ok]
+    else:
+        reach = keys[terms[-1]]
+        for t in reversed(terms[:-1]):
+            cur = keys[t]
+            cur_base = (cur // MAXPOS) * MAXPOS
+            lo = cur + 1  # strictly increasing positions, same doc
+            hi = np.minimum(cur + k, cur_base + MAXPOS - 1)
+            cnt = (np.searchsorted(reach, hi, side="right")
+                   - np.searchsorted(reach, lo, side="left"))
+            reach = cur[cnt > 0]
+            if len(reach) == 0:
+                return empty
+        good = reach
+    if len(good) == 0:
+        return empty
+    ranks, counts = np.unique(good // MAXPOS, return_counts=True)
+    return pd.DataFrame({"docid": common[ranks].astype(np.int64),
+                         "n_anchors": counts.astype(np.int64)})
+
+
+def _phrase_scored_shard(
+    pdf: pd.DataFrame, terms: list[str],
+    qweights: dict[str, float], avgdl: float,
+    k: int, round_to: int | None, cap: int,
+) -> pd.DataFrame:
+    """One shard → phrase-matching docs scored by BM25 over the phrase's
+    distinct terms (exact tf/doclen from the already-decoded blocks), with
+    per-shard emission using the engine's rounded-bar + (score desc, docid
+    asc) pinning — the same contract as wand._score_shard."""
+    from .. import B, K1
+
+    empty = pd.DataFrame(columns=["docid", "score"]).astype(
+        {"docid": "int64", "score": "float64"})
+    matched = _phrase_shard(pdf, terms)
+    if matched.empty:
+        return empty
+    cand = matched["docid"].to_numpy(dtype=np.int64)  # sorted (common order)
+    dels = DelIndex.from_pdf(pdf)
+    per_term, _ = _term_handles(pdf)
+    from .wand import _doc_meta
+
+    all_ids, all_lens = _doc_meta(pdf[pdf["kind"] == "docs"])
+    norm = K1 * (1.0 - B + B * all_lens.astype(np.float64) / avgdl)
+    scores = np.zeros(len(cand))
+    for t in sorted(set(terms)):
+        idf = qweights[t]
+        ids, tfs, _ = _term_positions(per_term[t], cand, dels)
+        hit = np.searchsorted(cand, ids)
+        ok = (hit < len(cand)) & (cand[np.minimum(hit, len(cand) - 1)] == ids)
+        pos = np.searchsorted(all_ids, ids[ok])
+        scores[hit[ok]] += idf * (tfs[ok] * (K1 + 1.0)) / (tfs[ok] + norm[pos])
+    rounded = np.round(scores, round_to) if round_to is not None else scores
+    if len(cand) > k:
+        bar = np.partition(rounded, -k)[-k]
+        sel = rounded >= bar
+    else:
+        sel = np.ones(len(cand), dtype=bool)
+    ids_e, raw_e, rnd_e = cand[sel], scores[sel], rounded[sel]
+    order_e = np.lexsort((ids_e, -rnd_e))[:cap]
+    return pd.DataFrame({
+        "docid": pd.Series(ids_e[order_e], dtype="int64"),
+        "score": pd.Series(raw_e[order_e], dtype="float64"),
+    })
+
+
 def _positional_segments(spark: SparkSession, index_dir: str):
     """(build params, committed segment rows) — one build.json read."""
     from .spimi import committed_segments
@@ -278,4 +383,74 @@ def near_match(
     return _relevant_rows(seg, [ta, tb]).groupBy("shard").applyInPandas(
         lambda pdf: _near_shard(pdf, ta, tb, k),
         "docid long, n_pairs long",
+    )
+
+
+def near_match_n(
+    spark: SparkSession, index_dir: str, terms: list[str], k: int = 3,
+    ordered: bool = False,
+) -> DataFrame:
+    """(docid, n_anchors): generalized N-term proximity from the positional
+    index. Unordered: anchors (occurrences of terms[0]) with every other
+    term within token distance ≤ k. Ordered: anchors starting a strictly-
+    increasing chain through the terms with each gap ≤ k. Same scan shape
+    as phrase_match (term-pruned segment scan, one shuffle of results)."""
+    params, seg = _positional_segments(spark, index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    analyzed = [t for term in terms for t in tokenize(term)]
+    if len(analyzed) < 2:
+        raise ValueError("NEAR/n needs at least two analyzed terms")
+    return _relevant_rows(seg, analyzed).groupBy("shard").applyInPandas(
+        lambda pdf: _near_n_shard(pdf, analyzed, k, ordered),
+        "docid long, n_anchors long",
+    )
+
+
+def phrase_topk(
+    spark: SparkSession, index_dir: str, phrase: str, k: int = 10,
+    round_to: int | None = 4, tie_cap: int = 4096,
+) -> DataFrame:
+    """(rank, docid, score): RANKED phrase — documents containing the exact
+    token phrase, ordered by BM25 over the phrase's terms with the engine's
+    (score desc, docid asc) pinning. The reference ranks its containment
+    matches inside the candidate ladder (J7, `PoiAddrJoinBuilder.java:67-
+    189`); this is that composition served from the positional index:
+    phrase candidates and their tfs come from the same block-selective
+    decode, doclens from the shard's docmeta, df/avgdl from the committed
+    stats — one scoring job + the global top-k window."""
+    from .spimi import load_stats
+    from .wand import _idf, _lookup_dfs
+
+    params, seg = _positional_segments(spark, index_dir)
+    stats = load_stats(index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    terms = tokenize(phrase)
+    if not terms:
+        raise ValueError("empty phrase after analysis")
+    termstats = spark.read.parquet(f"{index_dir}/termstats")
+    df_by_term = _lookup_dfs(termstats, sorted(set(terms)))
+    if any(t not in df_by_term for t in terms):
+        return spark.createDataFrame([], "rank int, docid long, score double")
+    qweights = {t: _idf(stats["n_docs"], df_by_term[t]) for t in set(terms)}
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(sorted(set(terms))))
+        | (F.col("kind") == "docs")
+        | (F.col("kind") == "dels")
+    )
+    local = relevant.groupBy("shard").applyInPandas(
+        lambda pdf: _phrase_scored_shard(
+            pdf, terms, qweights, stats["avgdl"], k, round_to, tie_cap
+        ),
+        "docid long, score double",
+    )
+    from pyspark.sql import Window as W
+
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        local.select("docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("rank", "docid", "score")
     )

@@ -105,7 +105,15 @@ def lsh_cosine_topk(
     (~14% of the corpus in expectation) — the recall fix over single-bucket
     probing, which returned ~1/256 of the data. The probe predicate is a
     broadcast of ONE row, so the "join" is a scan+filter, not a cartesian:
-    at 10^12 rows this is a pruned full scan + k-row merge."""
+    at 10^12 rows this is a pruned full scan + k-row merge.
+
+    PRODUCTION PATH NOTE: this variant prunes COMPUTE but still scans every
+    row's bucket column (buckets are not materialized as partitions). The
+    engine's production ANN serving path is the IVF layout
+    (:func:`build_ivf_layout` + :func:`ivf_topk_layout`), which
+    materializes list-partitioned parquet and reads only the n_probe
+    partitions a query needs. Keep lsh_cosine_topk for ad-hoc scans over
+    embeddings that have no materialized layout."""
     planes = hyperplanes(dim)
     bucketed = emb.withColumn("bucket", bucket_expr(F.col(vec_col), planes))
     q = bucketed.filter(F.col(id_col) == query_id).select(

@@ -58,6 +58,15 @@ def get_spark(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(16 * 1024 * 1024)),
         )
+        # File-commit algorithm v2: task-side renames instead of a SERIAL
+        # driver-side move of every partition dir at job end. The segment
+        # write fans out to n_shards dirs; under v1 the commit tail is a
+        # single-threaded O(files) loop that caps reduce-stage scaling
+        # (measured: reduce 2→8 efficiency 0.54 → with v2 the tail is
+        # parallelized). Safe here: index visibility is gated by the
+        # engine's own manifest commit, not by file-move atomicity.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
     )
     # Shuffle/spill on the fastest local medium (cluster analog: executor
     # NVMe via spark.local.dir). The sandbox root disk does ~250 MB/s, which

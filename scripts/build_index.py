@@ -47,6 +47,16 @@ def main(argv=None):
                          "merge generations) into --out instead of building")
     ap.add_argument("--delete-ids", default=None,
                     help="comma-separated docids to tombstone in --out")
+    ap.add_argument("--delete-ids-from", default=None,
+                    help="parquet of docids to tombstone in --out "
+                         "(distributed — never through the driver); "
+                         "id column via --docid-col (default 'docid')")
+    ap.add_argument("--fields", default=None,
+                    help="build a FIELDED (BM25F) index: "
+                         "name=column pairs, e.g. body=content,path=path")
+    ap.add_argument("--fuzzy-from", default=None,
+                    help="build the fuzzy gram-over-dictionary layout at "
+                         "--out from this existing index")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,11 +71,28 @@ def main(argv=None):
         print(json.dumps({"compacted": args.out,
                           "sec": round(time.time() - t0, 2), **stats}))
         return
-    if args.delete_ids:
+    if args.fuzzy_from:
+        from gazetteer_spark import fuzzy
+
         t0 = time.time()
-        ids = [int(x) for x in args.delete_ids.split(",") if x]
-        stats = spimi.delete_documents(spark, ids, args.out)
-        print(json.dumps({"deleted": len(ids), "index": args.out,
+        fuzzy.build_fuzzy_layout(spark, args.fuzzy_from, args.out,
+                                 n_shards=args.n_shards)
+        print(json.dumps({"fuzzy_layout": args.out,
+                          "sec": round(time.time() - t0, 2)}))
+        return
+    if args.delete_ids or args.delete_ids_from:
+        t0 = time.time()
+        if args.delete_ids_from:
+            ids_df = spark.read.parquet(args.delete_ids_from).select(
+                args.docid_col or "docid")
+            stats = spimi.delete_documents_df(
+                spark, ids_df, args.out, id_col=args.docid_col or "docid")
+            n = "df"
+        else:
+            ids = [int(x) for x in args.delete_ids.split(",") if x]
+            stats = spimi.delete_documents(spark, ids, args.out)
+            n = len(ids)
+        print(json.dumps({"deleted": n, "index": args.out,
                           "sec": round(time.time() - t0, 2), **stats}))
         return
     if not args.source:
@@ -79,7 +106,18 @@ def main(argv=None):
         key = tuple(args.id_cols.split(","))
         docs = src.withColumn("docid", docid_expr(*key))
         id_col = "docid"
-    if args.add:
+    if args.fields:
+        from gazetteer_spark import fielded
+
+        fields = dict(kv.split("=") for kv in args.fields.split(","))
+        if args.add:
+            stats = fielded.add_fielded_documents(
+                spark, docs, args.out, fields, id_col=id_col)
+        else:
+            stats = fielded.build_fielded_index(
+                spark, docs, args.out, fields, n_shards=args.n_shards,
+                id_col=id_col)
+    elif args.add:
         stats = spimi.add_documents(
             spark, docs, args.out, id_col=id_col, content_col=args.content_col
         )

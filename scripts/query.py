@@ -9,7 +9,12 @@ Usage:
   ...   --mode or       disjunctive block-max BM25 top-k (default)
   ...   --mode and      conjunctive: docs holding EVERY term, BM25-ranked
   ...   --mode phrase   exact adjacent-token phrase (positional index)
+  ...   --mode phrase-topk   phrase matches RANKED by BM25 (positional)
   ...   --mode near --near-k 3   two terms within k tokens (positional)
+  ...   --mode near-n [--ordered] --near-k 3   N terms within k (positional)
+  ...   --mode fielded --boosts body=1,src=2    BM25F over a fielded index
+  ...   --mode fuzzy --fuzzy-layout DIR   containment lookup (query = one
+  ...                                     fragment; gram index + verify)
 """
 
 from __future__ import annotations
@@ -30,10 +35,18 @@ def main(argv=None):
     ap.add_argument("--query", default=None)
     ap.add_argument("--queries-file", default=None)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["or", "and", "phrase", "near"],
+    ap.add_argument("--mode", choices=["or", "and", "phrase", "phrase-topk",
+                                       "near", "near-n", "fielded", "fuzzy"],
                     default="or")
     ap.add_argument("--near-k", type=int, default=3,
-                    help="token distance for --mode near (query = two terms)")
+                    help="token distance for --mode near/near-n")
+    ap.add_argument("--ordered", action="store_true",
+                    help="near-n: require terms in order (chained gaps ≤ k)")
+    ap.add_argument("--boosts", default=None,
+                    help="fielded: per-field boosts, e.g. body=1,src=2")
+    ap.add_argument("--fuzzy-layout", default=None,
+                    help="fuzzy: gram-over-dictionary layout dir "
+                         "(build with scripts/build_index.py --fuzzy-from)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,7 +75,13 @@ def main(argv=None):
             rows = phrase.phrase_match(spark, args.index, text).collect()
             out[qid] = [{"docid": r["docid"], "n_occurrences": r["n_occurrences"]}
                         for r in rows]
-    else:  # near
+    elif args.mode == "phrase-topk":
+        for qid, text in queries:
+            rows = (phrase.phrase_topk(spark, args.index, text, k=args.k)
+                    .orderBy("rank").collect())
+            out[qid] = [{"rank": r["rank"], "docid": r["docid"],
+                         "score": r["score"]} for r in rows]
+    elif args.mode == "near":
         for qid, text in queries:
             parts = text.split()
             if len(parts) != 2:
@@ -72,6 +91,37 @@ def main(argv=None):
             ).collect()
             out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
                         for r in rows]
+    elif args.mode == "near-n":
+        for qid, text in queries:
+            rows = phrase.near_match_n(
+                spark, args.index, text.split(), k=args.near_k,
+                ordered=args.ordered,
+            ).collect()
+            out[qid] = [{"docid": r["docid"], "n_anchors": r["n_anchors"]}
+                        for r in rows]
+    elif args.mode == "fielded":
+        from gazetteer_spark import fielded
+
+        boosts = {}
+        if args.boosts:
+            for kv in args.boosts.split(","):
+                name, val = kv.split("=")
+                boosts[name] = float(val)
+        for r in fielded.fielded_topk(spark, args.index, queries,
+                                      boosts=boosts, k=args.k).collect():
+            out.setdefault(r["query_id"], []).append(
+                {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
+            )
+    else:  # fuzzy
+        from gazetteer_spark import fuzzy
+
+        if not args.fuzzy_layout:
+            raise SystemExit("--mode fuzzy needs --fuzzy-layout")
+        for qid, text in queries:
+            rows = fuzzy.fuzzy_docs(
+                spark, args.fuzzy_layout, args.index, text
+            ).collect()
+            out[qid] = [{"docid": r["docid"]} for r in rows]
     dt = time.time() - t0
     print(json.dumps({"mode": args.mode, "sec": round(dt, 3), "results": out}))
 

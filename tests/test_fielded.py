@@ -1,0 +1,104 @@
+"""Fielded documents / BM25F: index-served path vs exact corpus-scan twin,
+boost semantics, incremental adds, deletes, compaction.
+
+Reference analog: the multi-field search doc with level-size weighting
+(`GazetteerOutWriter.java:455-550,739-801`, `addresses/Constants.java:31-59`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark import fielded
+from gazetteer_spark.index import spimi
+
+FIELDS = {"body": "text", "src": "source", "lang": "lang"}
+BOOSTS = {"body": 1.0, "src": 2.0, "lang": 0.5}
+QUERIES = [
+    (0, "spark join src13"),
+    (1, "window src8"),
+    (2, "customer filter en"),
+    (3, "the"),
+]
+
+
+@pytest.fixture(scope="module")
+def fidx(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fidx"))
+    fielded.build_fielded_index(spark, documents, d, FIELDS, n_shards=8,
+                                id_col="doc_id")
+    return d
+
+
+def _rows(df):
+    return [(r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in df.orderBy("query_id", "rank").collect()]
+
+
+def test_index_matches_exact(spark, documents, fidx):
+    got = _rows(fielded.fielded_topk(spark, fidx, QUERIES, boosts=BOOSTS, k=10))
+    want = _rows(fielded.bm25f_topk(spark, documents, "doc_id", FIELDS,
+                                    QUERIES, boosts=BOOSTS, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_boosts_change_ranking(spark, documents, fidx):
+    """With src heavily boosted, every top hit for a src-term query is a doc
+    from that source; with boost ~0 the src term barely matters."""
+    hi = fielded.fielded_topk(spark, fidx, [(0, "src13")],
+                              boosts={"src": 10.0}, k=5).collect()
+    src_of = {r["doc_id"]: r["source"]
+              for r in documents.select("doc_id", "source").collect()}
+    assert hi and all(src_of[r["docid"]] == "src13" for r in hi)
+
+
+def test_incremental_add_matches_oneshot(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fidx_add"))
+    fielded.build_fielded_index(
+        spark, documents.filter(F.col("doc_id") < 300), d, FIELDS,
+        n_shards=8, id_col="doc_id")
+    fielded.add_fielded_documents(
+        spark, documents.filter(F.col("doc_id") >= 300), d, FIELDS,
+        id_col="doc_id")
+    got = _rows(fielded.fielded_topk(spark, d, QUERIES, boosts=BOOSTS, k=10))
+    want = _rows(fielded.bm25f_topk(spark, documents, "doc_id", FIELDS,
+                                    QUERIES, boosts=BOOSTS, k=10))
+    assert got == want
+
+
+def test_delete_and_compact(spark, documents, fidx, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fidx_del"))
+    fielded.build_fielded_index(spark, documents, d, FIELDS, n_shards=8,
+                                id_col="doc_id")
+    top = fielded.fielded_topk(spark, d, [(0, "spark join src13")],
+                               boosts=BOOSTS, k=3).collect()
+    victims = [r["docid"] for r in top]
+    spimi.delete_documents(spark, victims, d)
+    after = fielded.fielded_topk(spark, d, QUERIES, boosts=BOOSTS, k=10).collect()
+    assert not ({r["docid"] for r in after} & set(victims))
+
+    # compaction rebuilds composite postings + fdocs rows; results equal a
+    # fresh fielded build over the surviving corpus
+    compacted = str(tmp_path_factory.mktemp("fidx_compact"))
+    spimi.compact_index(spark, d, compacted)
+    fresh = str(tmp_path_factory.mktemp("fidx_fresh"))
+    fielded.build_fielded_index(
+        spark, documents.filter(~F.col("doc_id").isin(victims)), fresh,
+        FIELDS, n_shards=8, id_col="doc_id")
+    man_a = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, compacted).collect()}
+    man_b = {(r["generation"], r["shard"]): r["checksum"]
+             for r in spimi.load_manifest(spark, fresh).collect()}
+    assert man_a == man_b
+    got = _rows(fielded.fielded_topk(spark, compacted, QUERIES,
+                                     boosts=BOOSTS, k=10))
+    want = _rows(fielded.fielded_topk(spark, fresh, QUERIES,
+                                      boosts=BOOSTS, k=10))
+    assert got == want
+
+
+def test_plain_add_rejected_on_fielded_index(spark, documents, fidx):
+    with pytest.raises(ValueError, match="fielded"):
+        spimi.add_documents(spark, documents.limit(1), fidx,
+                            id_col="doc_id", content_col="text")

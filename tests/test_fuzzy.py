@@ -1,0 +1,100 @@
+"""Index-backed fuzzy/containment lookup: gram-over-dictionary candidates +
+exact verify + posting fan-in; must equal the corpus-scan truth while never
+reading the documents table.
+
+Reference analog: bidirectional containment name matching
+(`addresses/impl/NamesMatcherImpl.java:38-46`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark import fuzzy
+from gazetteer_spark.analyzer import tokens_expr
+from gazetteer_spark.index import spimi
+
+
+@pytest.fixture(scope="module")
+def layout(spark, documents, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("fz_idx"))
+    spimi.build_index(spark, documents, idx, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    fz = str(tmp_path_factory.mktemp("fz_layout"))
+    fuzzy.build_fuzzy_layout(spark, idx, fz, n_shards=4)
+    return idx, fz
+
+
+def _vocab(spark, idx):
+    return {r["term"] for r in
+            spark.read.parquet(f"{idx}/termstats").collect()}
+
+
+def test_ngram_analyzer_jvm_python_agree(spark):
+    rows = [("parseHTTPResponse one tiny ab xy9",),
+            ("snake_case_words CamelCase 0xdeadbeef",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(fuzzy.NGRAM_ANALYZER.tokens_expr(F.col("text"))
+                    .alias("g")).collect()
+    for (r, (text,)) in zip(got, rows):
+        assert r["g"] == fuzzy._py_ngram_tokenize(text), text
+
+
+def test_fuzzy_terms_match_dictionary_scan(spark, layout):
+    idx, fz = layout
+    vocab = _vocab(spark, idx)
+    for frag in ("par", "ust", "ord"):
+        got = {r["term"] for r in
+               fuzzy.fuzzy_terms(spark, fz, frag).collect()}
+        want = {t for t in vocab if frag in t}
+        assert got == want and got, frag
+
+
+def test_fuzzy_terms_bidirectional(spark, layout):
+    idx, fz = layout
+    vocab = _vocab(spark, idx)
+    frag = "smallest"
+    got = {r["term"] for r in
+           fuzzy.fuzzy_terms(spark, fz, frag, bidirectional=True).collect()}
+    want = {t for t in vocab if frag in t or t in frag}
+    assert got == want
+    assert "small" in got  # contained-in-fragment direction
+
+
+def test_short_fragment_falls_back_to_dictionary_scan(spark, layout):
+    idx, fz = layout
+    vocab = _vocab(spark, idx)
+    got = {r["term"] for r in fuzzy.fuzzy_terms(spark, fz, "th").collect()}
+    assert got == {t for t in vocab if "th" in t}
+
+
+def test_fuzzy_docs_equal_corpus_scan(spark, documents, layout):
+    idx, fz = layout
+    df = fuzzy.fuzzy_docs(spark, fz, idx, "par")
+    got = {r["docid"] for r in df.collect()}
+    want = {
+        r["doc_id"] for r in documents.select(
+            "doc_id", F.explode(tokens_expr(F.col("text"))).alias("t")
+        ).filter(F.col("t").contains("par")).select("doc_id").distinct()
+        .collect()
+    }
+    assert got == want and got
+    # the whole plan reads index/dictionary files only — never the corpus
+    assert not any("documents" in f for f in df.inputFiles())
+
+
+def test_fuzzy_docs_respects_tombstones(spark, documents, layout,
+                                        tmp_path_factory):
+    idx, fz = layout
+    victim = sorted(
+        r["docid"] for r in
+        fuzzy.fuzzy_docs(spark, fz, idx, "par").collect()
+    )[0]
+    d2 = str(tmp_path_factory.mktemp("fz_idx_del"))
+    spimi.build_index(spark, documents, d2, n_shards=8, id_col="doc_id",
+                      content_col="text")
+    spimi.delete_documents(spark, [victim], d2)
+    got = {r["docid"] for r in
+           fuzzy.fuzzy_docs(spark, fz, d2, "par").collect()}
+    assert victim not in got

@@ -18,6 +18,7 @@ from gazetteer_spark.analyzer import (
     tokens_expr,
 )
 from gazetteer_spark.index import phrase, spimi, wand
+from gazetteer_spark.oracle import OracleIndex
 from gazetteer_spark.index.codec import (
     decode_positions,
     encode_positions_grouped,
@@ -368,3 +369,88 @@ def test_wand_ignores_positions(spark, documents, pos_index, tmp_path_factory):
     a = wand.topk(spark, pos_index, q, k=10).orderBy("query_id", "rank").collect()
     b = wand.topk(spark, d1, q, k=10).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# N-term NEAR + ranked phrase
+# ---------------------------------------------------------------------------
+
+def _positions_by_doc(documents):
+    by_doc = {}
+    for r in documents.select("doc_id", "text").collect():
+        toks = py_tokenize(r["text"])
+        d = {}
+        for i, t in enumerate(toks):
+            d.setdefault(t, []).append(i)
+        by_doc[r["doc_id"]] = d
+    return by_doc
+
+
+def _near_n_python(documents, terms, k, ordered):
+    want = {}
+    for docid, pos in _positions_by_doc(documents).items():
+        if any(t not in pos for t in set(terms)):
+            continue
+        n = 0
+        for a in pos[terms[0]]:
+            if not ordered:
+                if all(any(abs(b - a) <= k for b in pos[t])
+                       for t in terms[1:]):
+                    n += 1
+            else:
+                def chain(prev, rest):
+                    if not rest:
+                        return True
+                    return any(
+                        prev < q <= prev + k and chain(q, rest[1:])
+                        for q in pos[rest[0]]
+                    )
+                if chain(a, terms[1:]):
+                    n += 1
+        if n:
+            want[docid] = n
+    return want
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_near_n_matches_python(spark, documents, pos_index, ordered):
+    terms, k = ["key", "order", "sort"], 4
+    got = {r["docid"]: r["n_anchors"] for r in
+           phrase.near_match_n(spark, pos_index, terms, k=k,
+                               ordered=ordered).collect()}
+    want = _near_n_python(documents, terms, k, ordered)
+    assert got == want and got
+
+
+def test_near_n_two_terms_unordered_consistent_with_pairs(
+        spark, documents, pos_index):
+    """For two terms, an unordered anchor is an occurrence of a with ≥1 b in
+    range — cross-checked against the python brute force (near_match counts
+    PAIRS, near_match_n counts anchors; both derive from the same windows)."""
+    got = {r["docid"]: r["n_anchors"] for r in
+           phrase.near_match_n(spark, pos_index, ["key", "order"],
+                               k=3).collect()}
+    want = _near_n_python(documents, ["key", "order"], 3, False)
+    assert got == want
+
+
+def test_phrase_topk_ranked(spark, documents, pos_index):
+    """Ranked phrase = phrase candidates ordered by BM25 over the phrase
+    terms with (score desc, docid asc) pinning — python oracle twin."""
+    got = [(r["rank"], r["docid"], r["score"]) for r in
+           phrase.phrase_topk(spark, pos_index, "key order", k=10)
+           .orderBy("rank").collect()]
+    matched = {d for d, _ in _scan_phrase(documents, "key order")}
+    oracle = OracleIndex([(r["doc_id"], r["text"])
+                          for r in documents.collect()])
+    terms = ["key", "order"]
+    scored = sorted(
+        ((round(oracle.score_one(d, terms), 4), d) for d in matched),
+        key=lambda p: (-p[0], p[1]),
+    )[:10]
+    want = [(i + 1, d, s) for i, (s, d) in enumerate(scored)]
+    assert got == want and got
+
+
+def test_phrase_topk_absent_term_empty(spark, pos_index):
+    assert phrase.phrase_topk(spark, pos_index, "key zzz_never").count() == 0

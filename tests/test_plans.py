@@ -21,6 +21,7 @@ ONE_ROW_BROADCAST = {
     "ann_ivf_topk",      # broadcast(query vector)
     "rel_j12_diff",      # broadcast(1-row max-scalar)
     "ft_bm25_topk",      # broadcast(1-row corpus stats: n_docs, avgdl)
+    "ft_fielded_exact",  # broadcast(1-row n_docs aggregate) into avglen/idf
 }
 
 

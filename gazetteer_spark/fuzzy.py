@@ -82,6 +82,20 @@ def term_id_expr(term_col):
     return F.xxhash64(term_col)
 
 
+def _posting_generations(index_dir: str) -> list[int]:
+    """Committed generations that contributed postings (manifest rows with
+    n_terms > 0) — driver-side metadata read, scales with shard count."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/manifest",
+                      columns=["generation", "n_terms"])
+    gens = {
+        int(g) for g, n in zip(t["generation"].to_pylist(),
+                               t["n_terms"].to_pylist()) if n and n > 0
+    }
+    return sorted(gens)
+
+
 def build_fuzzy_layout(
     spark: SparkSession, index_dir: str, out_dir: str, n_shards: int = 8
 ) -> None:
@@ -105,6 +119,13 @@ def build_fuzzy_layout(
         "base_analyzer_version": params["analyzer_version"],
         "gram_analyzer_version": NGRAM_ANALYZER.version,
         "n": NGRAM_N,
+        # lineage snapshot: committed POSTING generations of the primary
+        # index at layout-build time. New posting generations add
+        # VOCABULARY the gram index has never seen — serving from a stale
+        # layout would silently drop those terms from fuzzy recall, so
+        # readers check this. Dels-only generations (n_terms == 0) never
+        # stale the layout: the posting fan-in masks tombstones.
+        "source_generations": _posting_generations(index_dir),
     }
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:
@@ -222,7 +243,7 @@ MAX_FUZZY_TERMS = 4096
 
 def fuzzy_docs(
     spark: SparkSession, fuzzy_dir: str, index_dir: str, fragment: str,
-    bidirectional: bool = False,
+    bidirectional: bool = False, allow_stale: bool = False,
 ) -> DataFrame:
     """(docid): documents containing any vocabulary term that matches the
     fragment — gram-index candidates → exact verify → primary-index posting
@@ -231,7 +252,26 @@ def fuzzy_docs(
 
     The matched-term list rides the driver (same as every query's term list
     — pruning needs literal ``In(term, …)``); MAX_FUZZY_TERMS guards
-    against degenerate fragments matching half the dictionary."""
+    against degenerate fragments matching half the dictionary.
+
+    Staleness: if the primary index committed NEW posting generations
+    after the layout was built, their vocabulary is absent from the gram
+    index and fuzzy recall silently shrinks — that's an error here unless
+    ``allow_stale=True``. Dels-only generations never stale the layout
+    (the fan-in masks tombstones)."""
+    with open(f"{fuzzy_dir}/layout.json") as f:
+        meta = json.load(f)
+    built_gens = meta.get("source_generations")
+    if built_gens is not None and not allow_stale:
+        new = sorted(set(_posting_generations(index_dir)) - set(built_gens))
+        if new:
+            raise ValueError(
+                f"fuzzy layout {fuzzy_dir} is STALE: primary index "
+                f"committed posting generations {new} after the layout was "
+                "built (their vocabulary is missing from the gram index). "
+                "Rebuild with build_fuzzy_layout, or pass allow_stale=True "
+                "to serve with reduced recall."
+            )
     matched = [r["term"] for r in
                fuzzy_terms(spark, fuzzy_dir, fragment, bidirectional)
                .select("term").collect()]

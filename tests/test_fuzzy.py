@@ -98,3 +98,35 @@ def test_fuzzy_docs_respects_tombstones(spark, documents, layout,
     got = {r["docid"] for r in
            fuzzy.fuzzy_docs(spark, fz, d2, "par").collect()}
     assert victim not in got
+
+
+def test_fuzzy_layout_staleness(spark, documents, tmp_path_factory):
+    """A new POSTING generation stales the layout (its vocabulary is
+    missing from the gram index) → ValueError unless allow_stale; a
+    dels-only generation does not; rebuilding clears it."""
+    idx = str(tmp_path_factory.mktemp("fz_stale_idx"))
+    spimi.build_index(spark, documents.limit(50), idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    fz = str(tmp_path_factory.mktemp("fz_stale_layout"))
+    fuzzy.build_fuzzy_layout(spark, idx, fz, n_shards=2)
+    base = {r["docid"] for r in fuzzy.fuzzy_docs(spark, fz, idx, "par").collect()}
+    assert base
+
+    # dels-only generation: layout still serves
+    victim = sorted(base)[0]
+    spimi.delete_documents(spark, [victim], idx)
+    got = {r["docid"] for r in fuzzy.fuzzy_docs(spark, fz, idx, "par").collect()}
+    assert got == base - {victim}
+
+    # posting generation: stale → raises; allow_stale serves (old recall)
+    extra = documents.limit(60).subtract(documents.limit(50))
+    spimi.add_documents(spark, extra, idx, id_col="doc_id", content_col="text")
+    with pytest.raises(ValueError, match="STALE"):
+        fuzzy.fuzzy_docs(spark, fz, idx, "par")
+    assert fuzzy.fuzzy_docs(spark, fz, idx, "par",
+                            allow_stale=True).count() >= len(got)
+
+    # rebuild: fresh layout sees the new generation's vocabulary
+    fz2 = str(tmp_path_factory.mktemp("fz_stale_layout2"))
+    fuzzy.build_fuzzy_layout(spark, idx, fz2, n_shards=2)
+    assert fuzzy.fuzzy_docs(spark, fz2, idx, "par").count() >= len(got)

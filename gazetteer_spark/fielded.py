@@ -157,6 +157,7 @@ def build_fielded_index(
     n_shards: int = 32,
     id_col: str = "docid",
     analyzer: str = "default",
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Build a fielded index: composite ``field\\x1fterm`` postings in the
     standard segment layout + per-field kind='fdocs' doc-length rows, all
@@ -179,7 +180,8 @@ def build_fielded_index(
     with open(f"{out_dir}/build.json", "w") as f:
         json.dump(params, f)
     p = _fielded_source(docs, id_col, fields, analyzer, n_shards)
-    spimi._write_generation(spark, p, out_dir, list(range(n_shards)), 0)
+    spimi._write_generation(spark, p, out_dir, list(range(n_shards)), 0,
+                            manifest_extra=manifest_extra)
     spimi._refresh_derived(spark, out_dir, params)
     _refresh_field_stats(spark, out_dir)
     return spimi.load_stats(out_dir)
@@ -188,6 +190,7 @@ def build_fielded_index(
 def add_fielded_documents(
     spark: SparkSession, docs: DataFrame, out_dir: str,
     fields: dict[str, str], id_col: str = "docid",
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Incremental fielded add — a new generation of composite postings +
     fdocs rows (same contract as spimi.add_documents)."""
@@ -209,7 +212,8 @@ def add_fielded_documents(
         shutil.rmtree(stale)
     p = _fielded_source(docs, id_col, fields, analyzer, params["n_shards"])
     spimi._write_generation(spark, p, out_dir,
-                            list(range(params["n_shards"])), generation)
+                            list(range(params["n_shards"])), generation,
+                            manifest_extra=manifest_extra)
     spimi._refresh_derived(spark, out_dir, params)
     _refresh_field_stats(spark, out_dir)
     return spimi.load_stats(out_dir)

@@ -406,6 +406,143 @@ def near_match_n(
     )
 
 
+def phrase_match_batch(
+    spark: SparkSession, index_dir: str, queries: list[tuple[int, str]]
+) -> DataFrame:
+    """(query_id, docid, n_occurrences): N phrase queries in ONE Spark job —
+    one segment scan pruned to the UNION of all queries' terms, one shuffle.
+    At serving scale the per-job scheduling cost (~0.5 s locally) dominates
+    single phrase queries; batching amortizes it exactly like wand's
+    topk_batch. Row-identical to per-query :func:`phrase_match`."""
+    params, seg = _positional_segments(spark, index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    plans = [(int(qid), tokenize(text)) for qid, text in queries]
+    if any(not ts for _, ts in plans):
+        raise ValueError("empty phrase after analysis")
+    all_terms = sorted({t for _, ts in plans for t in ts})
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, ts in plans:
+            out = _phrase_shard(pdf, ts)
+            if not out.empty:
+                out.insert(0, "query_id", np.int32(qid))
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int32"),
+                "docid": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    return _relevant_rows(seg, all_terms).groupBy("shard").applyInPandas(
+        shard_fn, "query_id int, docid long, n_occurrences long"
+    )
+
+
+def near_match_n_batch(
+    spark: SparkSession, index_dir: str,
+    queries: list[tuple[int, list[str]]], k: int = 3, ordered: bool = False,
+) -> DataFrame:
+    """(query_id, docid, n_anchors): N proximity queries in one job (same
+    batching contract as :func:`phrase_match_batch`)."""
+    params, seg = _positional_segments(spark, index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    plans = []
+    for qid, terms in queries:
+        analyzed = [t for term in terms for t in tokenize(term)]
+        if len(analyzed) < 2:
+            raise ValueError(f"NEAR/n query {qid} needs >= 2 analyzed terms")
+        plans.append((int(qid), analyzed))
+    all_terms = sorted({t for _, ts in plans for t in ts})
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, ts in plans:
+            out = _near_n_shard(pdf, ts, k, ordered)
+            if not out.empty:
+                out.insert(0, "query_id", np.int32(qid))
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int32"),
+                "docid": pd.Series([], dtype="int64"),
+                "n_anchors": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    return _relevant_rows(seg, all_terms).groupBy("shard").applyInPandas(
+        shard_fn, "query_id int, docid long, n_anchors long"
+    )
+
+
+def phrase_topk_batch(
+    spark: SparkSession, index_dir: str, queries: list[tuple[int, str]],
+    k: int = 10, round_to: int | None = 4, tie_cap: int = 4096,
+) -> DataFrame:
+    """(query_id, rank, docid, score): N RANKED phrase queries in one
+    scoring job + one top-k window — the batch twin of :func:`phrase_topk`
+    (rank-identical per query)."""
+    from .spimi import load_stats
+    from .wand import _idf, _lookup_dfs
+
+    params, seg = _positional_segments(spark, index_dir)
+    stats = load_stats(index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    plans = [(int(qid), tokenize(text)) for qid, text in queries]
+    if any(not ts for _, ts in plans):
+        raise ValueError("empty phrase after analysis")
+    all_terms = sorted({t for _, ts in plans for t in ts})
+    termstats = spark.read.parquet(f"{index_dir}/termstats")
+    df_by_term = _lookup_dfs(termstats, all_terms)
+    qweights = {t: _idf(stats["n_docs"], df_by_term[t])
+                for t in all_terms if t in df_by_term}
+    # a phrase with an unindexed term matches nothing (conjunctive)
+    live = [(qid, ts) for qid, ts in plans
+            if all(t in df_by_term for t in ts)]
+    if not live:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double")
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(all_terms))
+        | (F.col("kind") == "docs")
+        | (F.col("kind") == "dels")
+    )
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, ts in live:
+            out = _phrase_scored_shard(
+                pdf, ts, qweights, stats["avgdl"], k, round_to, tie_cap)
+            if not out.empty:
+                out.insert(0, "query_id", np.int32(qid))
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int32"),
+                "docid": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    local = relevant.groupBy("shard").applyInPandas(
+        shard_fn, "query_id int, docid long, score double"
+    )
+    from pyspark.sql import Window as W
+
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc())
+    return (
+        local.select("query_id", "docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
 def phrase_topk(
     spark: SparkSession, index_dir: str, phrase: str, k: int = 10,
     round_to: int | None = 4, tie_cap: int = 4096,

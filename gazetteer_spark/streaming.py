@@ -56,11 +56,15 @@ def index_stream(
     n_shards: int = 8,
     positions: bool = False,
     analyzer: str = "default",
+    fields: dict[str, str] | None = None,
     **trigger_kwargs,
 ):
     """Start a streaming query that maintains the index at ``out_dir`` —
     one committed generation per non-empty micro-batch, exactly once (the
     batch marker rides in the manifest commit; replays are skipped).
+    ``fields`` switches the sink to a FIELDED (BM25F) index — each batch
+    becomes one fielded generation via the same commit protocol
+    (``content_col``/``positions`` are ignored in that mode).
     Returns the StreamingQuery (caller awaits/stops). Default trigger:
     availableNow."""
     if not trigger_kwargs:
@@ -74,7 +78,21 @@ def index_stream(
         if batch_df.isEmpty():
             return
         extra = {"stream_id": sid, "batch_id": batch_id, "batch_step": "add"}
-        if not os.path.exists(f"{out_dir}/build.json"):
+        fresh = not os.path.exists(f"{out_dir}/build.json")
+        if fields is not None:
+            from . import fielded
+
+            if fresh:
+                fielded.build_fielded_index(
+                    spark, batch_df, out_dir, fields, n_shards=n_shards,
+                    id_col=id_col, analyzer=analyzer, manifest_extra=extra,
+                )
+            else:
+                fielded.add_fielded_documents(
+                    spark, batch_df, out_dir, fields, id_col=id_col,
+                    manifest_extra=extra,
+                )
+        elif fresh:
             spimi.build_index(
                 spark, batch_df, out_dir, n_shards=n_shards,
                 id_col=id_col, content_col=content_col,

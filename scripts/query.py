@@ -71,16 +71,16 @@ def main(argv=None):
                 {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
             )
     elif args.mode == "phrase":
-        for qid, text in queries:
-            rows = phrase.phrase_match(spark, args.index, text).collect()
-            out[qid] = [{"docid": r["docid"], "n_occurrences": r["n_occurrences"]}
-                        for r in rows]
+        # batched: ONE scan + one job for the whole query file
+        for r in phrase.phrase_match_batch(spark, args.index, queries).collect():
+            out.setdefault(r["query_id"], []).append(
+                {"docid": r["docid"], "n_occurrences": r["n_occurrences"]})
     elif args.mode == "phrase-topk":
-        for qid, text in queries:
-            rows = (phrase.phrase_topk(spark, args.index, text, k=args.k)
-                    .orderBy("rank").collect())
-            out[qid] = [{"rank": r["rank"], "docid": r["docid"],
-                         "score": r["score"]} for r in rows]
+        for r in (phrase.phrase_topk_batch(spark, args.index, queries,
+                                           k=args.k)
+                  .orderBy("query_id", "rank").collect()):
+            out.setdefault(r["query_id"], []).append(
+                {"rank": r["rank"], "docid": r["docid"], "score": r["score"]})
     elif args.mode == "near":
         for qid, text in queries:
             parts = text.split()
@@ -92,13 +92,12 @@ def main(argv=None):
             out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
                         for r in rows]
     elif args.mode == "near-n":
-        for qid, text in queries:
-            rows = phrase.near_match_n(
-                spark, args.index, text.split(), k=args.near_k,
-                ordered=args.ordered,
-            ).collect()
-            out[qid] = [{"docid": r["docid"], "n_anchors": r["n_anchors"]}
-                        for r in rows]
+        nq = [(qid, text.split()) for qid, text in queries]
+        for r in phrase.near_match_n_batch(
+            spark, args.index, nq, k=args.near_k, ordered=args.ordered,
+        ).collect():
+            out.setdefault(r["query_id"], []).append(
+                {"docid": r["docid"], "n_anchors": r["n_anchors"]})
     elif args.mode == "fielded":
         from gazetteer_spark import fielded
 

@@ -98,6 +98,21 @@ def test_delete_and_compact(spark, documents, fidx, tmp_path_factory):
     assert got == want
 
 
+def test_fielded_scan_pruned_and_index_only(spark, fidx):
+    """Scale shape: the serving scan pushes the composite-term In + kind
+    predicate into the parquet scan (a query touches its query terms'
+    rows, fdocs and dels — never the whole posting set) and reads ONLY
+    index files (never the corpus)."""
+    df = fielded.fielded_topk(spark, fidx, [(0, "spark join src13")],
+                              boosts=BOOSTS, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg_scans = [ln for ln in plan.splitlines()
+                 if "FileScan parquet" in ln and "/segments" in ln]
+    assert seg_scans and all(
+        "= post" in ln and " IN (" in ln for ln in seg_scans), plan
+    assert all(fidx in f for f in df.inputFiles())
+
+
 def test_plain_add_rejected_on_fielded_index(spark, documents, fidx):
     with pytest.raises(ValueError, match="fielded"):
         spimi.add_documents(spark, documents.limit(1), fidx,

@@ -100,6 +100,19 @@ def test_fuzzy_docs_respects_tombstones(spark, documents, layout,
     assert victim not in got
 
 
+def test_fuzzy_gram_scan_pruned(spark, layout):
+    """The gram-index scan is pruned to the fragment's grams (In(term, …)
+    reaches the parquet scan) — a fragment touches its grams' posting
+    rows, not the whole gram index."""
+    idx, fz = layout
+    df = fuzzy.fuzzy_terms(spark, fz, "parse")  # grams: par, ars, rse
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gram_scans = [ln for ln in plan.splitlines()
+                  if "FileScan parquet" in ln and "gramidx/segments" in ln]
+    assert gram_scans and all(
+        ("In(term, [" in ln) or (" IN (" in ln) for ln in gram_scans), plan
+
+
 def test_fuzzy_layout_staleness(spark, documents, tmp_path_factory):
     """A new POSTING generation stales the layout (its vocabulary is
     missing from the gram index) → ValueError unless allow_stale; a

@@ -454,3 +454,45 @@ def test_phrase_topk_ranked(spark, documents, pos_index):
 
 def test_phrase_topk_absent_term_empty(spark, pos_index):
     assert phrase.phrase_topk(spark, pos_index, "key zzz_never").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# batched serving (one scan + one job for N queries)
+# ---------------------------------------------------------------------------
+
+def test_phrase_match_batch_equals_singles(spark, pos_index):
+    qs = [(0, "key order"), (1, "sort by"), (2, "the")]
+    got = {(r["query_id"], r["docid"], r["n_occurrences"]) for r in
+           phrase.phrase_match_batch(spark, pos_index, qs).collect()}
+    want = set()
+    for qid, text in qs:
+        want |= {(qid, r["docid"], r["n_occurrences"]) for r in
+                 phrase.phrase_match(spark, pos_index, text).collect()}
+    assert got == want and got
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_near_n_batch_equals_singles(spark, pos_index, ordered):
+    qs = [(0, ["key", "order"]), (1, ["key", "order", "sort"])]
+    got = {(r["query_id"], r["docid"], r["n_anchors"]) for r in
+           phrase.near_match_n_batch(spark, pos_index, qs, k=4,
+                                     ordered=ordered).collect()}
+    want = set()
+    for qid, terms in qs:
+        want |= {(qid, r["docid"], r["n_anchors"]) for r in
+                 phrase.near_match_n(spark, pos_index, terms, k=4,
+                                     ordered=ordered).collect()}
+    assert got == want and got
+
+
+def test_phrase_topk_batch_equals_singles(spark, pos_index):
+    qs = [(0, "key order"), (1, "sort by"), (2, "key zzz_never")]
+    got = [(r["query_id"], r["rank"], r["docid"], r["score"]) for r in
+           phrase.phrase_topk_batch(spark, pos_index, qs, k=5)
+           .orderBy("query_id", "rank").collect()]
+    want = []
+    for qid, text in qs:
+        want += [(qid, r["rank"], r["docid"], r["score"]) for r in
+                 phrase.phrase_topk(spark, pos_index, text, k=5)
+                 .orderBy("rank").collect()]
+    assert got == want and got

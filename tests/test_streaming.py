@@ -308,3 +308,46 @@ def test_stream_stateful_latest_wins(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_fielded_ingest_matches_batch(spark, documents,
+                                                tmp_path_factory):
+    """index_stream(fields=...) maintains a FIELDED index: 2 micro-batches →
+    2 committed generations; BM25F top-k over the streamed index is
+    rank-identical to a one-shot fielded build (and therefore to the exact
+    corpus-scan scorer)."""
+    from gazetteer_spark import fielded, streaming
+    from gazetteer_spark.index import spimi
+
+    fields = {"body": "text", "src": "source"}
+    boosts = {"body": 1.0, "src": 2.0}
+    queries = [(0, "spark join src13"), (1, "customer filter")]
+
+    work = tmp_path_factory.mktemp("stream_fielded")
+    src = str(work / "src")
+    for i, (lo, hi) in enumerate([(0, 250), (250, 10**9)]):
+        (documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{src}/part{i}"))
+    stream = (
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(work / "fidx")
+    q = streaming.index_stream(
+        spark, stream, idx, str(work / "ckpt"),
+        id_col="doc_id", n_shards=8, fields=fields,
+    )
+    q.awaitTermination()
+
+    assert len(spimi.committed_generations(idx)) == 2
+
+    ref = str(work / "fidx_batch")
+    fielded.build_fielded_index(spark, documents, ref, fields, n_shards=8,
+                                id_col="doc_id")
+    got = fielded.fielded_topk(spark, idx, queries, boosts=boosts, k=10) \
+        .orderBy("query_id", "rank").collect()
+    want = fielded.fielded_topk(spark, ref, queries, boosts=boosts, k=10) \
+        .orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .ops import HASH_PRIME, dedup, multimodal, similarity, textstats
+from .ops import HASH_PRIME, dedup, multimodal, pipeline, similarity, textstats
 from .ops.dedup import MINHASH_A, MINHASH_B, N_HASHES
 
 # ---------------------------------------------------------------------------
@@ -309,6 +309,70 @@ def _oracle_label_centroids() -> str:
         " CAST(count(*) AS BIGINT) AS n"
         " FROM embeddings, LATERAL unnest(generate_series(1, 64)) AS t(i)"
         " GROUP BY label, i"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (chunking / splits / balanced sampling)
+# ---------------------------------------------------------------------------
+
+# 32/8 (not the production-typical 512/64) because the sf docs run 10-99
+# tokens — this way most docs produce MULTI-chunk windows and the overlap
+# arithmetic is actually exercised by the oracle compare
+CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
+SPLIT_WEIGHTS = {"train": 0.95, "val": 0.025, "test": 0.025}
+SAMPLE_PER_GROUP = 40
+
+
+def q_px_chunks(spark, sf_dir):
+    return pipeline.chunk_spans(_docs(spark, sf_dir), "doc_id", "text",
+                                size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+def q_px_split(spark, sf_dir):
+    return pipeline.dataset_split(_docs(spark, sf_dir), "doc_id",
+                                  weights=SPLIT_WEIGHTS)
+
+
+def q_px_balanced_sample(spark, sf_dir):
+    return pipeline.balanced_sample(_docs(spark, sf_dir), "doc_id", "lang",
+                                    n_per_group=SAMPLE_PER_GROUP)
+
+
+def _oracle_px_chunks() -> str:
+    size, step = CHUNK_SIZE, CHUNK_SIZE - CHUNK_OVERLAP
+    toks = DUCK_TOKENS.format(col="text")
+    return (
+        f"WITH d AS (SELECT doc_id AS docid,"
+        f" coalesce(len({toks}), 0) AS doclen FROM documents),"
+        " n AS (SELECT docid, doclen, CAST(1 + floor((greatest(doclen -"
+        f" {size}, 0) + {step - 1}) / {step}) AS INT) AS n_chunks FROM d)"
+        " SELECT docid, CAST(c.i AS INT) AS chunk_id,"
+        f" CAST(c.i * {step} AS INT) AS start_tok,"
+        f" CAST(least({size}, doclen - c.i * {step}) AS INT) AS n_tok"
+        " FROM n, LATERAL unnest(generate_series(0, n_chunks - 1)) AS c(i)"
+    )
+
+
+def _oracle_px_split() -> str:
+    b = DUCK_MD5INT.format(col="CAST(doc_id AS VARCHAR)") + " % 1000"
+    hi_train = int(round(SPLIT_WEIGHTS["train"] * 1000))
+    hi_val = hi_train + int(round(SPLIT_WEIGHTS["val"] * 1000))
+    return (
+        f"SELECT doc_id AS docid, CASE WHEN {b} < {hi_train} THEN 'train'"
+        f" WHEN {b} < {hi_val} THEN 'val' ELSE 'test' END AS split"
+        " FROM documents"
+    )
+
+
+def _oracle_px_balanced_sample() -> str:
+    key = DUCK_MD5INT.format(col="CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT docid, \"group\", sample_rank FROM ("
+        " SELECT doc_id AS docid, lang AS \"group\","
+        " CAST(row_number() OVER (PARTITION BY lang"
+        f" ORDER BY {key} ASC, doc_id ASC) AS INT) AS sample_rank"
+        f" FROM documents) WHERE sample_rank <= {SAMPLE_PER_GROUP}"
     )
 
 
@@ -956,6 +1020,9 @@ def ops_queries():
         "tx_quality": q_tx_quality,
         "tx_tokens": q_tx_tokens,
         "tx_fingerprint": q_tx_fingerprint,
+        "px_chunks": q_px_chunks,
+        "px_split": q_px_split,
+        "px_balanced_sample": q_px_balanced_sample,
         "mm_media_stats": q_mm_media_stats,
         "mm_frame_sample": q_mm_frame_sample,
         "rel_j1_revenue": q_rel_j1_revenue,
@@ -998,6 +1065,9 @@ def ops_oracles():
         "tx_quality": _oracle_quality(),
         "tx_tokens": _oracle_tokens(),
         "tx_fingerprint": _oracle_fingerprint(),
+        "px_chunks": _oracle_px_chunks(),
+        "px_split": _oracle_px_split(),
+        "px_balanced_sample": _oracle_px_balanced_sample(),
         "mm_media_stats": _oracle_media_stats(),
         "mm_frame_sample": _oracle_frame_sample(),
         "rel_j1_revenue": (

@@ -94,6 +94,30 @@ def main():
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # positional layout (v2) build + batched phrase/NEAR serving — the
+    # round-3 serving path: N positional queries in ONE pruned scan/job
+    from gazetteer_spark.index import phrase
+
+    pos_dir = tempfile.mkdtemp(prefix="gz_bench_pos_")
+    try:
+        t0 = time.time()
+        spimi.build_index(spark, docs, pos_dir, n_shards=int(cpus),
+                          id_col="doc_id", content_col="text",
+                          positions=True)
+        timings["index_build_pos"] = time.time() - t0
+        phrase.phrase_match_batch(spark, pos_dir, [(0, "key order")]).collect()
+        t0 = time.time()
+        phrase.phrase_match_batch(
+            spark, pos_dir,
+            [(0, "key order"), (1, "sort by"), (2, "group by")],
+        ).collect()
+        phrase.near_match_n_batch(
+            spark, pos_dir, [(0, ["key", "order"]), (1, ["sort", "by"])], k=4,
+        ).collect()
+        timings["phrase_batch"] = time.time() - t0
+    finally:
+        shutil.rmtree(pos_dir, ignore_errors=True)
+
     # credible build throughput needs enough work to amortize fixed costs:
     # 100k synthetic source files (~5 KB each), warm workers
     from gazetteer_spark.corpus import source_files

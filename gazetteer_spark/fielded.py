@@ -385,50 +385,46 @@ def _score_shard_fielded(
     )
 
 
-def fielded_topk(
-    spark: SparkSession,
-    index_dir: str,
-    queries: list[tuple[int, str]],
-    boosts: dict[str, float] | None = None,
-    k: int = 10,
-    round_to: int | None = 4,
-    tie_cap: int = 4096,
-) -> DataFrame:
-    """(query_id, rank, docid, score): BM25F top-k served from a fielded
-    index — two jobs over the term-pruned segment scan (doc-level df, then
-    scoring), one global top-k window. Rank-identical to :func:`bm25f_topk`
-    and the DuckDB oracle."""
-    boosts = boosts or {}
-    stats = spimi.load_stats(index_dir)
-    fields = stats["fields"]
-    n_docs = stats["n_docs"]
-    avglen = {
-        f: stats["field_totals"].get(f, 0) / n_docs for f in fields
-    }
-    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
-    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
-    all_terms = sorted({t for ts in qterms.values() for t in ts})
-    if not all_terms:
-        raise ValueError("no query terms")
-    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
-
-    seg = spimi.committed_segments(spark, index_dir)
-    relevant = seg.filter(
+def _relevant_fielded(seg: DataFrame, fields: list[str], terms: list[str]):
+    comp = [f + FIELD_SEP + t for f in fields for t in terms]
+    return seg.filter(
         ((F.col("kind") == "post") & F.col("term").isin(comp))
         | (F.col("kind") == "fdocs")
         | (F.col("kind") == "dels")
     )
-    # job 1: doc-level df per base term (shard-partial counts sum exactly)
-    df_rows = (
-        relevant.groupBy("shard")
+
+
+def _df_job(seg: DataFrame, fields: list[str], terms: list[str]) -> dict[str, int]:
+    """Doc-level df per base term: per-shard distinct counts sum exactly
+    (shards hold disjoint docids)."""
+    rows = (
+        _relevant_fielded(seg, fields, terms).groupBy("shard")
         .applyInPandas(
-            lambda p: _df_shard_fielded(p, all_terms, fields),
+            lambda p: _df_shard_fielded(p, terms, fields),
             "term string, df long",
         )
         .groupBy("term").agg(F.sum("df").alias("df"))
         .collect()
     )
-    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _fielded_topk_impl(
+    spark: SparkSession,
+    seg: DataFrame,
+    stats: dict,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float],
+    k: int,
+    round_to: int | None,
+    tie_cap: int,
+    df_by_term: dict[str, int],
+    all_terms: list[str],
+    qterms: dict[int, list[str]],
+) -> DataFrame:
+    fields = stats["fields"]
+    n_docs = stats["n_docs"]
+    avglen = {f: stats["field_totals"].get(f, 0) / n_docs for f in fields}
     qplans = [
         (qid, [(t, _idf(n_docs, df_by_term[t])) for t in ts if t in df_by_term])
         for qid, ts in qterms.items()
@@ -438,8 +434,7 @@ def fielded_topk(
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double"
         )
-    # job 2: score
-    local = relevant.groupBy("shard").applyInPandas(
+    local = _relevant_fielded(seg, fields, all_terms).groupBy("shard").applyInPandas(
         lambda p: _score_shard_fielded(
             p, qplans, fields, boosts, avglen, k, round_to, tie_cap
         ),
@@ -458,3 +453,71 @@ def fielded_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+def fielded_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int | None = 4,
+    tie_cap: int = 4096,
+) -> DataFrame:
+    """(query_id, rank, docid, score): BM25F top-k served from a fielded
+    index — two jobs over the term-pruned segment scan (doc-level df, then
+    scoring), one global top-k window. Rank-identical to :func:`bm25f_topk`
+    and the DuckDB oracle. For repeated serving use :class:`FieldedReader`
+    (pinned segments + memoized df → one job per warm query batch)."""
+    stats = spimi.load_stats(index_dir)
+    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    seg = spimi.committed_segments(spark, index_dir)
+    df_by_term = _df_job(seg, stats["fields"], all_terms)
+    return _fielded_topk_impl(
+        spark, seg, stats, queries, boosts or {}, k, round_to, tie_cap,
+        df_by_term, all_terms, qterms,
+    )
+
+
+class FieldedReader:
+    """Warm BM25F serving handle — the fielded twin of wand.IndexReader:
+    committed segments pinned in executor memory, per-base-term doc-level
+    df memoized driver-side across calls (the df job runs only for
+    first-seen terms), so a warm query batch runs exactly ONE Spark job
+    (scoring) plus the top-k window."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats = spimi.load_stats(index_dir)
+        self.seg = spimi.committed_segments(spark, index_dir).persist()
+        self.seg.count()  # materialize the cache
+        self._df_cache: dict[str, int | None] = {}  # None = known-absent
+
+    def _dfs_for(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            found = _df_job(self.seg, self.stats["fields"], missing)
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache[t]) is not None}
+
+    def topk(self, queries, boosts=None, k: int = 10,
+             round_to: int | None = 4, tie_cap: int = 4096) -> DataFrame:
+        tokenize = get_analyzer(
+            self.stats.get("analyzer", "default")).py_tokenize
+        qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            raise ValueError("no query terms")
+        return _fielded_topk_impl(
+            self.spark, self.seg, self.stats, queries, boosts or {}, k,
+            round_to, tie_cap, self._dfs_for(all_terms), all_terms, qterms,
+        )
+
+    def close(self) -> None:
+        self.seg.unpersist()

@@ -98,6 +98,23 @@ def test_delete_and_compact(spark, documents, fidx, tmp_path_factory):
     assert got == want
 
 
+def test_fielded_reader_warm_matches_cold(spark, fidx):
+    """FieldedReader (pinned segments + memoized df) is rank-identical to
+    the cold path, including on repeat queries that hit the df cache."""
+    r = fielded.FieldedReader(spark, fidx)
+    try:
+        warm1 = _rows(r.topk(QUERIES, boosts=BOOSTS, k=10))
+        warm2 = _rows(r.topk(QUERIES, boosts=BOOSTS, k=10))  # cache hit
+        cold = _rows(fielded.fielded_topk(spark, fidx, QUERIES,
+                                          boosts=BOOSTS, k=10))
+        assert warm1 == warm2 == cold and warm1
+        # only the first call pays df lookups
+        assert all(t in r._df_cache for _, text in QUERIES
+                   for t in text.split() if t.isalnum())
+    finally:
+        r.close()
+
+
 def test_fielded_scan_pruned_and_index_only(spark, fidx):
     """Scale shape: the serving scan pushes the composite-term In + kind
     predicate into the parquet scan (a query touches its query terms'

@@ -99,13 +99,30 @@ def _posting_generations(index_dir: str) -> list[int]:
 def build_fuzzy_layout(
     spark: SparkSession, index_dir: str, out_dir: str, n_shards: int = 8
 ) -> None:
-    """Materialize the gram-over-dictionary layout from a committed index."""
+    """Materialize the gram-over-dictionary layout from a committed index.
+
+    Fielded indexes store composite ``field\\x1fterm`` postings; their
+    fuzzy dictionary is the DISTINCT BASE terms (field prefix stripped) —
+    a fragment matches a term regardless of which field holds it, and the
+    doc fan-in expands matches back to every field's composite. The
+    dictionary's df is then docs-holding-the-term-in-ANY-field summed
+    per-field (an upper bound; informational only — the fan-in decodes
+    exact postings)."""
     with open(f"{index_dir}/build.json") as f:
         params = json.load(f)
     os.makedirs(out_dir, exist_ok=True)
-    terms = (
-        spark.read.parquet(f"{index_dir}/termstats")
-        .select(term_id_expr(F.col("term")).alias("term_id"), "term", "df")
+    ts = spark.read.parquet(f"{index_dir}/termstats")
+    if params.get("fields"):
+        ts = (
+            ts.select(
+                F.split(F.col("term"), spimi.FIELD_SEP, 2).getItem(1)
+                .alias("term"),
+                "df",
+            )
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+    terms = ts.select(
+        term_id_expr(F.col("term")).alias("term_id"), "term", "df"
     )
     terms.write.mode("overwrite").parquet(f"{out_dir}/terms")
     dict_df = spark.read.parquet(f"{out_dir}/terms")
@@ -126,6 +143,7 @@ def build_fuzzy_layout(
         # readers check this. Dels-only generations (n_terms == 0) never
         # stale the layout: the posting fan-in masks tombstones.
         "source_generations": _posting_generations(index_dir),
+        "fields": params.get("fields"),  # non-null → fielded source index
     }
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:
@@ -282,6 +300,11 @@ def fuzzy_docs(
         )
     if not matched:
         return spark.createDataFrame([], "docid long")
+    if meta.get("fields"):
+        # fielded primary index: postings are composite field\x1fterm —
+        # a matched base term fans in from EVERY field's composite row
+        matched = [f + spimi.FIELD_SEP + t
+                   for f in meta["fields"] for t in matched]
     seg = spimi.committed_segments(spark, index_dir)
     relevant = seg.filter(
         ((F.col("kind") == "post") & F.col("term").isin(matched))

@@ -113,6 +113,35 @@ def test_fuzzy_gram_scan_pruned(spark, layout):
         ("In(term, [" in ln) or (" IN (" in ln) for ln in gram_scans), plan
 
 
+def test_fuzzy_over_fielded_index(spark, documents, tmp_path_factory):
+    """Fuzzy layout built from a FIELDED index: the dictionary is the
+    distinct BASE terms; doc fan-in expands a match to every field's
+    composite postings — result equals a corpus scan over ALL fields."""
+    from gazetteer_spark import fielded
+
+    fields = {"body": "text", "src": "source"}
+    fidx = str(tmp_path_factory.mktemp("fz_fidx"))
+    fielded.build_fielded_index(spark, documents, fidx, fields, n_shards=4,
+                                id_col="doc_id")
+    fz = str(tmp_path_factory.mktemp("fz_flayout"))
+    fuzzy.build_fuzzy_layout(spark, fidx, fz, n_shards=2)
+
+    frag = "par"
+    got = {r["docid"] for r in fuzzy.fuzzy_docs(spark, fz, fidx, frag).collect()}
+    want = set()
+    for col in fields.values():
+        want |= {
+            r["doc_id"] for r in documents.select(
+                "doc_id", F.explode(tokens_expr(F.col(col))).alias("t")
+            ).filter(F.col("t").contains(frag)).select("doc_id").distinct()
+            .collect()
+        }
+    assert got == want and got
+    # dictionary holds base terms only (no composite separator)
+    assert not any("\x1f" in r["term"] for r in
+                   spark.read.parquet(f"{fz}/terms").collect())
+
+
 def test_fuzzy_layout_staleness(spark, documents, tmp_path_factory):
     """A new POSTING generation stales the layout (its vocabulary is
     missing from the gram index) → ValueError unless allow_stale; a

@@ -1,0 +1,100 @@
+"""spark-submit entry points exercised in-process: the CLI surface a
+cluster user actually drives (build lifecycle + every query mode). Each
+main() reuses the active test SparkSession via getOrCreate()."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/scripts")
+
+import build_index as build_cli  # noqa: E402
+import query as query_cli  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, documents, tmp_path_factory):
+    work = tmp_path_factory.mktemp("cli")
+    src = str(work / "src")
+    documents.limit(200).write.mode("overwrite").parquet(src)
+    return work, src
+
+
+def _run(capsys, fn, argv):
+    fn(argv)
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    return json.loads(lines[-1])
+
+
+def test_cli_full_lifecycle(spark, documents, cli_env, capsys):
+    work, src = cli_env
+    idx = str(work / "idx")
+
+    out = _run(capsys, build_cli.main, [
+        "--source", src, "--out", idx, "--n-shards", "4",
+        "--docid-col", "doc_id", "--content-col", "text", "--positions",
+    ])
+    assert out["n_docs"] == 200
+
+    # disjunctive + phrase + ranked phrase + near-n against the same index
+    got = _run(capsys, query_cli.main,
+               ["--index", idx, "--query", "spark join", "--k", "5"])
+    assert got["mode"] == "or"
+    assert got["results"]["0"]  # query_id keys JSON-ify to strings
+
+    got = _run(capsys, query_cli.main,
+               ["--index", idx, "--query", "key order", "--mode", "phrase"])
+    assert got["mode"] == "phrase"
+
+    got = _run(capsys, query_cli.main,
+               ["--index", idx, "--query", "key order", "--mode",
+                "phrase-topk", "--k", "3"])
+    assert got["mode"] == "phrase-topk"
+
+    got = _run(capsys, query_cli.main,
+               ["--index", idx, "--query", "key order sort", "--mode",
+                "near-n", "--near-k", "4"])
+    assert got["mode"] == "near-n"
+
+    # distributed delete from a parquet of ids, then compact
+    removals = str(work / "removals")
+    spark.read.parquet(src).select("doc_id").limit(5) \
+        .write.mode("overwrite").parquet(removals)
+    out = _run(capsys, build_cli.main, [
+        "--out", idx, "--delete-ids-from", removals, "--docid-col", "doc_id",
+    ])
+    assert out["deleted"] == "df"
+    idx2 = str(work / "idx2")
+    out = _run(capsys, build_cli.main, ["--compact-from", idx, "--out", idx2])
+    assert out["compacted"] == idx2
+
+
+def test_cli_fielded_and_fuzzy(spark, documents, cli_env, capsys):
+    work, src = cli_env
+    fidx = str(work / "fidx")
+    out = _run(capsys, build_cli.main, [
+        "--source", src, "--out", fidx, "--n-shards", "4",
+        "--docid-col", "doc_id", "--fields", "body=text,src=source",
+    ])
+    assert out["n_docs"] == 200
+
+    got = _run(capsys, query_cli.main, [
+        "--index", fidx, "--query", "spark join src13", "--mode", "fielded",
+        "--boosts", "body=1,src=2", "--k", "5",
+    ])
+    assert got["mode"] == "fielded" and got["results"]
+
+    fz = str(work / "fuzzy")
+    out = _run(capsys, build_cli.main, ["--fuzzy-from", fidx, "--out", fz,
+                                        "--n-shards", "2"])
+    assert out["fuzzy_layout"] == fz
+    got = _run(capsys, query_cli.main, [
+        "--index", fidx, "--mode", "fuzzy", "--fuzzy-layout", fz,
+        "--query", "par",
+    ])
+    assert got["mode"] == "fuzzy" and got["results"]

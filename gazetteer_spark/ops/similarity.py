@@ -108,12 +108,13 @@ def lsh_cosine_topk(
     at 10^12 rows this is a pruned full scan + k-row merge.
 
     PRODUCTION PATH NOTE: this variant prunes COMPUTE but still scans every
-    row's bucket column (buckets are not materialized as partitions). The
-    engine's production ANN serving path is the IVF layout
-    (:func:`build_ivf_layout` + :func:`ivf_topk_layout`), which
-    materializes list-partitioned parquet and reads only the n_probe
-    partitions a query needs. Keep lsh_cosine_topk for ad-hoc scans over
-    embeddings that have no materialized layout."""
+    row's bucket column (buckets are not materialized as partitions). For
+    serving, materialize a layout: :func:`build_lsh_layout` +
+    :func:`lsh_topk_layout` (bucket-partitioned, result-identical to this
+    function, reads only the ~37/256 probed partitions) or the IVF layout
+    (:func:`build_ivf_layout` + :func:`ivf_topk_layout`). Keep
+    lsh_cosine_topk for ad-hoc scans over embeddings that have no
+    materialized layout."""
     planes = hyperplanes(dim)
     bucketed = emb.withColumn("bucket", bucket_expr(F.col(vec_col), planes))
     q = bucketed.filter(F.col(id_col) == query_id).select(
@@ -340,6 +341,77 @@ def ivf_topk_layout(
             F.round(cosine_expr(F.col("embedding"), qlit), round_to).alias("sim"),
         )
     )
+    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "sim")
+    )
+
+
+def build_lsh_layout(
+    emb: DataFrame, out_dir: str, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the hyperplane-LSH layout: vectors partitioned by their
+    sign-pattern bucket (``bucket=`` parquet partitions, 2^N_PLANES dirs).
+
+    Closes the lsh_cosine_topk scale gap: the inline variant prunes only
+    COMPUTE (every row's bucket column is still scanned); this layout lets
+    a multi-probe query read exactly its ~37/256 probed partitions with
+    PartitionFilters — the same serving shape as the IVF layout, with LSH's
+    deterministic (training-free) assignment."""
+    import json
+    import os
+
+    planes = hyperplanes(dim)
+    bucketed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/vectors"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.layout.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"dim": dim, "n_planes": N_PLANES}, f)
+    os.replace(tmp, f"{out_dir}/layout.json")
+
+
+def lsh_topk_layout(
+    spark, layout_dir: str, query_vec: list[float], k: int = 10,
+    max_hamming: int = MULTIPROBE_HAMMING, round_to: int = 6,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """(rank, vec_id, sim): multi-probe LSH top-k over the MATERIALIZED
+    bucket layout — exact cosine over only the buckets within Hamming
+    distance ``max_hamming`` of the query's bucket, read via partition
+    pruning. Result-identical to :func:`lsh_cosine_topk` over the same
+    vectors (same probe set, same scoring, same pinning)."""
+    import json
+
+    with open(f"{layout_dir}/layout.json") as f:
+        meta = json.load(f)
+    dim, n_planes = meta["dim"], meta["n_planes"]
+    qv = np.asarray(query_vec, dtype=np.float64)
+    pl = np.asarray(hyperplanes(dim, n_planes), dtype=np.float64)
+    # same sign-pattern as bucket_expr: bit b set iff dot(vec, plane_b) > 0
+    qbucket = int(((pl @ qv) > 0) @ (1 << np.arange(n_planes)))
+    probe = [b for b in range(1 << n_planes)
+             if bin(b ^ qbucket).count("1") <= max_hamming]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        spark.read.parquet(f"{layout_dir}/vectors")
+        .filter(F.col("bucket").isin(probe))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), qlit), round_to).alias("sim"),
+        )
+    )
+    if exclude_vec_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_vec_id)
     w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -201,6 +201,27 @@ def test_ivf_layout_matches_inline(spark, sf_dir, tmp_path_factory):
     assert "list_id" in part_filters
 
 
+def test_lsh_layout_matches_inline(spark, sf_dir, tmp_path_factory):
+    """The materialized LSH bucket layout serves the same result as the
+    inline multi-probe scan, reading only the probed bucket partitions."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path_factory.mktemp("lsh_layout"))
+    similarity.build_lsh_layout(emb, d)
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    got = similarity.lsh_topk_layout(spark, d, list(qvec), k=10,
+                                     exclude_vec_id=0)
+    inline = similarity.lsh_cosine_topk(emb, query_id=0, k=10) \
+        .orderBy("rank").collect()
+    assert [(r["rank"], r["vec_id"], r["sim"]) for r in
+            got.orderBy("rank").collect()] == [
+        (r["rank"], r["vec_id"], pytest.approx(r["sim"], abs=1e-9))
+        for r in inline
+    ]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in part_filters
+
+
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):
     """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)

@@ -124,11 +124,14 @@ def index_cdc_stream(
     n_shards: int = 8,
     positions: bool = False,
     analyzer: str = "default",
+    fields: dict[str, str] | None = None,
     **trigger_kwargs,
 ):
     """Change-data-capture ingest: each record carries an ``action`` column
     ('add' | 'remove') — the reference's sortupdate action rows
     (`sortupdate/SortAndUpdateTask.java:30-92`) driven by a stream.
+    ``fields`` switches the add path to a FIELDED (BM25F) index; removals
+    are format-agnostic tombstones either way.
 
     Semantics (upsert convention): within one micro-batch REMOVALS apply
     BEFORE adds, so the standard CDC upsert [remove X, add X] lands as the
@@ -172,7 +175,22 @@ def index_cdc_stream(
             if not adds.isEmpty():
                 extra = {"stream_id": sid, "batch_id": batch_id,
                          "batch_step": "add"}
-                if not os.path.exists(f"{out_dir}/build.json"):
+                fresh = not os.path.exists(f"{out_dir}/build.json")
+                if fields is not None:
+                    from . import fielded
+
+                    if fresh:
+                        fielded.build_fielded_index(
+                            spark, adds, out_dir, fields, n_shards=n_shards,
+                            id_col=id_col, analyzer=analyzer,
+                            manifest_extra=extra,
+                        )
+                    else:
+                        fielded.add_fielded_documents(
+                            spark, adds, out_dir, fields, id_col=id_col,
+                            manifest_extra=extra,
+                        )
+                elif fresh:
                     spimi.build_index(
                         spark, adds, out_dir, n_shards=n_shards,
                         id_col=id_col, content_col=content_col,

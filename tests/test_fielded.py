@@ -134,3 +134,24 @@ def test_plain_add_rejected_on_fielded_index(spark, documents, fidx):
     with pytest.raises(ValueError, match="fielded"):
         spimi.add_documents(spark, documents.limit(1), fidx,
                             id_col="doc_id", content_col="text")
+
+
+def test_bm25f_random_boosts_index_equals_exact(spark, documents,
+                                                tmp_path_factory):
+    """Seeded-random boosts: the index-served scorer and the exact
+    corpus-scan twin implement the same frozen BM25F equations for ANY
+    boost assignment, not just the catalog's."""
+    import random
+
+    rng = random.Random(417)
+    d = str(tmp_path_factory.mktemp("fidx_rand"))
+    fielded.build_fielded_index(spark, documents.limit(250), d, FIELDS,
+                                n_shards=8, id_col="doc_id")
+    for trial in range(3):
+        boosts = {f: round(rng.uniform(0.1, 5.0), 3) for f in FIELDS}
+        qs = [(0, "spark join src13"), (1, "customer en src8")]
+        got = _rows(fielded.fielded_topk(spark, d, qs, boosts=boosts, k=10))
+        want = _rows(fielded.bm25f_topk(
+            spark, documents.limit(250), "doc_id", FIELDS, qs,
+            boosts=boosts, k=10))
+        assert got == want and got, boosts

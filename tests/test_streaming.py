@@ -351,3 +351,49 @@ def test_streaming_fielded_ingest_matches_batch(spark, documents,
     want = fielded.fielded_topk(spark, ref, queries, boosts=boosts, k=10) \
         .orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+
+def test_streaming_cdc_fielded(spark, documents, tmp_path_factory):
+    """CDC over a FIELDED index: adds become fielded generations, removes
+    tombstone; BM25F results equal the imperative sequence."""
+    from gazetteer_spark import fielded, streaming
+    from gazetteer_spark.index import spimi
+
+    fields = {"body": "text", "src": "source"}
+    queries = [(0, "spark join src13")]
+    work = tmp_path_factory.mktemp("stream_cdc_fielded")
+    src = str(work / "src")
+    b1 = documents.filter(F.col("doc_id") < 300).withColumn(
+        "action", F.lit("add"))
+    b2 = (documents.filter(F.col("doc_id") >= 300)
+          .withColumn("action", F.lit("add"))
+          .unionByName(documents.filter(F.col("doc_id").isin([5, 310]))
+                       .withColumn("action", F.lit("remove"))))
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    b2.coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    idx = str(work / "fidx")
+    q = streaming.index_cdc_stream(
+        spark, stream, idx, str(work / "ckpt"),
+        id_col="doc_id", n_shards=8, fields=fields,
+    )
+    q.awaitTermination()
+
+    ref = str(work / "fidx_ref")
+    fielded.build_fielded_index(
+        spark, documents.filter(F.col("doc_id") < 300), ref, fields,
+        n_shards=8, id_col="doc_id")
+    spimi.delete_documents(spark, [5, 310], ref)
+    fielded.add_fielded_documents(
+        spark, documents.filter(F.col("doc_id") >= 300), ref, fields,
+        id_col="doc_id")
+    got = fielded.fielded_topk(spark, idx, queries, k=10) \
+        .orderBy("query_id", "rank").collect()
+    want = fielded.fielded_topk(spark, ref, queries, k=10) \
+        .orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got

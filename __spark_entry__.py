@@ -439,12 +439,16 @@ def oracle_sql() -> dict[str, str]:
             "idf AS (SELECT term, ln(1.0 + ((SELECT n FROM nd) - df + 0.5)"
             " / (df + 0.5)) AS idf FROM dft), "
             f"bst(field, boost) AS (VALUES {bst}), "
+            # LEFT JOIN + coalesce: a field absent from the boosts dict gets
+            # the engine's DEFAULT_BOOST=1.0 (fielded._boost_expr), not
+            # dropped from the oracle score
             "w AS (SELECT q.query_id, p.docid, p.term,"
-            " sum(b.boost * p.tf / (1.0 - 0.75 + 0.75 * f.flen / a.avglen))"
+            " sum(coalesce(b.boost, 1.0) * p.tf"
+            " / (1.0 - 0.75 + 0.75 * f.flen / a.avglen))"
             " AS tfw FROM q JOIN p USING (term)"
             " JOIN flen f ON f.docid = p.docid AND f.field = p.field"
             " JOIN avgl a ON a.field = p.field"
-            " JOIN bst b ON b.field = p.field"
+            " LEFT JOIN bst b ON b.field = p.field"
             " GROUP BY q.query_id, p.docid, p.term), "
             "scored AS (SELECT query_id, docid,"
             " sum(i.idf * w.tfw / (1.2 + w.tfw)) AS s"

@@ -171,17 +171,31 @@ def jaccard_pairs(
     )
 
 
+_LAST_CANDS: DataFrame | None = None
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, content_col: str, threshold: float = 0.8
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verify. Candidates
     are persisted: the verify stage references them twice (docid gate pushed
     below the pair join + the exact pair-level semi), and recomputing the
-    LSH band join would double the candidate-generation cost."""
+    LSH band join would double the candidate-generation cost.
+
+    Cache lifetime: each call releases the PREVIOUS call's candidate cache
+    (repeated dedup passes in a long-lived session hold at most one), and
+    the handle rides on the returned DataFrame as ``_lsh_candidates`` so a
+    caller can ``unpersist()`` eagerly after materializing."""
+    global _LAST_CANDS
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, content_col)
     ).persist()
-    return jaccard_pairs(df, id_col, content_col, threshold, candidates=cands)
+    if _LAST_CANDS is not None:
+        _LAST_CANDS.unpersist()
+    _LAST_CANDS = cands
+    out = jaccard_pairs(df, id_col, content_col, threshold, candidates=cands)
+    out._lsh_candidates = cands
+    return out
 
 
 SIMHASH_BITS = 32

@@ -26,6 +26,23 @@ LSH_SEED = 42
 N_PLANES = 8
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(rank, vec_id, sim): distributed top-k with the engine's pinning
+    (sim desc, vec_id asc).
+
+    orderBy().limit(k) executes as TakeOrderedAndProject: each partition
+    emits its LOCAL top-k and only ≤ partitions×k rows reach the merge —
+    the wand.py per-shard-emission shape, not a global single-task window
+    sort of the whole scored set. The rank window that follows runs over
+    the ≤ k surviving rows only."""
+    order = [F.col("sim").desc(), F.col("vec_id").asc()]
+    top = scored.orderBy(*order).limit(k)
+    w = W.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", "sim"
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -65,12 +82,7 @@ def cosine_topk(
             F.round(cosine_expr(F.col(vec_col), F.col("qvec")), round_to).alias("sim"),
         )
     )
-    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int = N_PLANES, seed: int = LSH_SEED) -> list[list[float]]:
@@ -131,12 +143,7 @@ def lsh_cosine_topk(
             F.round(cosine_expr(F.col(vec_col), F.col("qvec")), round_to).alias("sim"),
         )
     )
-    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 # banded hyperplane LSH for near-dup candidate generation: 4 bands of 4
@@ -275,12 +282,7 @@ def ivf_cosine_topk(
             F.round(cosine_expr(F.col(vec_col), F.col("qvec")), round_to).alias("sim"),
         )
     )
-    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def build_ivf_layout(
@@ -341,12 +343,7 @@ def ivf_topk_layout(
             F.round(cosine_expr(F.col("embedding"), qlit), round_to).alias("sim"),
         )
     )
-    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def build_lsh_layout(
@@ -396,9 +393,19 @@ def lsh_topk_layout(
         meta = json.load(f)
     dim, n_planes = meta["dim"], meta["n_planes"]
     qv = np.asarray(query_vec, dtype=np.float64)
-    pl = np.asarray(hyperplanes(dim, n_planes), dtype=np.float64)
-    # same sign-pattern as bucket_expr: bit b set iff dot(vec, plane_b) > 0
-    qbucket = int(((pl @ qv) > 0) @ (1 << np.arange(n_planes)))
+    planes = hyperplanes(dim, n_planes)
+    # same sign-pattern as bucket_expr, evaluated with the SAME float
+    # summation order as its JVM fold (zip_with products, then a sequential
+    # left-to-right double accumulation) — a BLAS dot's pairwise summation
+    # could flip the sign of a near-zero projection and shift the probe set,
+    # breaking the documented result-identity with lsh_cosine_topk.
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(plane, query_vec):
+            acc = acc + float(x) * float(y)
+        if acc > 0:
+            qbucket |= 1 << b
     probe = [b for b in range(1 << n_planes)
              if bin(b ^ qbucket).count("1") <= max_hamming]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
@@ -412,12 +419,7 @@ def lsh_topk_layout(
     )
     if exclude_vec_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_vec_id)
-    w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "sim")
-    )
+    return _ranked_topk(scored, k)
 
 
 def cosine_near_dup_pairs(

@@ -28,6 +28,7 @@ in running_user_counts is per-key scalars in the state store.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 import pandas as pd
@@ -36,14 +37,32 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .index import spimi
 
+log = logging.getLogger(__name__)
+
 
 def _stream_id(checkpoint_dir: str) -> str:
     """Stable identity of a stream = its checkpoint location (batch_ids are
     monotonically increasing per checkpoint; a NEW checkpoint writing into
-    the same index restarts at 0 and must not be confused with the old)."""
+    the same index restarts at 0 and must not be confused with the old).
+
+    CAVEAT: the identity is the PATH — deleting a checkpoint and starting a
+    genuinely new stream (different source) at the same path into the same
+    index makes its early batch_ids look like replays and they are skipped.
+    Every marker-skip is therefore logged loudly (see _warn_skip); use a
+    fresh checkpoint path per logical stream."""
     return hashlib.sha256(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:16]
+
+
+def _warn_skip(out_dir: str, sid: str, batch_id: int, last: int) -> None:
+    log.warning(
+        "index %s: stream %s batch %d skipped — manifest already records "
+        "batch %d for this stream id (exactly-once replay dedup). If this "
+        "is a NEW stream reusing an old checkpoint path, its data is NOT "
+        "being ingested: use a fresh checkpoint location.",
+        out_dir, sid, batch_id, last,
+    )
 
 
 def index_stream(
@@ -74,6 +93,7 @@ def index_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         last, _ = spimi.last_stream_commit(out_dir, sid)
         if last is not None and batch_id <= last:
+            _warn_skip(out_dir, sid, batch_id, last)
             return  # replay of an already-committed batch
         if batch_df.isEmpty():
             return
@@ -150,6 +170,7 @@ def index_cdc_stream(
 
         last, steps = spimi.last_stream_commit(out_dir, sid)
         if last is not None and batch_id < last:
+            _warn_skip(out_dir, sid, batch_id, last)
             return
         done = steps if (last is not None and batch_id == last) else set()
 

@@ -199,6 +199,7 @@ def test_ivf_layout_matches_inline(spark, sf_dir, tmp_path_factory):
     plan = got._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "list_id" in part_filters
+    assert "TakeOrderedAndProject" in plan  # distributed top-k merge
 
 
 def test_lsh_layout_matches_inline(spark, sf_dir, tmp_path_factory):
@@ -220,6 +221,7 @@ def test_lsh_layout_matches_inline(spark, sf_dir, tmp_path_factory):
     plan = got._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "bucket" in part_filters
+    assert "TakeOrderedAndProject" in plan  # distributed top-k merge
 
 
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):

@@ -34,6 +34,22 @@ def test_no_unbounded_joins(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+@pytest.mark.parametrize(
+    "name", ["ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk"]
+)
+def test_ann_topk_merge_is_distributed(spark, sf_dir, name):
+    """Every ANN top-k must merge via TakeOrderedAndProject (per-partition
+    local top-k + small merge), NOT an unpartitioned row_number window over
+    the full scored set (a single-task sort of the probed corpus at scale).
+    The surviving Window assigns ranks over the ≤ k limited rows only, so
+    it must sit ABOVE the distributed merge in the plan (printed top-down:
+    Window before TakeOrderedAndProject)."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
 def test_jaccard_candidate_gate_pushed_below_pair_join(spark, sf_dir):
     """minhash_dedup_pairs must gate the shingle rows by candidate DOCIDS on
     both sides of the heavy pair self-join (pushdown), in addition to the

@@ -58,7 +58,9 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
+    """``only``: comma-separated name prefixes to restrict the run (dev
+    loop); the driver always runs the full set."""
     spark = get_spark("correctness_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -78,7 +80,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
     oracles = entrymod.oracle_sql()
     results = {}
     fails = []
+    n_run = 0
     for name, fn in qs.items():
+        if only and not any(name.startswith(p) for p in only.split(",")):
+            continue
+        n_run += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -111,7 +117,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         status = "FAIL" if name in fails else "ok"
         print(f"[{status}] {name}: {json.dumps(rec, default=str)[:400]}", flush=True)
 
-    print(json.dumps({"fails": fails, "n": len(qs)}))
+    print(json.dumps({"fails": fails, "n": n_run}))
     return 1 if fails else 0
 
 

@@ -105,7 +105,14 @@ def balanced_sample(
     balanced per-class subsample (per language, per source, per label)
     that keeps skewed corpora from drowning small groups. One window over
     the group partitioning — a single shuffle on the group key; groups are
-    bounded by n_per_group on output, so the result is driver-safe."""
+    bounded by n_per_group on output, so the result is driver-safe.
+
+    Scale shape: the row_number ≤ n filter triggers Catalyst's
+    WindowGroupLimit pushdown — a PARTIAL group-limit below the exchange
+    keeps at most n rows per (input partition, group), so shuffle volume is
+    ≤ partitions × groups × n and the post-shuffle sort per group runs over
+    those bounded survivors, never a giant group's full row set
+    (plan-pinned in tests/test_plans.py)."""
     key = _hash_key(F.col(id_col).cast("string"))
     win = W.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
     return (

@@ -195,8 +195,21 @@ def ivf_seed_centroids(
 def train_ivf_centroids(
     emb: DataFrame, n_lists: int = 16, dim: int = 64, iters: int = 5,
     vec_col: str = "embedding", seed: int = LSH_SEED,
+    sample_mod: int | None = None, id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Deterministic spherical k-means centroids for IVF partitioning.
+
+    ``sample_mod`` trains on a deterministic ~1/sample_mod hash-sample
+    (pmod(xxhash64(id), sample_mod) == 0) — the production shape: at 10^12
+    vectors the Lloyd iterations (posexplode = rows × dim per iteration)
+    must NOT run over the full corpus; k-means centroid quality converges
+    with O(n_lists × 10^3..10^4) training points, so sample first and let
+    build_ivf_layout assign the FULL corpus exactly once. Trade-off: a
+    sparser sample shifts centroids slightly (still deterministic — the
+    sample is a pure hash predicate), which can move boundary vectors
+    between lists and change which lists a query probes; recall at equal
+    n_probe degrades only marginally once the sample holds a few hundred
+    points per list. sample_mod=None keeps the exact full-corpus training.
 
     Seeded init + a FIXED number of Lloyd iterations, each one Spark job:
     assign = argmax dot(normalized vec, centroid) (JVM expression over the
@@ -211,6 +224,10 @@ def train_ivf_centroids(
     entry use the FIXED ivf_seed_centroids); callers needing bit-stable
     trained centroids should train once and persist the list."""
     cents = np.asarray(ivf_seed_centroids(dim, n_lists, seed), dtype=np.float64)
+    if sample_mod is not None and sample_mod > 1:
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        )
     # assignment works on RAW vectors: argmax_c dot(v, c) over unit
     # centroids is scale-invariant in v, so cosine-argmax needs no per-row
     # normalization; centroid update = mean of raw members, re-normalized
@@ -290,6 +307,7 @@ def build_ivf_layout(
     centroids: list[list[float]] | None = None,
     n_lists: int = 16, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> None:
     """Materialize the IVF layout: vectors partitioned by inverted-list id
     (``list_id=`` parquet partitions) + the centroid matrix in layout.json.
@@ -301,7 +319,10 @@ def build_ivf_layout(
     import os
 
     if centroids is None:
-        centroids = train_ivf_centroids(emb, n_lists, dim, vec_col=vec_col)
+        centroids = train_ivf_centroids(
+            emb, n_lists, dim, vec_col=vec_col,
+            sample_mod=train_sample_mod, id_col=id_col,
+        )
     cents = np.asarray(centroids, dtype=np.float64)
     vec = F.col(vec_col).cast("array<double>")
     assigned = emb.select(

@@ -154,6 +154,25 @@ def test_ivf_training_deterministic(spark, sf_dir):
     assert len(a) == 8 and all(len(c) == 64 for c in a)
 
 
+def test_ivf_train_sampled(spark, sf_dir):
+    """Sample-based training (the 100-TB path): deterministic, right shape,
+    and the sampled centroids still serve with reasonable recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.train_ivf_centroids(emb, n_lists=8, iters=3, sample_mod=4)
+    b = similarity.train_ivf_centroids(emb, n_lists=8, iters=3, sample_mod=4)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == 64 for c in a)
+    full = similarity.train_ivf_centroids(emb, n_lists=8, iters=3)
+    assert a != full  # the sample predicate actually restricted training
+    got = similarity.ivf_cosine_topk(
+        emb, 0, k=10, n_lists=8, n_probe=3, centroids=a
+    ).collect()
+    assert len(got) == 10
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(emb, 0, k=10).collect()}
+    assert len({r["vec_id"] for r in got} & exact) / 10 >= 0.3
+
+
 def test_ivf_full_probe_equals_exact(spark, sf_dir):
     """Probing every list is an exact scan — must equal brute-force top-k."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -50,6 +50,18 @@ def test_ann_topk_merge_is_distributed(spark, sf_dir, name):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
 
 
+def test_balanced_sample_group_limit_pushed_below_shuffle(spark, sf_dir):
+    """px_balanced_sample must prune map-side: Catalyst's
+    WindowGroupLimit(Partial) BELOW the exchange bounds shuffle volume to
+    ≤ partitions × groups × n rows, so the post-shuffle per-group sort never
+    sees a giant group's full row set."""
+    df = entrymod.queries()["px_balanced_sample"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange hashpartitioning")
+    below = plan[ex:]
+    assert "WindowGroupLimit" in below and "Partial" in below, plan
+
+
 def test_jaccard_candidate_gate_pushed_below_pair_join(spark, sf_dir):
     """minhash_dedup_pairs must gate the shingle rows by candidate DOCIDS on
     both sides of the heavy pair self-join (pushdown), in addition to the

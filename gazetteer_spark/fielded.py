@@ -314,6 +314,23 @@ def _score_shard_fielded(
     round_to: int | None,
     cap: int,
 ) -> pd.DataFrame:
+    """One shard's fielded segment rows → local top-k' per query, via
+    term-at-a-time MaxScore with block-max skipping (the wand.py algorithm
+    lifted to BM25F):
+
+    - per-term upper bound: tfw(d,t) = Σ_f boost_f·tf/(1−b+b·len_f/avglen_f)
+      with len_f(d) ≥ tf_{d,f,t}, so per block boost_f·M/(1−b+b·M/avglen_f)
+      (M = block max_tf, the expression monotone-increasing in tf) bounds
+      every member's per-field weight; summed over fields it bounds tfw, and
+      idf·ub/(k1+ub) bounds the term's score contribution (x/(k1+x)
+      monotone — the same argument as wand.py's header).
+    - terms run in bound-descending order; once the remaining-ub suffix
+      cannot beat θ (k-th best partial, minus the two-rounding-ulp margin),
+      a high-df term never decodes its full composite postings: candidates
+      that cannot reach θ even granted their own blocks' bounds are dropped,
+      then ONLY blocks still holding surviving candidates are decoded.
+    Survivors end with exact BM25F scores by construction; emission uses
+    the rounded-bar rule shared with the global merge."""
     empty = pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
         {"query_id": "int32", "docid": "int64", "score": "float64"}
     )
@@ -322,12 +339,57 @@ def _score_shard_fielded(
         return empty
     dels = DelIndex.from_pdf(pdf)
 
+    from .index.codec import decode_block_meta, decode_blocks
+    from .index.wand import EPS
+
+    has_gen = "gen" in pdf.columns
+    comp_rows: dict[str, list[tuple[bytes, bytes, int]]] = {}
+    for r in pdf[pdf["kind"] == "post"].itertuples():
+        comp_rows.setdefault(r.term, []).append(
+            (r.postings, r.blockmeta, int(r.gen) if has_gen else 0)
+        )
+
+    class _Seg:
+        __slots__ = ("pbuf", "bends", "blast", "bub", "gen")
+
+    handles_cache: dict[str, tuple[list, float]] = {}
+
+    def handles_of(term):
+        """([(field, boost, [segs])] in sorted-field order, tfw upper
+        bound) — built from block METADATA only; posting bytes untouched."""
+        if term not in handles_cache:
+            out, tub = [], 0.0
+            for f in fields:
+                if f not in fdocs:
+                    continue
+                rows = comp_rows.get(f + FIELD_SEP + term)
+                if not rows:
+                    continue
+                bst = boosts.get(f, DEFAULT_BOOST)
+                segs, fmax = [], 0.0
+                for pbuf, bbuf, gen in rows:
+                    blast, bmax_tf, _bmin_dl, bends = decode_block_meta(bbuf)
+                    s = _Seg()
+                    s.pbuf, s.bends, s.blast, s.gen = pbuf, bends, blast, gen
+                    if len(bmax_tf):
+                        m = bmax_tf.astype(np.float64)
+                        s.bub = bst * m / (1.0 - B + B * m / avglen[f])
+                        fmax = max(fmax, float(s.bub.max()))
+                    else:
+                        s.bub = np.zeros(0)
+                    segs.append(s)
+                if segs:
+                    out.append((f, bst, segs))
+                    tub += fmax
+            handles_cache[term] = (out, tub)
+        return handles_cache[term]
+
     tfw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def tfw_of(term):
-        """(docids sorted, tfw) for one base term — boost-weighted,
-        per-field length-normalized tf summed across fields (sorted field
-        order, deterministic float summation)."""
+        """(docids sorted, tfw) for one base term — FULL decode: boost-
+        weighted, per-field length-normalized tf summed across fields
+        (sorted field order, deterministic float summation)."""
         if term not in tfw_cache:
             acc_ids = np.zeros(0, np.int64)
             acc_w = np.zeros(0, np.float64)
@@ -349,20 +411,99 @@ def _score_shard_fielded(
             tfw_cache[term] = (acc_ids, acc_w)
         return tfw_cache[term]
 
+    margin = (2.0 * 10.0 ** (-round_to) if round_to is not None else 0.0) + EPS
+
     out_q, out_d, out_s = [], [], []
     for qid, weighted_terms in qplans:
+        terms = [(t, idf) for t, idf in weighted_terms if handles_of(t)[0]]
+        if not terms:
+            continue
+        ubs = np.array(
+            [idf * handles_of(t)[1] / (K1 + handles_of(t)[1])
+             for t, idf in terms],
+            dtype=np.float64,
+        )
+        order = np.argsort(-ubs, kind="stable")
+        suffix = np.zeros(len(order) + 1)
+        suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
+
         cand_ids = np.zeros(0, np.int64)
         cand_s = np.zeros(0, np.float64)
-        for term, idf in weighted_terms:
-            ids, tfw = tfw_of(term)
-            if len(ids) == 0:
-                continue
-            contrib = idf * tfw / (K1 + tfw)
-            merged = np.union1d(cand_ids, ids)
-            ns = np.zeros(len(merged))
-            ns[np.searchsorted(merged, cand_ids)] = cand_s
-            ns[np.searchsorted(merged, ids)] += contrib
-            cand_ids, cand_s = merged, ns
+        theta = -np.inf
+        for oi, ti in enumerate(order):
+            term, idf = terms[ti]
+            rem = suffix[oi + 1]
+            can_introduce = not np.isfinite(theta) or (
+                ubs[ti] + rem >= theta - margin
+            )
+            if can_introduce:
+                ids, tfw = tfw_of(term)
+                if len(ids):
+                    contrib = idf * tfw / (K1 + tfw)
+                    merged = np.union1d(cand_ids, ids)
+                    ns = np.zeros(len(merged))
+                    ns[np.searchsorted(merged, cand_ids)] = cand_s
+                    ns[np.searchsorted(merged, ids)] += contrib
+                    cand_ids, cand_s = merged, ns
+            elif len(cand_ids):
+                fh, _ = handles_of(term)
+                # candidate-level bound from block metadata: per field the
+                # best block bound at the candidate's position (max across
+                # generations), summed over fields — then drop candidates
+                # that cannot reach θ even granted it plus all remaining
+                # terms' bounds
+                blk_tfw = np.zeros(len(cand_ids))
+                for f, bst, segs in fh:
+                    fub = np.zeros(len(cand_ids))
+                    for s in segs:
+                        bi = np.searchsorted(s.blast, cand_ids, side="left")
+                        inside = bi < len(s.blast)
+                        u = np.zeros(len(cand_ids))
+                        u[inside] = s.bub[bi[inside]]
+                        fub = np.maximum(fub, u)
+                    blk_tfw += fub
+                keep = (
+                    cand_s + idf * blk_tfw / (K1 + blk_tfw) + rem
+                    >= theta - margin
+                )
+                cand_ids, cand_s = cand_ids[keep], cand_s[keep]
+                if len(cand_ids) == 0:
+                    continue
+                # selective decode: only blocks holding survivors, per field
+                # in sorted order (same float summation as tfw_of)
+                tfw = np.zeros(len(cand_ids))
+                for f, bst, segs in fh:
+                    f_ids, f_lens = fdocs[f]
+                    for s in segs:
+                        bi = np.searchsorted(s.blast, cand_ids, side="left")
+                        inside = bi < len(s.blast)
+                        need = np.unique(bi[inside]) if len(bi) else bi[:0]
+                        if len(need) == 0:
+                            continue
+                        ids, tfs = decode_blocks(s.pbuf, s.bends, need)
+                        if dels:
+                            km = dels.keep_mask(s.gen, ids)
+                            ids, tfs = ids[km], tfs[km]
+                        hit = np.searchsorted(cand_ids, ids)
+                        ok = (hit < len(cand_ids)) & (
+                            cand_ids[np.minimum(hit, len(cand_ids) - 1)]
+                            == ids
+                        )
+                        if not ok.any():
+                            continue
+                        lens = f_lens[np.searchsorted(f_ids, ids[ok])]
+                        w = (bst * tfs[ok]
+                             / (1.0 - B + B * lens.astype(np.float64)
+                                / avglen[f]))
+                        tfw[hit[ok]] += w
+                cand_s = cand_s + np.where(
+                    tfw > 0, idf * tfw / (K1 + tfw), 0.0
+                )
+            # θ only grows; prune docs that cannot reach it
+            if len(cand_ids) >= k:
+                theta = np.partition(cand_s, -k)[-k]
+                keep = cand_s + rem >= theta - margin
+                cand_ids, cand_s = cand_ids[keep], cand_s[keep]
         if len(cand_ids) == 0:
             continue
         rounded = np.round(cand_s, round_to) if round_to is not None else cand_s

@@ -136,6 +136,48 @@ def test_plain_add_rejected_on_fielded_index(spark, documents, fidx):
                             id_col="doc_id", content_col="text")
 
 
+def test_fielded_blockmax_skips_high_df_full_decode(
+    spark, documents, tmp_path_factory, monkeypatch
+):
+    """MaxScore pruning: once θ is set by the rare term, the stopword's
+    upper bound cannot beat it, so its composite postings are NEVER fully
+    decoded (only candidate-holding blocks are touched) — the fielded twin
+    of wand.py's update-only phase. Results stay exact (pinned by
+    test_index_matches_exact and the random-boost property test)."""
+    from gazetteer_spark.index.wand import _idf
+
+    d = str(tmp_path_factory.mktemp("fidx_bm"))
+    fielded.build_fielded_index(spark, documents, d, FIELDS, n_shards=1,
+                                id_col="doc_id")
+    stats = spimi.load_stats(d)
+    seg = spimi.committed_segments(spark, d)
+    terms = ["dup", "the"]
+    dfs = fielded._df_job(seg, stats["fields"], terms)
+    assert dfs["the"] > 10 * dfs["dup"]  # genuinely high-df stopword
+    qplans = [(0, [(t, _idf(stats["n_docs"], dfs[t])) for t in terms])]
+    avglen = {f: stats["field_totals"][f] / stats["n_docs"]
+              for f in stats["fields"]}
+    pdf = fielded._relevant_fielded(seg, stats["fields"], terms).toPandas()
+
+    full_decoded: list[str] = []
+    orig = fielded._decode_composite
+
+    def spy(p, comp, dels):
+        full_decoded.append(comp)
+        return orig(p, comp, dels)
+
+    monkeypatch.setattr(fielded, "_decode_composite", spy)
+    out = fielded._score_shard_fielded(
+        pdf, qplans, stats["fields"], BOOSTS, avglen, 3, 4, 4096
+    )
+    assert len(out) > 0
+    the_full = [c for c in full_decoded
+                if c.split(spimi.FIELD_SEP, 1)[1] == "the"]
+    assert the_full == [], full_decoded  # stopword never fully decoded
+    assert any(c.split(spimi.FIELD_SEP, 1)[1] == "dup"
+               for c in full_decoded)  # the rare term did introduce
+
+
 def test_bm25f_random_boosts_index_equals_exact(spark, documents,
                                                 tmp_path_factory):
     """Seeded-random boosts: the index-served scorer and the exact

@@ -280,9 +280,11 @@ def _fielded_dir(spark: SparkSession, sf_dir: str) -> str:
         from gazetteer_spark import fielded
 
         d = tempfile.mkdtemp(prefix="gz_fidx_")
+        # positions=True (layout v2f): ONE index serves BM25F scoring (which
+        # ignores the positions stream) and phrase-within-field queries
         fielded.build_fielded_index(
             spark, _docs(spark, sf_dir), d, FIELDED_FIELDS,
-            n_shards=8, id_col="doc_id",
+            n_shards=8, id_col="doc_id", positions=True,
         )
         _FIELDED_CACHE[sf_dir] = d
     return _FIELDED_CACHE[sf_dir]
@@ -310,6 +312,18 @@ def q_ft_fielded_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_fielded_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-WITHIN-FIELD match served from the positional fielded index
+    (field-local token positions over composite (field, term) postings) —
+    must hash-equal the per-field shingle corpus-scan oracle. The body
+    field maps to the text column, so the oracle scans text."""
+    from gazetteer_spark import fielded
+
+    return fielded.fielded_phrase_match(
+        spark, _fielded_dir(spark, sf_dir), "body", "table hash"
+    )
+
+
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing every query term."""
     terms = sorted(set(py_tokenize("customer filter group")))
@@ -329,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_fielded_topk": q_ft_fielded_topk,
         "ft_fielded_exact": q_ft_fielded_exact,
+        "ft_fielded_phrase": q_ft_fielded_phrase,
         "ft_fuzzy_via_index": q_ft_fuzzy_via_index,
         "ft_tokens": q_ft_tokens,
         "ft_docstats": q_ft_docstats,
@@ -524,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_fielded_topk": bm25f,
         "ft_fielded_exact": bm25f,
+        "ft_fielded_phrase": _oracle_phrase("table hash"),
         "ft_fuzzy_via_index": _DUCK_POSTINGS
         + " SELECT DISTINCT docid FROM postings WHERE contains(term, 'par')",
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",

@@ -973,7 +973,7 @@ def _oracle_asof() -> str:
     )
 
 
-def _oracle_phrase() -> str:
+def _oracle_phrase(phrase: str = "key order") -> str:
     toks = DUCK_TOKENS.format(col="text")
     sh2 = (
         "list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
@@ -983,7 +983,7 @@ def _oracle_phrase() -> str:
         f"WITH d AS (SELECT doc_id AS docid, {toks} AS t FROM documents),"
         f" occ AS (SELECT docid, s.sh AS sh FROM d, LATERAL unnest({sh2}) AS s(sh))"
         " SELECT docid, count(*) AS n_occurrences FROM occ"
-        " WHERE sh = 'key order' GROUP BY docid"
+        f" WHERE sh = '{phrase}' GROUP BY docid"
     )
 
 

@@ -45,7 +45,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import B, K1
-from .analyzer import get_analyzer, postings_arrow, postings_sql
+from .analyzer import (
+    get_analyzer,
+    postings_arrow,
+    postings_positions_arrow,
+    postings_sql,
+)
 from .index import spimi
 from .index.codec import DelIndex, decode_postings
 from .index.spimi import FIELD_SEP
@@ -56,20 +61,28 @@ DEFAULT_BOOST = 1.0
 
 def fielded_postings(
     docs: DataFrame, id_col: str, fields: dict[str, str],
-    analyzer: str = "default", arrow: bool = True,
+    analyzer: str = "default", arrow: bool = True, positions: bool = False,
 ) -> DataFrame:
-    """(docid, field, term, tf): per-field postings — one analyzer pass per
-    field (JVM tokenizer + Arrow fold), unioned. Fields iterate in sorted
-    name order for deterministic plans."""
+    """(docid, field, term, tf[, pos]): per-field postings — one analyzer
+    pass per field (JVM tokenizer + Arrow fold), unioned. Fields iterate in
+    sorted name order for deterministic plans. ``positions=True`` adds the
+    per-field token-index array (positions are FIELD-LOCAL: each field is
+    analyzed separately, so token 0 is the field's first token — exactly
+    the coordinate system phrase-within-field matching needs)."""
     tk = get_analyzer(analyzer).tokens_expr
     parts = []
     for name in sorted(fields):
-        make = postings_arrow if arrow else postings_sql
-        p = make(docs, id_col, fields[name], **(
-            {"tokens_fn": tk} if arrow else {}
-        ))
-        parts.append(p.select(
-            "docid", F.lit(name).alias("field"), "term", "tf"))
+        if positions:
+            p = postings_positions_arrow(docs, id_col, fields[name],
+                                         tokens_fn=tk)
+            cols = ["docid", F.lit(name).alias("field"), "term", "tf", "pos"]
+        else:
+            make = postings_arrow if arrow else postings_sql
+            p = make(docs, id_col, fields[name], **(
+                {"tokens_fn": tk} if arrow else {}
+            ))
+            cols = ["docid", F.lit(name).alias("field"), "term", "tf"]
+        parts.append(p.select(*cols))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -157,6 +170,7 @@ def build_fielded_index(
     n_shards: int = 32,
     id_col: str = "docid",
     analyzer: str = "default",
+    positions: bool = False,
     manifest_extra: dict | None = None,
 ) -> dict:
     """Build a fielded index: composite ``field\\x1fterm`` postings in the
@@ -164,7 +178,11 @@ def build_fielded_index(
     doc-sharded (every field of a doc co-lives in its shard). Records the
     field list and per-field totals in stats.json. Tombstone deletes and
     compaction work unchanged; incremental adds go through
-    :func:`add_fielded_documents`."""
+    :func:`add_fielded_documents`.
+
+    ``positions=True`` stores FIELD-LOCAL token positions per composite
+    term (layout v2), enabling phrase-within-field queries
+    (:func:`fielded_phrase_match`) from the same index."""
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
@@ -174,12 +192,12 @@ def build_fielded_index(
     params = {
         "n_shards": n_shards, "analyzer": analyzer,
         "analyzer_version": get_analyzer(analyzer).version,
-        "k1": K1, "b": B, "positions": False,
+        "k1": K1, "b": B, "positions": positions,
         "fields": sorted(fields),
     }
     with open(f"{out_dir}/build.json", "w") as f:
         json.dump(params, f)
-    p = _fielded_source(docs, id_col, fields, analyzer, n_shards)
+    p = _fielded_source(docs, id_col, fields, analyzer, n_shards, positions)
     spimi._write_generation(spark, p, out_dir, list(range(n_shards)), 0,
                             manifest_extra=manifest_extra)
     spimi._refresh_derived(spark, out_dir, params)
@@ -210,7 +228,8 @@ def add_fielded_documents(
     stale = f"{out_dir}/manifest_pending/gen{generation}"
     if os.path.exists(stale):
         shutil.rmtree(stale)
-    p = _fielded_source(docs, id_col, fields, analyzer, params["n_shards"])
+    p = _fielded_source(docs, id_col, fields, analyzer, params["n_shards"],
+                        params.get("positions", False))
     spimi._write_generation(spark, p, out_dir,
                             list(range(params["n_shards"])), generation,
                             manifest_extra=manifest_extra)
@@ -219,13 +238,17 @@ def add_fielded_documents(
     return spimi.load_stats(out_dir)
 
 
-def _fielded_source(docs, id_col, fields, analyzer, n_shards):
-    fp = fielded_postings(docs, id_col, fields, analyzer)
-    return fp.select(
+def _fielded_source(docs, id_col, fields, analyzer, n_shards,
+                    positions: bool = False):
+    fp = fielded_postings(docs, id_col, fields, analyzer, positions=positions)
+    cols = [
         "docid",
         F.concat(F.col("field"), F.lit(FIELD_SEP), F.col("term")).alias("term"),
         "tf", "field",
-    ).withColumn("shard", spimi.shard_expr(F.col("docid"), n_shards))
+    ] + (["pos"] if positions else [])
+    return fp.select(*cols).withColumn(
+        "shard", spimi.shard_expr(F.col("docid"), n_shards)
+    )
 
 
 def _refresh_field_stats(spark: SparkSession, out_dir: str) -> None:
@@ -621,6 +644,71 @@ def fielded_topk(
     return _fielded_topk_impl(
         spark, seg, stats, queries, boosts or {}, k, round_to, tie_cap,
         df_by_term, all_terms, qterms,
+    )
+
+
+def _fielded_positional(spark: SparkSession, index_dir: str, field: str):
+    """(params, committed segments) for a positional FIELDED index, with
+    the field validated — shared gate for phrase/NEAR-within-field."""
+    from .index import phrase as phrase_mod
+
+    params, seg = phrase_mod._positional_segments(spark, index_dir)
+    flds = params.get("fields") or []
+    if not flds:
+        raise ValueError("not a fielded index — use phrase.phrase_match")
+    if field not in flds:
+        raise ValueError(f"unknown field {field!r} (index has {flds})")
+    return params, seg
+
+
+def fielded_phrase_match(
+    spark: SparkSession, index_dir: str, field: str, phrase: str
+) -> DataFrame:
+    """(docid, n_occurrences): documents whose FIELD contains the exact
+    token phrase — phrase-within-field, served entirely from the positional
+    fielded index (build with ``positions=True``).
+
+    Reference parity: the reference's containment matching runs against a
+    specific name field, not whole-document text
+    (`addresses/impl/NamesMatcherImpl.java:38-46`). Positions are
+    field-local token indexes, and composite ``field\\x1fterm`` postings are
+    doc-sharded like every other term, so the generic block-selective
+    phrase machinery (index/phrase.py) applies verbatim to the composite
+    terms: rarest-first intersection, positions decoded only for
+    candidate-holding blocks, one (docid, count) shuffle."""
+    from .index import phrase as phrase_mod
+
+    params, seg = _fielded_positional(spark, index_dir, field)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    terms = tokenize(phrase)
+    if not terms:
+        raise ValueError("empty phrase after analysis")
+    comp = [field + FIELD_SEP + t for t in terms]
+    return phrase_mod._relevant_rows(seg, comp).groupBy("shard").applyInPandas(
+        lambda pdf: phrase_mod._phrase_shard(pdf, comp),
+        "docid long, n_occurrences long",
+    )
+
+
+def fielded_near_match(
+    spark: SparkSession, index_dir: str, field: str,
+    term_a: str, term_b: str, k: int = 3,
+) -> DataFrame:
+    """(docid, n_pairs): NEAR/k within one field — occurrences of the two
+    analyzed terms within token distance ≤ k INSIDE the field's token
+    sequence (field-local positions never mix with other fields'), served
+    from the positional fielded index."""
+    from .index import phrase as phrase_mod
+
+    params, seg = _fielded_positional(spark, index_dir, field)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
+    if not ta or not tb or ta == tb:
+        raise ValueError("NEAR needs two distinct non-empty analyzed terms")
+    ca, cb = field + FIELD_SEP + ta, field + FIELD_SEP + tb
+    return phrase_mod._relevant_rows(seg, [ca, cb]).groupBy("shard").applyInPandas(
+        lambda pdf: phrase_mod._near_shard(pdf, ca, cb, k),
+        "docid long, n_pairs long",
     )
 
 

@@ -25,9 +25,12 @@ QUERIES = [
 
 @pytest.fixture(scope="module")
 def fidx(spark, documents, tmp_path_factory):
+    # positions=True: the SAME index serves scoring (stream ignored) and
+    # phrase-within-field — every test below doubles as positional-fielded
+    # coverage
     d = str(tmp_path_factory.mktemp("fidx"))
     fielded.build_fielded_index(spark, documents, d, FIELDS, n_shards=8,
-                                id_col="doc_id")
+                                id_col="doc_id", positions=True)
     return d
 
 
@@ -134,6 +137,62 @@ def test_plain_add_rejected_on_fielded_index(spark, documents, fidx):
     with pytest.raises(ValueError, match="fielded"):
         spimi.add_documents(spark, documents.limit(1), fidx,
                             id_col="doc_id", content_col="text")
+
+
+def test_fielded_phrase_matches_corpus_scan(spark, documents, fidx):
+    """Phrase-within-field from the positional fielded index equals the
+    corpus-scan shingle oracle over the field's source column."""
+    from gazetteer_spark.analyzer import shingles_expr, tokens_expr
+
+    got = {(r["docid"], r["n_occurrences"]) for r in
+           fielded.fielded_phrase_match(
+               spark, fidx, "body", "table hash").collect()}
+    occ = documents.select(
+        F.col("doc_id").alias("docid"),
+        F.explode(shingles_expr(tokens_expr(F.col("text")), 2)).alias("sh"),
+    )
+    want = {(r["docid"], r["n"]) for r in
+            occ.filter(F.col("sh") == "table hash").groupBy("docid")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and got
+
+
+def test_fielded_phrase_is_field_local(spark, tmp_path_factory):
+    """Positions are FIELD-LOCAL: a phrase spanning a field boundary
+    ('alpha' ending field a, 'beta' starting field b) must not match;
+    NEAR within a field sees only that field's token stream. Incremental
+    adds merge positional composite generations correctly."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta end", "zzz"), (2, "start alpha", "beta more")],
+        "docid long, f1 string, f2 string",
+    )
+    flds = {"a": "f1", "b": "f2"}
+    d = str(tmp_path_factory.mktemp("fidx_local"))
+    fielded.build_fielded_index(spark, docs, d, flds, n_shards=2,
+                                id_col="docid", positions=True)
+    got = fielded.fielded_phrase_match(spark, d, "a", "alpha beta").collect()
+    assert [(r["docid"], r["n_occurrences"]) for r in got] == [(1, 1)]
+    near = fielded.fielded_near_match(spark, d, "a", "alpha", "beta",
+                                      k=5).collect()
+    assert {r["docid"] for r in near} == {1}
+    with pytest.raises(ValueError, match="unknown field"):
+        fielded.fielded_phrase_match(spark, d, "nope", "alpha beta")
+
+    add = spark.createDataFrame([(3, "alpha beta", "x")],
+                                "docid long, f1 string, f2 string")
+    fielded.add_fielded_documents(spark, add, d, flds, id_col="docid")
+    got2 = {(r["docid"], r["n_occurrences"]) for r in
+            fielded.fielded_phrase_match(spark, d, "a", "alpha beta").collect()}
+    assert got2 == {(1, 1), (3, 1)}
+
+
+def test_fielded_phrase_requires_positions(spark, documents,
+                                           tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fidx_nopos"))
+    fielded.build_fielded_index(spark, documents.limit(50), d, FIELDS,
+                                n_shards=2, id_col="doc_id")
+    with pytest.raises(ValueError, match="positions"):
+        fielded.fielded_phrase_match(spark, d, "body", "key order")
 
 
 def test_fielded_blockmax_skips_high_df_full_decode(

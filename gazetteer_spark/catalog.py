@@ -205,6 +205,65 @@ def q_dd_embedding_pairs(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
+_LSH_LAYOUT_CACHE: dict[str, str] = {}
+_IVF_LAYOUT_CACHE: dict[str, str] = {}
+# batch-serving query ids: each query is an embeddings row, self-excluded
+ANN_BATCH_QIDS = [0, 7, 42]
+
+
+def _lsh_layout_dir(spark, sf_dir: str) -> str:
+    if sf_dir not in _LSH_LAYOUT_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gz_lshl_")
+        similarity.build_lsh_layout(_emb(spark, sf_dir), d)
+        _LSH_LAYOUT_CACHE[sf_dir] = d
+    return _LSH_LAYOUT_CACHE[sf_dir]
+
+
+def _ivf_layout_dir(spark, sf_dir: str) -> str:
+    if sf_dir not in _IVF_LAYOUT_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gz_ivfl_")
+        similarity.build_ivf_layout(
+            _emb(spark, sf_dir), d,
+            centroids=similarity.ivf_seed_centroids(),
+        )
+        _IVF_LAYOUT_CACHE[sf_dir] = d
+    return _IVF_LAYOUT_CACHE[sf_dir]
+
+
+def _ann_batch_queries(spark, sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id").isin(ANN_BATCH_QIDS))
+        .select("vec_id", "embedding").collect()
+    )
+    by = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    return [(q, by[q]) for q in ANN_BATCH_QIDS]
+
+
+def q_ann_lsh_batch(spark, sf_dir):
+    """N multi-probe LSH queries in ONE job over the MATERIALIZED bucket
+    layout (partition-pruned union of probe sets, broadcast probe table,
+    group-limited per-query merge) — the ANN twin of wand's batch serving."""
+    return similarity.lsh_topk_layout_batch(
+        spark, _lsh_layout_dir(spark, sf_dir),
+        _ann_batch_queries(spark, sf_dir), k=10,
+        exclude_ids={q: q for q in ANN_BATCH_QIDS},
+    )
+
+
+def q_ann_ivf_batch(spark, sf_dir):
+    """N IVF queries in one job over the materialized list_id= layout."""
+    return similarity.ivf_topk_layout_batch(
+        spark, _ivf_layout_dir(spark, sf_dir),
+        _ann_batch_queries(spark, sf_dir), k=10,
+        exclude_ids={q: q for q in ANN_BATCH_QIDS},
+    )
+
+
 _DUCK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -250,6 +309,64 @@ def _oracle_lsh_topk() -> str:
         " AND e.vec_id != 0)"
         " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS INT) AS rank,"
         " vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+    )
+
+
+def _oracle_lsh_batch() -> str:
+    plane_lits, bucket = _duck_planes_bucket(similarity.N_PLANES)
+    cos = _DUCK_COS.format(a="e.v", b="q.v")
+    hd = similarity.MULTIPROBE_HAMMING
+    vals = ", ".join(f"({q}, {q})" for q in ANN_BATCH_QIDS)
+    return (
+        f"WITH p AS (SELECT [{plane_lits}] AS planes),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v,"
+        f" (SELECT {bucket} FROM p) AS bucket FROM embeddings),"
+        f" qs(query_id, qvid) AS (VALUES {vals}),"
+        " q AS (SELECT qs.query_id, qs.qvid, e.v, e.bucket FROM qs"
+        " JOIN e ON e.vec_id = qs.qvid),"
+        f" s AS (SELECT q.query_id, e.vec_id, round({cos}, 6) AS sim"
+        " FROM e, q"
+        f" WHERE bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= {hd}"
+        " AND e.vec_id != q.qvid)"
+        " SELECT query_id, rank, vec_id, sim FROM ("
+        " SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY sim DESC, vec_id ASC) AS INT) AS rank, vec_id, sim"
+        " FROM s) WHERE rank <= 10"
+    )
+
+
+def _oracle_ivf_batch() -> str:
+    cents = similarity.ivf_seed_centroids()
+    n = len(cents)
+    cent_lits = ", ".join(
+        "[" + ",".join(f"{x!r}" for x in c) + "]::DOUBLE[]" for c in cents
+    )
+    dots = "[" + ", ".join(
+        f"list_dot_product(v, cents[{i + 1}])" for i in range(n)
+    ) + "]"
+    cos = _DUCK_COS.format(a="a.v", b="q.v")
+    vals = ", ".join(f"({q}, {q})" for q in ANN_BATCH_QIDS)
+    return (
+        f"WITH c AS (SELECT [{cent_lits}] AS cents),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " a AS (SELECT vec_id, v, list_position(d, list_max(d)) - 1 AS list_id"
+        f" FROM (SELECT vec_id, v, (SELECT {dots} FROM c) AS d FROM e)),"
+        f" qs(query_id, qvid) AS (VALUES {vals}),"
+        " q AS (SELECT qs.query_id, qs.qvid, e.v FROM qs"
+        " JOIN e ON e.vec_id = qs.qvid),"
+        " qd AS (SELECT q.query_id, t.i - 1 AS list_id,"
+        " (SELECT list_dot_product(q.v, cents[t.i]) FROM c) AS d"
+        f" FROM q, LATERAL unnest(generate_series(1, {n})) AS t(i)),"
+        " probe AS (SELECT query_id, list_id FROM ("
+        " SELECT query_id, list_id, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY d DESC, list_id ASC) AS rn FROM qd) WHERE rn <= 4),"
+        f" s AS (SELECT q.query_id, a.vec_id, round({cos}, 6) AS sim"
+        " FROM q JOIN probe pr ON pr.query_id = q.query_id"
+        " JOIN a ON a.list_id = pr.list_id WHERE a.vec_id != q.qvid)"
+        " SELECT query_id, rank, vec_id, sim FROM ("
+        " SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id"
+        " ORDER BY sim DESC, vec_id ASC) AS INT) AS rank, vec_id, sim"
+        " FROM s) WHERE rank <= 10"
     )
 
 
@@ -1022,6 +1139,8 @@ def ops_queries():
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_batch": q_ann_lsh_batch,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "ann_label_centroids": q_ann_label_centroids,
         "dd_embedding_pairs": q_dd_embedding_pairs,
         "tx_langid": q_tx_langid,
@@ -1065,6 +1184,8 @@ def ops_oracles():
         "ann_cosine_topk": _oracle_cosine_topk(),
         "ann_lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ivf_topk(),
+        "ann_lsh_batch": _oracle_lsh_batch(),
+        "ann_ivf_batch": _oracle_ivf_batch(),
         "ann_label_centroids": _oracle_label_centroids(),
         "dd_embedding_pairs": _oracle_embedding_pairs(),
         "tx_langid": _oracle_langid(),

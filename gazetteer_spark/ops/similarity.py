@@ -420,13 +420,7 @@ def lsh_topk_layout(
     # left-to-right double accumulation) — a BLAS dot's pairwise summation
     # could flip the sign of a near-zero projection and shift the probe set,
     # breaking the documented result-identity with lsh_cosine_topk.
-    qbucket = 0
-    for b, plane in enumerate(planes):
-        acc = 0.0
-        for x, y in zip(plane, query_vec):
-            acc = acc + float(x) * float(y)
-        if acc > 0:
-            qbucket |= 1 << b
+    qbucket = _fold_bucket(planes, query_vec)
     probe = [b for b in range(1 << n_planes)
              if bin(b ^ qbucket).count("1") <= max_hamming]
     qlit = F.array(*[F.lit(float(x)) for x in qv])
@@ -441,6 +435,128 @@ def lsh_topk_layout(
     if exclude_vec_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_vec_id)
     return _ranked_topk(scored, k)
+
+
+def _fold_bucket(planes, vec) -> int:
+    """Sign-pattern bucket with the SAME left-to-right double fold as the
+    JVM bucket_expr (see lsh_topk_layout's probe-identity note)."""
+    b = 0
+    for i, plane in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(plane, vec):
+            acc = acc + float(x) * float(y)
+        if acc > 0:
+            b |= 1 << i
+    return b
+
+
+def _ranked_topk_batch(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, rank, vec_id, sim): per-query top-k. The row_number ≤ k
+    filter over the query_id partitioning triggers Catalyst's
+    WindowGroupLimit pushdown — a PARTIAL group-limit below the exchange
+    keeps ≤ k rows per (input partition, query), so the shuffle carries
+    ≤ partitions × queries × k rows, never the full scored set."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+def lsh_topk_layout_batch(
+    spark, layout_dir: str, queries: list[tuple[int, list[float]]],
+    k: int = 10, max_hamming: int = MULTIPROBE_HAMMING, round_to: int = 6,
+    exclude_ids: dict[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, sim): N multi-probe LSH queries in ONE job
+    over the materialized bucket layout — the ANN twin of wand's batched
+    serving. The scan reads the UNION of all queries' probed partitions
+    (PartitionFilters); per-query membership and the query vector ride in a
+    broadcast probe table (≤ 37 rows per query + the vectors); the merge is
+    the group-limited window (see _ranked_topk_batch). Result-identical to
+    per-query :func:`lsh_topk_layout` calls."""
+    import json
+
+    with open(f"{layout_dir}/layout.json") as f:
+        meta = json.load(f)
+    dim, n_planes = meta["dim"], meta["n_planes"]
+    planes = hyperplanes(dim, n_planes)
+    exclude_ids = exclude_ids or {}
+    probe_rows, qrows = [], []
+    all_buckets: set[int] = set()
+    for qid, vec in queries:
+        qb = _fold_bucket(planes, vec)
+        probes = [b for b in range(1 << n_planes)
+                  if bin(b ^ qb).count("1") <= max_hamming]
+        all_buckets.update(probes)
+        probe_rows += [(int(qid), int(b)) for b in probes]
+        qrows.append((int(qid), [float(x) for x in vec],
+                      int(exclude_ids.get(qid, -1))))
+    probes_df = spark.createDataFrame(probe_rows, "query_id int, bucket int")
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, qvec array<double>, excl long"
+    )
+    scored = (
+        spark.read.parquet(f"{layout_dir}/vectors")
+        .filter(F.col("bucket").isin(sorted(all_buckets)))
+        .join(F.broadcast(probes_df), "bucket")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("excl"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("qvec")),
+                    round_to).alias("sim"),
+        )
+    )
+    return _ranked_topk_batch(scored, k)
+
+
+def ivf_topk_layout_batch(
+    spark, layout_dir: str, queries: list[tuple[int, list[float]]],
+    k: int = 10, n_probe: int = 4, round_to: int = 6,
+    exclude_ids: dict[int, int] | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, sim): N IVF queries in one job over the
+    materialized ``list_id=`` layout — same batching contract as
+    :func:`lsh_topk_layout_batch`; each query scores only its n_probe
+    nearest lists."""
+    import json
+
+    with open(f"{layout_dir}/layout.json") as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    exclude_ids = exclude_ids or {}
+    probe_rows, qrows = [], []
+    all_lists: set[int] = set()
+    for qid, vec in queries:
+        qv = np.asarray(vec, dtype=np.float64)
+        qn = qv / np.linalg.norm(qv)
+        probes = [int(p) for p in
+                  np.argsort(-(cents @ qn), kind="stable")[:n_probe]]
+        all_lists.update(probes)
+        probe_rows += [(int(qid), p) for p in probes]
+        qrows.append((int(qid), [float(x) for x in vec],
+                      int(exclude_ids.get(qid, -1))))
+    probes_df = spark.createDataFrame(probe_rows, "query_id int, list_id int")
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, qvec array<double>, excl long"
+    )
+    scored = (
+        spark.read.parquet(f"{layout_dir}/vectors")
+        .filter(F.col("list_id").isin(sorted(all_lists)))
+        .join(F.broadcast(probes_df), "list_id")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("vec_id") != F.col("excl"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("qvec")),
+                    round_to).alias("sim"),
+        )
+    )
+    return _ranked_topk_batch(scored, k)
 
 
 def cosine_near_dup_pairs(

@@ -243,6 +243,55 @@ def test_lsh_layout_matches_inline(spark, sf_dir, tmp_path_factory):
     assert "TakeOrderedAndProject" in plan  # distributed top-k merge
 
 
+def test_ann_layout_batch_matches_single(spark, sf_dir, tmp_path_factory):
+    """Batched layout serving (N queries, one job) is result-identical to
+    per-query calls for BOTH layouts, reads only the union of probed
+    partitions, and merges via the group-limited window (map-side
+    WindowGroupLimit prune below the exchange — never the full scored
+    set into one task)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 7, 42]
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    queries = [(q, vecs[q]) for q in qids]
+    excl = {q: q for q in qids}
+
+    ld = str(tmp_path_factory.mktemp("lsh_batch"))
+    similarity.build_lsh_layout(emb, ld)
+    batch = similarity.lsh_topk_layout_batch(spark, ld, queries, k=10,
+                                             exclude_ids=excl)
+    got = sorted(tuple(r) for r in batch.collect())
+    want = sorted(
+        (q, r["rank"], r["vec_id"], r["sim"])
+        for q in qids
+        for r in similarity.lsh_topk_layout(
+            spark, ld, vecs[q], k=10, exclude_vec_id=q).collect()
+    )
+    assert got == want and len(got) == 30
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    ex = plan.index("Exchange hashpartitioning")
+    assert "WindowGroupLimit" in plan[ex:] and "Partial" in plan[ex:], plan
+
+    iv = str(tmp_path_factory.mktemp("ivf_batch"))
+    similarity.build_ivf_layout(emb, iv,
+                                centroids=similarity.ivf_seed_centroids())
+    ibatch = similarity.ivf_topk_layout_batch(spark, iv, queries, k=10,
+                                              exclude_ids=excl)
+    igot = {q: [] for q in qids}
+    for r in ibatch.orderBy("query_id", "rank").collect():
+        igot[r["query_id"]].append((r["vec_id"], r["sim"]))
+    for q in qids:
+        single = [(r["vec_id"], r["sim"]) for r in
+                  similarity.ivf_topk_layout(spark, iv, vecs[q], k=11)
+                  .orderBy("rank").collect() if r["vec_id"] != q][:10]
+        assert igot[q] == single, q
+    iplan = ibatch._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in iplan.split("PartitionFilters: [")[1].split("]")[0]
+
+
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):
     """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)

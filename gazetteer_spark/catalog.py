@@ -439,6 +439,10 @@ def _oracle_label_centroids() -> str:
 CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
 SPLIT_WEIGHTS = {"train": 0.95, "val": 0.025, "test": 0.025}
 SAMPLE_PER_GROUP = 40
+# packing budget 64 over 10-99-token docs → most docs straddle pack
+# boundaries, exercising the offset arithmetic; 8 buckets keep several
+# hundred docs per pack stream
+PACK_BUDGET, PACK_BUCKETS = 64, 8
 
 
 def q_px_chunks(spark, sf_dir):
@@ -454,6 +458,14 @@ def q_px_split(spark, sf_dir):
 def q_px_balanced_sample(spark, sf_dir):
     return pipeline.balanced_sample(_docs(spark, sf_dir), "doc_id", "lang",
                                     n_per_group=SAMPLE_PER_GROUP)
+
+
+def q_px_pack(spark, sf_dir):
+    """Concat-and-pack sequence assignment (LLM pretraining packing):
+    deterministic hash-ordered token streams per bucket, cut into
+    fixed-budget packs — per-bucket window cumsum, no global sort."""
+    return pipeline.pack_sequences(_docs(spark, sf_dir), "doc_id", "text",
+                                   budget=PACK_BUDGET, n_buckets=PACK_BUCKETS)
 
 
 def _oracle_px_chunks() -> str:
@@ -607,6 +619,23 @@ def q_mm_frame_sample(spark, sf_dir):
 _DUCK_PAYLOAD = (
     "array_to_string(list_transform(embedding, x -> printf('%.6f', x)), ',')"
 )
+
+
+def _oracle_px_pack() -> str:
+    key = DUCK_MD5INT.format(col="CAST(doc_id AS VARCHAR)")
+    toks = DUCK_TOKENS.format(col="text")
+    return (
+        f"WITH d AS (SELECT doc_id AS docid, {key} AS k,"
+        f" CAST({key} % {PACK_BUCKETS} AS INT) AS bucket,"
+        f" coalesce(len({toks}), 0) AS dl FROM documents),"
+        " s AS (SELECT docid, bucket,"
+        " coalesce(sum(dl) OVER (PARTITION BY bucket ORDER BY k ASC,"
+        " docid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS start FROM d)"
+        " SELECT docid, bucket, CAST(start AS BIGINT) AS start_tok,"
+        f" CAST(floor(start / {PACK_BUDGET}) AS INT) AS pack_id,"
+        f" CAST(start % {PACK_BUDGET} AS INT) AS pack_offset FROM s"
+    )
 
 
 def _oracle_media_stats() -> str:
@@ -1150,6 +1179,7 @@ def ops_queries():
         "px_chunks": q_px_chunks,
         "px_split": q_px_split,
         "px_balanced_sample": q_px_balanced_sample,
+        "px_pack": q_px_pack,
         "mm_media_stats": q_mm_media_stats,
         "mm_frame_sample": q_mm_frame_sample,
         # --- rel_* operator demos (lowest snapshot priority) ---
@@ -1195,6 +1225,7 @@ def ops_oracles():
         "px_chunks": _oracle_px_chunks(),
         "px_split": _oracle_px_split(),
         "px_balanced_sample": _oracle_px_balanced_sample(),
+        "px_pack": _oracle_px_pack(),
         "mm_media_stats": _oracle_media_stats(),
         "mm_frame_sample": _oracle_frame_sample(),
         "rel_j1_revenue": (

@@ -97,6 +97,54 @@ def dataset_split(
     return docs.select(F.col(id_col).alias("docid"), expr.alias("split"))
 
 
+def pack_sequences(
+    docs: DataFrame, id_col: str, content_col: str,
+    budget: int = 512, n_buckets: int = 16,
+) -> DataFrame:
+    """(docid, bucket, start_tok, pack_id, pack_offset): concat-and-pack
+    sequence assignment — documents are concatenated in deterministic hash
+    order WITHIN hash buckets and cut into fixed token-budget training
+    sequences; each doc records its start offset in its bucket's token
+    stream, the pack (sequence) its first token lands in, and the offset
+    inside that pack.
+
+    The standard LLM pretraining packing (concat-then-chunk): docs may
+    straddle pack boundaries — compose with chunk_spans when intra-doc
+    windows are wanted. Token counts use the frozen analyzer, ordering the
+    md5 bridge, so the assignment is deterministic across runs, engines,
+    and partitionings.
+
+    Scale shape: a pack stream is inherently sequential, so the parallelism
+    unit is the BUCKET — the running offset is a window cumsum per bucket
+    (one shuffle on the bucket key, no global single-task sort). Size
+    n_buckets so a bucket's token stream fits a reduce task comfortably
+    (corpus_tokens / n_buckets ≈ 10^8-10^9 tokens at 100 TB → n_buckets in
+    the 10^4-10^5 range); buckets are independent pack streams, exactly how
+    a 1000-executor packing job would shard its output anyway."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key = _hash_key(F.col(id_col).cast("string"))
+    dl = F.coalesce(doclen_expr(F.col(content_col)), F.lit(0))
+    base = docs.select(
+        F.col(id_col).alias("docid"),
+        F.pmod(key, F.lit(n_buckets)).cast("int").alias("bucket"),
+        key.alias("_key"),
+        dl.alias("_dl"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("_key").asc(), F.col("docid").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("_dl").over(w), F.lit(0))
+    return base.select(
+        "docid", "bucket",
+        start.cast("long").alias("start_tok"),
+        F.floor(start / budget).cast("int").alias("pack_id"),
+        F.pmod(start, F.lit(budget)).cast("int").alias("pack_offset"),
+    )
+
+
 def balanced_sample(
     docs: DataFrame, id_col: str, group_col: str, n_per_group: int,
 ) -> DataFrame:

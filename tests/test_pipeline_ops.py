@@ -81,3 +81,46 @@ def test_balanced_sample_caps_and_determinism(spark, documents):
                  documents.repartition(5), "doc_id", "lang",
                  n_per_group=7).collect()}
     assert again == {(r["docid"], r["group"], r["sample_rank"]) for r in rows}
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-pack: every doc appears once; within a bucket, offsets
+    are the exact running sum of doclens in (hash key, docid) order;
+    pack_id/pack_offset derive from start_tok and the budget — verified
+    against a plain-Python re-implementation of the md5 bridge."""
+    import hashlib
+
+    from gazetteer_spark.analyzer import py_tokenize
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40)))
+            for i in range(60)] + [(60, None), (61, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["docid"]: (r["bucket"], r["start_tok"], r["pack_id"],
+                        r["pack_offset"])
+           for r in pipeline.pack_sequences(df, "doc_id", "text",
+                                            budget=16, n_buckets=4).collect()}
+    assert len(got) == len(rows)
+
+    def key(docid):
+        return int(hashlib.md5(str(docid).encode()).hexdigest()[:15], 16)
+
+    lens = {i: (len(py_tokenize(t)) if t else 0) for i, t in rows}
+    per_bucket: dict[int, list[int]] = {}
+    for i, _ in rows:
+        per_bucket.setdefault(key(i) % 4, []).append(i)
+    for b, ids in per_bucket.items():
+        start = 0
+        for i in sorted(ids, key=lambda d: (key(d), d)):
+            assert got[i] == (b, start, start // 16, start % 16), i
+            start += lens[i]
+
+
+def test_pack_sequences_deterministic_under_partitioning(spark):
+    rows = [(i, f"tok{i} alpha beta") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pipeline.pack_sequences(
+        df, "doc_id", "text", budget=8, n_buckets=3).collect()))
+    b = sorted(map(tuple, pipeline.pack_sequences(
+        df.repartition(13), "doc_id", "text", budget=8,
+        n_buckets=3).collect()))
+    assert a == b

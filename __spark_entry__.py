@@ -324,6 +324,18 @@ def q_ft_fielded_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_fielded_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKED phrase-within-field: phrase candidates from field-local
+    positions, ordered by BM25F over the phrase terms (full fielded model
+    with the catalog boosts)."""
+    from gazetteer_spark import fielded
+
+    return fielded.fielded_phrase_topk(
+        spark, _fielded_dir(spark, sf_dir), "body", "table hash",
+        boosts=FIELDED_BOOSTS, k=10,
+    )
+
+
 def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: docs containing every query term."""
     terms = sorted(set(py_tokenize("customer filter group")))
@@ -344,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fielded_topk": q_ft_fielded_topk,
         "ft_fielded_exact": q_ft_fielded_exact,
         "ft_fielded_phrase": q_ft_fielded_phrase,
+        "ft_fielded_phrase_topk": q_ft_fielded_phrase_topk,
         "ft_fuzzy_via_index": q_ft_fuzzy_via_index,
         "ft_tokens": q_ft_tokens,
         "ft_docstats": q_ft_docstats,
@@ -474,6 +487,61 @@ def oracle_sql() -> dict[str, str]:
             f" docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
         )
 
+    def bm25f_phrase_sql(phrase: str, k: int,
+                         boosts: dict[str, float]) -> str:
+        """Single-query BM25F over the phrase's terms, gated to docs whose
+        body (text) contains the adjacent-token phrase — the oracle for
+        fielded_phrase_topk (body field = text column)."""
+        terms = sorted(set(py_tokenize(phrase)))
+        tvals = ", ".join(f"('{t}')" for t in terms)
+        fp = " UNION ALL ".join(
+            f"SELECT doc_id AS docid, '{fn}' AS field, t.term AS term"
+            f" FROM documents, LATERAL unnest("
+            + _DUCK_TOKENS.format(col=col) + ") AS t(term)"
+            for fn, col in (("body", "text"), ("lang", "lang"),
+                            ("src", "source"))
+        )
+        bst = ", ".join(f"('{f}', {b})" for f, b in sorted(boosts.items()))
+        sh2 = ("list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+               " i -> t[i] || ' ' || t[i+1])")
+        return (
+            f"WITH fp AS ({fp}), "
+            "p AS (SELECT docid, field, term, CAST(count(*) AS INT) AS tf"
+            " FROM fp GROUP BY docid, field, term), "
+            "flen AS (SELECT docid, field, sum(tf) AS flen FROM p"
+            " GROUP BY docid, field), "
+            "nd AS (SELECT count(DISTINCT docid) AS n FROM p), "
+            "avgl AS (SELECT field, sum(flen) * 1.0 / (SELECT n FROM nd)"
+            " AS avglen FROM flen GROUP BY field), "
+            f"q(term) AS (VALUES {tvals}), "
+            "dft AS (SELECT term, count(DISTINCT docid) AS df FROM p"
+            " WHERE term IN (SELECT term FROM q) GROUP BY term), "
+            "idf AS (SELECT term, ln(1.0 + ((SELECT n FROM nd) - df + 0.5)"
+            " / (df + 0.5)) AS idf FROM dft), "
+            f"bst(field, boost) AS (VALUES {bst}), "
+            "w AS (SELECT p.docid, p.term,"
+            " sum(coalesce(b.boost, 1.0) * p.tf"
+            " / (1.0 - 0.75 + 0.75 * f.flen / a.avglen)) AS tfw"
+            " FROM q JOIN p USING (term)"
+            " JOIN flen f ON f.docid = p.docid AND f.field = p.field"
+            " JOIN avgl a ON a.field = p.field"
+            " LEFT JOIN bst b ON b.field = p.field"
+            " GROUP BY p.docid, p.term), "
+            "d2 AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text") + " AS t FROM documents), "
+            f"occ AS (SELECT docid, s.sh AS sh FROM d2,"
+            f" LATERAL unnest({sh2}) AS s(sh)), "
+            f"ph AS (SELECT DISTINCT docid FROM occ WHERE sh = '{phrase}'), "
+            "scored AS (SELECT w.docid,"
+            " sum(i.idf * w.tfw / (1.2 + w.tfw)) AS s"
+            " FROM w JOIN idf i USING (term) JOIN ph USING (docid)"
+            " GROUP BY w.docid) "
+            "SELECT rank, docid, score FROM ("
+            " SELECT CAST(row_number() OVER (ORDER BY round(s, 4) DESC,"
+            " docid ASC) AS INT) AS rank, docid, round(s, 4) AS score"
+            f" FROM scored) WHERE rank <= {k}"
+        )
+
     def _positions_cte() -> str:
         return (
             "WITH d AS (SELECT doc_id AS docid, "
@@ -540,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_fielded_topk": bm25f,
         "ft_fielded_exact": bm25f,
         "ft_fielded_phrase": _oracle_phrase("table hash"),
+        "ft_fielded_phrase_topk": bm25f_phrase_sql(
+            "table hash", 10, FIELDED_BOOSTS),
         "ft_fuzzy_via_index": _DUCK_POSTINGS
         + " SELECT DISTINCT docid FROM postings WHERE contains(term, 'par')",
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",

@@ -309,6 +309,30 @@ def _decode_composite(pdf: pd.DataFrame, comp_term: str, dels: DelIndex):
     return ids, tfs
 
 
+def _term_tfw(pdf, term, fields, boosts, avglen, fdocs, dels):
+    """(docids sorted, tfw) for one base term — FULL decode: boost-
+    weighted, per-field length-normalized tf summed across fields
+    (sorted field order, deterministic float summation)."""
+    acc_ids = np.zeros(0, np.int64)
+    acc_w = np.zeros(0, np.float64)
+    for f in fields:
+        if f not in fdocs:
+            continue
+        ids, tfs = _decode_composite(pdf, f + FIELD_SEP + term, dels)
+        if len(ids) == 0:
+            continue
+        f_ids, f_lens = fdocs[f]
+        lens = f_lens[np.searchsorted(f_ids, ids)]
+        w = (boosts.get(f, DEFAULT_BOOST) * tfs
+             / (1.0 - B + B * lens.astype(np.float64) / avglen[f]))
+        merged = np.union1d(acc_ids, ids)
+        nw = np.zeros(len(merged))
+        nw[np.searchsorted(merged, acc_ids)] = acc_w
+        nw[np.searchsorted(merged, ids)] += w
+        acc_ids, acc_w = merged, nw
+    return acc_ids, acc_w
+
+
 def _df_shard_fielded(pdf, base_terms, fields) -> pd.DataFrame:
     """(term, df_partial): per-shard doc-level df — distinct docids holding
     the term in ANY field. Shards hold disjoint docids, so the global df is
@@ -410,28 +434,9 @@ def _score_shard_fielded(
     tfw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def tfw_of(term):
-        """(docids sorted, tfw) for one base term — FULL decode: boost-
-        weighted, per-field length-normalized tf summed across fields
-        (sorted field order, deterministic float summation)."""
         if term not in tfw_cache:
-            acc_ids = np.zeros(0, np.int64)
-            acc_w = np.zeros(0, np.float64)
-            for f in fields:
-                if f not in fdocs:
-                    continue
-                ids, tfs = _decode_composite(pdf, f + FIELD_SEP + term, dels)
-                if len(ids) == 0:
-                    continue
-                f_ids, f_lens = fdocs[f]
-                lens = f_lens[np.searchsorted(f_ids, ids)]
-                w = (boosts.get(f, DEFAULT_BOOST) * tfs
-                     / (1.0 - B + B * lens.astype(np.float64) / avglen[f]))
-                merged = np.union1d(acc_ids, ids)
-                nw = np.zeros(len(merged))
-                nw[np.searchsorted(merged, acc_ids)] = acc_w
-                nw[np.searchsorted(merged, ids)] += w
-                acc_ids, acc_w = merged, nw
-            tfw_cache[term] = (acc_ids, acc_w)
+            tfw_cache[term] = _term_tfw(pdf, term, fields, boosts, avglen,
+                                        fdocs, dels)
         return tfw_cache[term]
 
     margin = (2.0 * 10.0 ** (-round_to) if round_to is not None else 0.0) + EPS
@@ -709,6 +714,97 @@ def fielded_near_match(
     return phrase_mod._relevant_rows(seg, [ca, cb]).groupBy("shard").applyInPandas(
         lambda pdf: phrase_mod._near_shard(pdf, ca, cb, k),
         "docid long, n_pairs long",
+    )
+
+
+def _phrase_scored_shard_fielded(
+    pdf: pd.DataFrame, field: str, terms: list[str],
+    qweights: dict[str, float], fields: list[str],
+    boosts: dict[str, float], avglen: dict[str, float],
+    k: int, round_to: int | None, cap: int,
+) -> pd.DataFrame:
+    """One shard → docs whose FIELD contains the phrase, scored by BM25F
+    over the phrase's distinct terms (full fielded model: every field's
+    boosted, length-normalized tf contributes), emitted with the engine's
+    rounded-bar + (score desc, docid asc) contract."""
+    from .index import phrase as phrase_mod
+
+    empty = pd.DataFrame(columns=["docid", "score"]).astype(
+        {"docid": "int64", "score": "float64"})
+    comp = [field + FIELD_SEP + t for t in terms]
+    matched = phrase_mod._phrase_shard(pdf, comp)
+    if matched.empty:
+        return empty
+    cand = matched["docid"].to_numpy(dtype=np.int64)  # sorted (common order)
+    fdocs = _fdocs_tables(pdf)
+    if not fdocs:
+        return empty
+    dels = DelIndex.from_pdf(pdf)
+    scores = np.zeros(len(cand))
+    for t in sorted(set(terms)):
+        idf = qweights.get(t)
+        if idf is None:
+            continue
+        ids, tfw = _term_tfw(pdf, t, fields, boosts, avglen, fdocs, dels)
+        hit = np.searchsorted(cand, ids)
+        ok = (hit < len(cand)) & (cand[np.minimum(hit, len(cand) - 1)] == ids)
+        scores[hit[ok]] += idf * tfw[ok] / (K1 + tfw[ok])
+    rounded = np.round(scores, round_to) if round_to is not None else scores
+    if len(cand) > k:
+        bar = np.partition(rounded, -k)[-k]
+        sel = rounded >= bar
+    else:
+        sel = np.ones(len(cand), dtype=bool)
+    ids_e, raw_e, rnd_e = cand[sel], scores[sel], rounded[sel]
+    order_e = np.lexsort((ids_e, -rnd_e))[:cap]
+    return pd.DataFrame({
+        "docid": pd.Series(ids_e[order_e], dtype="int64"),
+        "score": pd.Series(raw_e[order_e], dtype="float64"),
+    })
+
+
+def fielded_phrase_topk(
+    spark: SparkSession, index_dir: str, field: str, phrase: str,
+    boosts: dict[str, float] | None = None, k: int = 10,
+    round_to: int | None = 4, tie_cap: int = 4096,
+) -> DataFrame:
+    """(rank, docid, score): RANKED phrase-within-field — documents whose
+    FIELD contains the exact token phrase, ordered by BM25F over the
+    phrase's terms (the reference ranks its containment matches inside the
+    candidate ladder, `PoiAddrJoinBuilder.java:67-189`; here the candidate
+    stage is field-local positional matching and the ranking stage the full
+    fielded model). One scoring job over the term-pruned composite scan +
+    the global top-k window (≤ shards × k rows)."""
+    params, seg = _fielded_positional(spark, index_dir, field)
+    stats = spimi.load_stats(index_dir)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    terms = tokenize(phrase)
+    if not terms:
+        raise ValueError("empty phrase after analysis")
+    base = sorted(set(terms))
+    fields = stats["fields"]
+    n_docs = stats["n_docs"]
+    avglen = {f: stats["field_totals"].get(f, 0) / n_docs for f in fields}
+    dfs = _df_job(seg, fields, base)
+    if any(t not in dfs for t in base):  # conjunctive: absent term → empty
+        return spark.createDataFrame([], "rank int, docid long, score double")
+    qweights = {t: _idf(n_docs, dfs[t]) for t in base}
+    boosts = boosts or {}
+    local = _relevant_fielded(seg, fields, base).groupBy("shard").applyInPandas(
+        lambda p: _phrase_scored_shard_fielded(
+            p, field, terms, qweights, fields, boosts, avglen, k, round_to,
+            tie_cap,
+        ),
+        "docid long, score double",
+    )
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        local.select("docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("rank", "docid", "score")
     )
 
 

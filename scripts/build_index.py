@@ -116,7 +116,7 @@ def main(argv=None):
         else:
             stats = fielded.build_fielded_index(
                 spark, docs, args.out, fields, n_shards=args.n_shards,
-                id_col=id_col)
+                id_col=id_col, positions=args.positions)
     elif args.add:
         stats = spimi.add_documents(
             spark, docs, args.out, id_col=id_col, content_col=args.content_col

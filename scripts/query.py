@@ -13,6 +13,9 @@ Usage:
   ...   --mode near --near-k 3   two terms within k tokens (positional)
   ...   --mode near-n [--ordered] --near-k 3   N terms within k (positional)
   ...   --mode fielded --boosts body=1,src=2    BM25F over a fielded index
+  ...   --mode fielded-phrase --field body   exact phrase WITHIN one field
+  ...                                        (fielded index, positions=True)
+  ...   --mode fielded-near --field body --near-k 3   NEAR/k within a field
   ...   --mode fuzzy --fuzzy-layout DIR   containment lookup (query = one
   ...                                     fragment; gram index + verify)
 """
@@ -36,8 +39,12 @@ def main(argv=None):
     ap.add_argument("--queries-file", default=None)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["or", "and", "phrase", "phrase-topk",
-                                       "near", "near-n", "fielded", "fuzzy"],
+                                       "near", "near-n", "fielded",
+                                       "fielded-phrase", "fielded-near",
+                                       "fuzzy"],
                     default="or")
+    ap.add_argument("--field", default=None,
+                    help="fielded-phrase / fielded-near: the field to match in")
     ap.add_argument("--near-k", type=int, default=3,
                     help="token distance for --mode near/near-n")
     ap.add_argument("--ordered", action="store_true",
@@ -111,6 +118,30 @@ def main(argv=None):
             out.setdefault(r["query_id"], []).append(
                 {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
             )
+    elif args.mode in ("fielded-phrase", "fielded-near"):
+        from gazetteer_spark import fielded
+
+        if not args.field:
+            raise SystemExit(f"--mode {args.mode} needs --field")
+        for qid, text in queries:
+            if args.mode == "fielded-phrase":
+                rows = fielded.fielded_phrase_match(
+                    spark, args.index, args.field, text
+                ).collect()
+                out[qid] = [{"docid": r["docid"],
+                             "n_occurrences": r["n_occurrences"]}
+                            for r in rows]
+            else:
+                parts = text.split()
+                if len(parts) != 2:
+                    raise SystemExit(
+                        "--mode fielded-near expects exactly two terms")
+                rows = fielded.fielded_near_match(
+                    spark, args.index, args.field, parts[0], parts[1],
+                    k=args.near_k,
+                ).collect()
+                out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
+                            for r in rows]
     else:  # fuzzy
         from gazetteer_spark import fuzzy
 

@@ -80,6 +80,7 @@ def test_cli_fielded_and_fuzzy(spark, documents, cli_env, capsys):
     out = _run(capsys, build_cli.main, [
         "--source", src, "--out", fidx, "--n-shards", "4",
         "--docid-col", "doc_id", "--fields", "body=text,src=source",
+        "--positions",
     ])
     assert out["n_docs"] == 200
 
@@ -88,6 +89,18 @@ def test_cli_fielded_and_fuzzy(spark, documents, cli_env, capsys):
         "--boosts", "body=1,src=2", "--k", "5",
     ])
     assert got["mode"] == "fielded" and got["results"]
+
+    got = _run(capsys, query_cli.main, [
+        "--index", fidx, "--query", "key order", "--mode", "fielded-phrase",
+        "--field", "body",
+    ])
+    assert got["mode"] == "fielded-phrase" and got["results"]
+
+    got = _run(capsys, query_cli.main, [
+        "--index", fidx, "--query", "key order", "--mode", "fielded-near",
+        "--field", "body", "--near-k", "3",
+    ])
+    assert got["mode"] == "fielded-near" and got["results"]
 
     fz = str(work / "fuzzy")
     out = _run(capsys, build_cli.main, ["--fuzzy-from", fidx, "--out", fz,

@@ -186,6 +186,22 @@ def test_fielded_phrase_is_field_local(spark, tmp_path_factory):
     assert got2 == {(1, 1), (3, 1)}
 
 
+def test_fielded_phrase_topk_ranks_candidates(spark, fidx):
+    """Ranked phrase-within-field: results ⊆ the phrase-match candidate
+    set, ranks contiguous, order pinned (score desc, docid asc). Value
+    correctness vs the BM25F equations is the DuckDB oracle's job
+    (ft_fielded_phrase_topk)."""
+    got = fielded.fielded_phrase_topk(
+        spark, fidx, "body", "table hash", boosts=BOOSTS, k=5
+    ).orderBy("rank").collect()
+    cand = {r["docid"] for r in fielded.fielded_phrase_match(
+        spark, fidx, "body", "table hash").collect()}
+    assert got and all(r["docid"] in cand for r in got)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    keys = [(-r["score"], r["docid"]) for r in got]
+    assert keys == sorted(keys)
+
+
 def test_fielded_phrase_requires_positions(spark, documents,
                                            tmp_path_factory):
     d = str(tmp_path_factory.mktemp("fidx_nopos"))

@@ -264,6 +264,16 @@ def q_ann_ivf_batch(spark, sf_dir):
     )
 
 
+def q_ann_ivf_exact(spark, sf_dir):
+    """EXACT top-k from the IVF layout via radius-bound adaptive probing —
+    must hash-equal the brute-force cosine oracle while pruning provably
+    irrelevant list partitions."""
+    vec = _ann_batch_queries(spark, sf_dir)[0][1]  # vec_id 0's embedding
+    return similarity.ivf_topk_exact(
+        spark, _ivf_layout_dir(spark, sf_dir), vec, k=10, exclude_vec_id=0,
+    )
+
+
 _DUCK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -1170,6 +1180,7 @@ def ops_queries():
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_batch": q_ann_lsh_batch,
         "ann_ivf_batch": q_ann_ivf_batch,
+        "ann_ivf_exact": q_ann_ivf_exact,
         "ann_label_centroids": q_ann_label_centroids,
         "dd_embedding_pairs": q_dd_embedding_pairs,
         "tx_langid": q_tx_langid,
@@ -1216,6 +1227,7 @@ def ops_oracles():
         "ann_ivf_topk": _oracle_ivf_topk(),
         "ann_lsh_batch": _oracle_lsh_batch(),
         "ann_ivf_batch": _oracle_ivf_batch(),
+        "ann_ivf_exact": _oracle_cosine_topk(),
         "ann_label_centroids": _oracle_label_centroids(),
         "dd_embedding_pairs": _oracle_embedding_pairs(),
         "tx_langid": _oracle_langid(),

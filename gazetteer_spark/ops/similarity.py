@@ -333,11 +333,27 @@ def build_ivf_layout(
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{out_dir}/vectors"
     )
+    # per-list RADIUS (max member angle to the centroid, unit centroids →
+    # cos = dot(v,c)/|v|): lets a query PROVE lists irrelevant via the
+    # spherical triangle inequality (see ivf_topk_exact). One columnar
+    # scan of the written layout; absent lists keep radius π (never pruned).
+    written = assigned.sparkSession.read.parquet(f"{out_dir}/vectors")
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    v = F.col("embedding").cast("array<double>")
+    cosc = _dot(v, F.element_at(cent_arr, F.col("list_id") + 1)) / _norm(v)
+    ang = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cosc)))
+    rows = (written.select(F.col("list_id"), ang.alias("ang"))
+            .groupBy("list_id").agg(F.max("ang").alias("r")).collect())
+    radii = [-1.0] * len(centroids)  # -1 = empty list (never needs probing)
+    for r in rows:
+        radii[int(r["list_id"])] = float(r["r"]) + 1e-9  # ulp safety
     os.makedirs(out_dir, exist_ok=True)
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:
         json.dump({"n_lists": len(centroids), "dim": dim,
-                   "centroids": centroids}, f)
+                   "centroids": centroids, "radii": radii}, f)
     os.replace(tmp, f"{out_dir}/layout.json")
 
 
@@ -365,6 +381,79 @@ def ivf_topk_layout(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def ivf_topk_exact(
+    spark, layout_dir: str, query_vec: list[float], k: int = 10,
+    round_to: int = 6, n_probe0: int = 4,
+    exclude_vec_id: int | None = None,
+    probe_stats: dict | None = None,
+) -> DataFrame:
+    """(rank, vec_id, sim): EXACT cosine top-k served from the IVF layout
+    with radius-bound adaptive probing — result-identical to brute-force
+    :func:`cosine_topk` for ANY data, pruning list partitions whenever the
+    geometry allows it.
+
+    For any vector v in list c: angle(q,v) ≥ angle(q,c) − radius_c, so
+    sim(q,v) ≤ cos(max(0, θ_qc − r_c)). Round 1 scores the ``n_probe0``
+    nearest lists; every remaining list whose bound could still beat (or
+    tie, within the rounding margin) the k-th best is scored in ONE second
+    job; lists below the bar are PROVABLY irrelevant, and empty lists
+    (radius −1 in the layout) are never probed. Layouts without stored
+    radii fall back to probing everything (still exact).
+
+    Pruning effectiveness is data-dependent: it engages when list radii
+    are small relative to the query's similarity margin (tight clusters —
+    test-pinned on constructed data); on near-isotropic vectors (radii
+    ≈ 80°, like the synthetic test corpus) it degrades gracefully to an
+    exact full scan in two jobs. The per-query flow is ≤ 2 jobs; the
+    driver merges ≤ 2k rows."""
+    import json
+
+    with open(f"{layout_dir}/layout.json") as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    n_lists = len(cents)
+    radii = np.asarray(meta.get("radii", [np.pi] * n_lists), dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    theta = np.arccos(np.clip(cents @ qn, -1.0, 1.0))
+    order = np.argsort(theta, kind="stable")
+    first = [int(p) for p in order[:n_probe0]]
+
+    def scan(lists: list[int]):
+        scored = (
+            spark.read.parquet(f"{layout_dir}/vectors")
+            .filter(F.col("list_id").isin(lists))
+            .select(
+                "vec_id",
+                F.round(cosine_expr(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in qv])), round_to
+                ).alias("sim"),
+            )
+        )
+        if exclude_vec_id is not None:
+            scored = scored.filter(F.col("vec_id") != exclude_vec_id)
+        return (scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+                .limit(k).collect())
+
+    rows = scan(first)
+    margin = 2.0 * 10.0 ** (-round_to)
+    t = rows[k - 1]["sim"] if len(rows) >= k else -np.inf
+    # radius -1 marks an EMPTY list (build-recorded): nothing to probe
+    rest = [int(p) for p in order[n_probe0:] if radii[p] >= 0.0]
+    bounds = np.cos(np.maximum(0.0, theta - np.maximum(radii, 0.0)))
+    need = [p for p in rest if bounds[p] >= t - margin]
+    if need:
+        rows += scan(need)
+    rows.sort(key=lambda r: (-r["sim"], r["vec_id"]))
+    if probe_stats is not None:
+        probe_stats["n_probed"] = len(first) + len(need)
+        probe_stats["n_lists"] = n_lists
+    out = [(i + 1, int(r["vec_id"]), float(r["sim"]))
+           for i, r in enumerate(rows[:k])]
+    return spark.createDataFrame(out, "rank int, vec_id long, sim double")
 
 
 def build_lsh_layout(

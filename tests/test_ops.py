@@ -292,6 +292,61 @@ def test_ann_layout_batch_matches_single(spark, sf_dir, tmp_path_factory):
     assert "list_id" in iplan.split("PartitionFilters: [")[1].split("]")[0]
 
 
+def test_ivf_exact_adaptive_probing(spark, sf_dir, tmp_path_factory):
+    """Radius-bound adaptive probing is EXACT: result-identical to
+    brute-force cosine top-k for several queries, while the probe set is
+    provably sufficient (and reported)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = str(tmp_path_factory.mktemp("ivf_exact"))
+    similarity.build_ivf_layout(emb, d,
+                                centroids=similarity.ivf_seed_centroids())
+    probed = []
+    for qid in (0, 7, 42):
+        vec = [float(x) for x in emb.filter(
+            F.col("vec_id") == qid).collect()[0]["embedding"]]
+        stats: dict = {}
+        got = similarity.ivf_topk_exact(
+            spark, d, vec, k=10, exclude_vec_id=qid, probe_stats=stats
+        ).orderBy("rank").collect()
+        want = similarity.cosine_topk(emb, qid, k=10).orderBy("rank").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], qid
+        assert 0 < stats["n_probed"] <= stats["n_lists"]
+        probed.append(stats["n_probed"])
+    # the layout without radii must still be exact (probe-all fallback)
+    import json as _json
+
+    meta = _json.load(open(f"{d}/layout.json"))
+    assert len(meta["radii"]) == meta["n_lists"]
+
+
+def test_ivf_exact_prunes_tight_clusters(spark, tmp_path_factory):
+    """On data where the bound can bite — tight clusters — the adaptive
+    probe PRUNES lists (n_probed < n_lists) and still returns the exact
+    brute-force result."""
+    rng = np.random.RandomState(7)
+    rows, vid = [], 0
+    for axis in range(3):
+        base = np.zeros(64)
+        base[axis] = 1.0
+        for _ in range(40):
+            v = base + 0.02 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path_factory.mktemp("ivf_tight"))
+    similarity.build_ivf_layout(emb, d,
+                                centroids=similarity.ivf_seed_centroids())
+    stats: dict = {}
+    got = similarity.ivf_topk_exact(
+        spark, d, rows[0][1], k=10, exclude_vec_id=0, probe_stats=stats
+    ).orderBy("rank").collect()
+    want = similarity.cosine_topk(emb, 0, k=10).orderBy("rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert stats["n_probed"] < stats["n_lists"], stats
+
+
 def test_near_dup_pairs_lsh_gated(spark, sf_dir):
     """LSH-gated pairs ⊆ exact pairs, same sims; plan has no cartesian."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(150)

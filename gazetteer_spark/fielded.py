@@ -717,6 +717,28 @@ def fielded_near_match(
     )
 
 
+def fielded_near_match_n(
+    spark: SparkSession, index_dir: str, field: str,
+    terms: list[str], k: int = 3, ordered: bool = False,
+) -> DataFrame:
+    """(docid, n_anchors): generalized N-term proximity WITHIN one field —
+    the composite-term twin of phrase.near_match_n (unordered: every other
+    term within ≤ k of the anchor; ordered: a strictly-increasing chain
+    with each gap ≤ k), over field-local positions."""
+    from .index import phrase as phrase_mod
+
+    params, seg = _fielded_positional(spark, index_dir, field)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    analyzed = [t for term in terms for t in tokenize(term)]
+    if len(analyzed) < 2:
+        raise ValueError("NEAR/n needs at least two analyzed terms")
+    comp = [field + FIELD_SEP + t for t in analyzed]
+    return phrase_mod._relevant_rows(seg, comp).groupBy("shard").applyInPandas(
+        lambda pdf: phrase_mod._near_n_shard(pdf, comp, k, ordered),
+        "docid long, n_anchors long",
+    )
+
+
 def _phrase_scored_shard_fielded(
     pdf: pd.DataFrame, field: str, terms: list[str],
     qweights: dict[str, float], fields: list[str],

@@ -186,6 +186,26 @@ def test_fielded_phrase_is_field_local(spark, tmp_path_factory):
     assert got2 == {(1, 1), (3, 1)}
 
 
+def test_fielded_near_n_equals_plain_on_body(spark, documents, fidx,
+                                             tmp_path_factory):
+    """N-term NEAR within the body field (= the text column) must equal
+    the plain positional index's near_match_n over the same corpus — the
+    composite-term machinery is semantics-identical when the field spans
+    the whole document."""
+    from gazetteer_spark.index import phrase
+
+    d = str(tmp_path_factory.mktemp("plain_pos"))
+    spimi.build_index(spark, documents, d, n_shards=4, id_col="doc_id",
+                      content_col="text", positions=True)
+    got = {(r["docid"], r["n_anchors"]) for r in
+           fielded.fielded_near_match_n(
+               spark, fidx, "body", ["key", "order", "sort"], k=4).collect()}
+    want = {(r["docid"], r["n_anchors"]) for r in
+            phrase.near_match_n(spark, d, ["key", "order", "sort"],
+                                k=4).collect()}
+    assert got == want and got
+
+
 def test_fielded_phrase_topk_ranks_candidates(spark, fidx):
     """Ranked phrase-within-field: results ⊆ the phrase-match candidate
     set, ranks contiguous, order pinned (score desc, docid asc). Value

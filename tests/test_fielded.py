@@ -292,3 +292,115 @@ def test_bm25f_random_boosts_index_equals_exact(spark, documents,
             spark, documents.limit(250), "doc_id", FIELDS, qs,
             boosts=boosts, k=10))
         assert got == want and got, boosts
+
+
+# ---------------------------------------------------------------------------
+# MaxScore-vs-exhaustive property test (pandas level — no Spark in the loop)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _shard_pdf_from_postings(rows):
+    """rows: (docid, field, term, tf) → one shard's segment pdf via the
+    real pandas assembler (composite terms + fdocs rows + blockmeta)."""
+    import pandas as pd
+
+    from gazetteer_spark.index.spimi import FIELD_SEP, _build_shard
+
+    flat = pd.DataFrame(rows, columns=["docid", "field", "term", "tf"])
+    flat["term"] = flat["field"] + FIELD_SEP + flat["term"]
+    flat["shard"] = 0
+    out = _build_shard(flat)
+    out["gen"] = 0
+    return out
+
+
+_doc_st = st.lists(  # per doc: per-field term multiset over a tiny vocab
+    st.tuples(
+        st.sampled_from(["fa", "fb", "fc"]),
+        st.sampled_from(["the", "red", "blue", "fox", "dog", "ox"]),
+        st.integers(min_value=1, max_value=4),
+    ),
+    min_size=1, max_size=8, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(_doc_st, min_size=1, max_size=14),
+    boosts=st.dictionaries(
+        st.sampled_from(["fa", "fb", "fc"]),
+        st.sampled_from([0.0, 0.5, 1.0, 2.7]),
+        max_size=3,
+    ),
+    qterms=st.lists(
+        st.sampled_from(["the", "red", "blue", "fox", "dog", "ox", "zz"]),
+        min_size=1, max_size=4, unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_fielded_maxscore_equals_exhaustive_property(docs, boosts, qterms, k):
+    """The MaxScore/block-max fielded scorer must produce the SAME final
+    top-k as a from-scratch pure-Python BM25F over random corpora, query
+    term sets (incl. stopword-heavy and absent terms), boosts (incl. 0),
+    and k — pruning can never change ranks."""
+    import numpy as np
+
+    from gazetteer_spark import B, K1
+    from gazetteer_spark.fielded import _score_shard_fielded
+    from gazetteer_spark.index.wand import _idf
+
+    rows = [(docid, f, t, tf) for docid, doc in enumerate(docs)
+            for f, t, tf in doc]
+    fields = sorted({"fa", "fb", "fc"})
+    pdf = _shard_pdf_from_postings(rows)
+
+    # pure-Python reference model
+    flen: dict[tuple[int, str], int] = {}
+    tf_map: dict[tuple[int, str, str], int] = {}
+    for docid, f, t, tf in rows:
+        flen[(docid, f)] = flen.get((docid, f), 0) + tf
+        tf_map[(docid, f, t)] = tf_map.get((docid, f, t), 0) + tf
+    n_docs = len({d for d, _, _, _ in rows})
+    totals = {f: sum(v for (d, ff), v in flen.items() if ff == f)
+              for f in fields}
+    avglen = {f: totals[f] / n_docs for f in fields if totals[f] > 0}
+    df = {t: len({d for (d, f, tt) in tf_map if tt == t})
+          for t in set(qterms)}
+    present = [t for t in sorted(set(qterms)) if df.get(t, 0) > 0]
+    qplans = [(0, [(t, _idf(n_docs, df[t])) for t in present])]
+
+    scores: dict[int, float] = {}
+    for d in {dd for dd, _, _, _ in rows}:
+        s = 0.0
+        holds = False  # candidate iff some query term occurs in some field
+        for t, idf in qplans[0][1]:
+            tfw = 0.0
+            for f in fields:
+                tf = tf_map.get((d, f, t), 0)
+                if tf == 0 or f not in avglen:
+                    continue
+                holds = True
+                tfw += (boosts.get(f, 1.0) * tf
+                        / (1.0 - B + B * flen[(d, f)] / avglen[f]))
+            if tfw > 0:
+                s += idf * tfw / (K1 + tfw)
+        if holds:  # a zero-boost match scores 0.0 but IS a result row
+            scores[d] = s
+    expect = sorted(
+        ((round(s, 4), d) for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+
+    if not present:
+        return  # engine impl is only invoked with non-empty plans
+    out = _score_shard_fielded(pdf, qplans, fields, boosts, avglen, k, 4,
+                               4096)
+    got = sorted(
+        ((round(float(s), 4), int(d))
+         for d, s in zip(out["docid"], out["score"])),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    assert got == expect, (rows, boosts, qterms, k)

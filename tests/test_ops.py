@@ -321,6 +321,47 @@ def test_ivf_exact_adaptive_probing(spark, sf_dir, tmp_path_factory):
     assert len(meta["radii"]) == meta["n_lists"]
 
 
+def test_ivf_exact_random_queries_identity(spark, tmp_path_factory):
+    """Exactness holds for arbitrary (seeded-random) vectors and query
+    points, including queries that are NOT corpus members, across mixed
+    cluster tightness."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for vid in range(120):
+        c = vid % 4
+        base = np.zeros(16)
+        base[c * 4:(c + 1) * 4] = 1.0
+        spread = 0.05 if c < 2 else 1.0  # two tight + two diffuse clusters
+        v = base + spread * rng.randn(16)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = str(tmp_path_factory.mktemp("ivf_rand"))
+    similarity.build_ivf_layout(
+        emb, d, centroids=similarity.ivf_seed_centroids(dim=16, n_lists=8),
+        n_lists=8, dim=16,
+    )
+    for trial in range(4):
+        qv = [float(x) for x in rng.randn(16)]
+        got = similarity.ivf_topk_exact(spark, d, qv, k=7).orderBy(
+            "rank").collect()
+        # brute force over the same vectors for an external query point
+        from pyspark.sql import Window as W
+
+        qlit = F.array(*[F.lit(x) for x in qv])
+        scored = emb.select(
+            "vec_id",
+            F.round(similarity.cosine_expr(F.col("embedding"), qlit),
+                    6).alias("sim"),
+        )
+        w = W.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        want = (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 7).collect())
+        assert [tuple(r) for r in got] == [
+            (r["rank"], r["vec_id"], r["sim"]) for r in want], trial
+
+
 def test_ivf_exact_prunes_tight_clusters(spark, tmp_path_factory):
     """On data where the bound can bite — tight clusters — the adaptive
     probe PRUNES lists (n_probed < n_lists) and still returns the exact

@@ -83,7 +83,9 @@ def index_stream(
     batch marker rides in the manifest commit; replays are skipped).
     ``fields`` switches the sink to a FIELDED (BM25F) index — each batch
     becomes one fielded generation via the same commit protocol
-    (``content_col``/``positions`` are ignored in that mode).
+    (``content_col`` is ignored in that mode; ``positions=True`` selects
+    the field-local positional layout, so the streamed index also serves
+    phrase/NEAR-within-field).
     Returns the StreamingQuery (caller awaits/stops). Default trigger:
     availableNow."""
     if not trigger_kwargs:
@@ -105,7 +107,8 @@ def index_stream(
             if fresh:
                 fielded.build_fielded_index(
                     spark, batch_df, out_dir, fields, n_shards=n_shards,
-                    id_col=id_col, analyzer=analyzer, manifest_extra=extra,
+                    id_col=id_col, analyzer=analyzer, positions=positions,
+                    manifest_extra=extra,
                 )
             else:
                 fielded.add_fielded_documents(
@@ -204,7 +207,7 @@ def index_cdc_stream(
                         fielded.build_fielded_index(
                             spark, adds, out_dir, fields, n_shards=n_shards,
                             id_col=id_col, analyzer=analyzer,
-                            manifest_extra=extra,
+                            positions=positions, manifest_extra=extra,
                         )
                     else:
                         fielded.add_fielded_documents(

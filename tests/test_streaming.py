@@ -337,7 +337,7 @@ def test_streaming_fielded_ingest_matches_batch(spark, documents,
     idx = str(work / "fidx")
     q = streaming.index_stream(
         spark, stream, idx, str(work / "ckpt"),
-        id_col="doc_id", n_shards=8, fields=fields,
+        id_col="doc_id", n_shards=8, fields=fields, positions=True,
     )
     q.awaitTermination()
 
@@ -345,12 +345,22 @@ def test_streaming_fielded_ingest_matches_batch(spark, documents,
 
     ref = str(work / "fidx_batch")
     fielded.build_fielded_index(spark, documents, ref, fields, n_shards=8,
-                                id_col="doc_id")
+                                id_col="doc_id", positions=True)
     got = fielded.fielded_topk(spark, idx, queries, boosts=boosts, k=10) \
         .orderBy("query_id", "rank").collect()
     want = fielded.fielded_topk(spark, ref, queries, boosts=boosts, k=10) \
         .orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+    # positions=True streamed through both generations: phrase-within-field
+    # over the STREAMED index equals the one-shot positional build
+    gp = {(r["docid"], r["n_occurrences"]) for r in
+          fielded.fielded_phrase_match(spark, idx, "body",
+                                       "key order").collect()}
+    wp = {(r["docid"], r["n_occurrences"]) for r in
+          fielded.fielded_phrase_match(spark, ref, "body",
+                                       "key order").collect()}
+    assert gp == wp and gp
 
 
 def test_streaming_cdc_fielded(spark, documents, tmp_path_factory):

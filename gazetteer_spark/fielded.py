@@ -652,12 +652,24 @@ def fielded_topk(
     )
 
 
-def _fielded_positional(spark: SparkSession, index_dir: str, field: str):
+def _fielded_positional(spark: SparkSession, index_dir: str, field: str,
+                        seg: DataFrame | None = None):
     """(params, committed segments) for a positional FIELDED index, with
-    the field validated — shared gate for phrase/NEAR-within-field."""
+    the field validated — shared gate for phrase/NEAR-within-field.
+    ``seg`` substitutes a pinned segment DataFrame (FieldedReader warm
+    path) for the fresh committed_segments read."""
     from .index import phrase as phrase_mod
 
-    params, seg = phrase_mod._positional_segments(spark, index_dir)
+    if seg is None:
+        params, seg = phrase_mod._positional_segments(spark, index_dir)
+    else:
+        with open(f"{index_dir}/build.json") as f:
+            params = json.load(f)
+        if not params.get("positions"):
+            raise ValueError(
+                "index was built without positions; rebuild the fielded "
+                "index with positions=True for phrase/NEAR-within-field"
+            )
     flds = params.get("fields") or []
     if not flds:
         raise ValueError("not a fielded index — use phrase.phrase_match")
@@ -667,7 +679,8 @@ def _fielded_positional(spark: SparkSession, index_dir: str, field: str):
 
 
 def fielded_phrase_match(
-    spark: SparkSession, index_dir: str, field: str, phrase: str
+    spark: SparkSession, index_dir: str, field: str, phrase: str,
+    seg: DataFrame | None = None,
 ) -> DataFrame:
     """(docid, n_occurrences): documents whose FIELD contains the exact
     token phrase — phrase-within-field, served entirely from the positional
@@ -683,7 +696,7 @@ def fielded_phrase_match(
     candidate-holding blocks, one (docid, count) shuffle."""
     from .index import phrase as phrase_mod
 
-    params, seg = _fielded_positional(spark, index_dir, field)
+    params, seg = _fielded_positional(spark, index_dir, field, seg)
     tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
     terms = tokenize(phrase)
     if not terms:
@@ -695,9 +708,59 @@ def fielded_phrase_match(
     )
 
 
+def fielded_phrase_match_batch(
+    spark: SparkSession, index_dir: str,
+    queries: list[tuple[int, str, str]],
+    seg: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, docid, n_occurrences): N phrase-within-field queries —
+    rows (query_id, field, phrase), possibly across DIFFERENT fields — in
+    ONE Spark job: one segment scan pruned to the union of all queries'
+    composite terms, one shuffle (the fielded twin of
+    phrase.phrase_match_batch)."""
+    import pandas as pd
+
+    from .index import phrase as phrase_mod
+
+    if not queries:
+        raise ValueError("empty query batch")
+    params, seg = _fielded_positional(spark, index_dir, queries[0][1], seg)
+    tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
+    flds = params.get("fields") or []
+    plans = []
+    for qid, field, phrase in queries:
+        if field not in flds:
+            raise ValueError(f"unknown field {field!r} (index has {flds})")
+        terms = tokenize(phrase)
+        if not terms:
+            raise ValueError(f"query {qid}: empty phrase after analysis")
+        plans.append((int(qid), [field + FIELD_SEP + t for t in terms]))
+    all_comp = sorted({c for _, comp in plans for c in comp})
+
+    def shard_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for qid, comp in plans:
+            out = phrase_mod._phrase_shard(pdf, comp)
+            if not out.empty:
+                out.insert(0, "query_id", np.int32(qid))
+                frames.append(out)
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="int32"),
+                "docid": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    return phrase_mod._relevant_rows(seg, all_comp).groupBy("shard").applyInPandas(
+        shard_fn, "query_id int, docid long, n_occurrences long"
+    )
+
+
 def fielded_near_match(
     spark: SparkSession, index_dir: str, field: str,
     term_a: str, term_b: str, k: int = 3,
+    seg: DataFrame | None = None,
 ) -> DataFrame:
     """(docid, n_pairs): NEAR/k within one field — occurrences of the two
     analyzed terms within token distance ≤ k INSIDE the field's token
@@ -705,7 +768,7 @@ def fielded_near_match(
     from the positional fielded index."""
     from .index import phrase as phrase_mod
 
-    params, seg = _fielded_positional(spark, index_dir, field)
+    params, seg = _fielded_positional(spark, index_dir, field, seg)
     tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
     ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
     if not ta or not tb or ta == tb:
@@ -720,6 +783,7 @@ def fielded_near_match(
 def fielded_near_match_n(
     spark: SparkSession, index_dir: str, field: str,
     terms: list[str], k: int = 3, ordered: bool = False,
+    seg: DataFrame | None = None,
 ) -> DataFrame:
     """(docid, n_anchors): generalized N-term proximity WITHIN one field —
     the composite-term twin of phrase.near_match_n (unordered: every other
@@ -727,7 +791,7 @@ def fielded_near_match_n(
     with each gap ≤ k), over field-local positions."""
     from .index import phrase as phrase_mod
 
-    params, seg = _fielded_positional(spark, index_dir, field)
+    params, seg = _fielded_positional(spark, index_dir, field, seg)
     tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
     analyzed = [t for term in terms for t in tokenize(term)]
     if len(analyzed) < 2:
@@ -865,6 +929,29 @@ class FieldedReader:
             self.spark, self.seg, self.stats, queries, boosts or {}, k,
             round_to, tie_cap, self._dfs_for(all_terms), all_terms, qterms,
         )
+
+    def phrase_match(self, field: str, phrase: str) -> DataFrame:
+        """Warm phrase-within-field over the pinned segments."""
+        return fielded_phrase_match(self.spark, self.index_dir, field,
+                                    phrase, seg=self.seg)
+
+    def phrase_match_batch(
+        self, queries: list[tuple[int, str, str]]
+    ) -> DataFrame:
+        """Warm batched phrase-within-field ((query_id, field, phrase)
+        rows, one job) over the pinned segments."""
+        return fielded_phrase_match_batch(self.spark, self.index_dir,
+                                          queries, seg=self.seg)
+
+    def near_match(self, field: str, term_a: str, term_b: str,
+                   k: int = 3) -> DataFrame:
+        return fielded_near_match(self.spark, self.index_dir, field,
+                                  term_a, term_b, k, seg=self.seg)
+
+    def near_match_n(self, field: str, terms: list[str], k: int = 3,
+                     ordered: bool = False) -> DataFrame:
+        return fielded_near_match_n(self.spark, self.index_dir, field,
+                                    terms, k, ordered, seg=self.seg)
 
     def close(self) -> None:
         self.seg.unpersist()

@@ -114,8 +114,31 @@ def test_fielded_reader_warm_matches_cold(spark, fidx):
         # only the first call pays df lookups
         assert all(t in r._df_cache for _, text in QUERIES
                    for t in text.split() if t.isalnum())
+        # warm positional serving over the same pinned segments
+        wp = {(x["docid"], x["n_occurrences"])
+              for x in r.phrase_match("body", "table hash").collect()}
+        cp = {(x["docid"], x["n_occurrences"])
+              for x in fielded.fielded_phrase_match(
+                  spark, fidx, "body", "table hash").collect()}
+        assert wp == cp and wp
     finally:
         r.close()
+
+
+def test_fielded_phrase_batch_matches_single(spark, fidx):
+    """N phrase-within-field queries (mixed fields) in ONE job equal the
+    per-query results row-for-row."""
+    batch = [(0, "body", "table hash"), (1, "body", "key order"),
+             (2, "src", "src13")]
+    got: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in fielded.fielded_phrase_match_batch(spark, fidx, batch).collect():
+        got[r["query_id"]].add((r["docid"], r["n_occurrences"]))
+    for qid, field, phrase in batch:
+        want = {(r["docid"], r["n_occurrences"]) for r in
+                fielded.fielded_phrase_match(spark, fidx, field,
+                                             phrase).collect()}
+        assert got[qid] == want, qid
+    assert got[0] and got[1] and got[2]
 
 
 def test_fielded_scan_pruned_and_index_only(spark, fidx):

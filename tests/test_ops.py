@@ -302,7 +302,6 @@ def test_ivf_exact_adaptive_probing(spark, sf_dir, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ivf_exact"))
     similarity.build_ivf_layout(emb, d,
                                 centroids=similarity.ivf_seed_centroids())
-    probed = []
     for qid in (0, 7, 42):
         vec = [float(x) for x in emb.filter(
             F.col("vec_id") == qid).collect()[0]["embedding"]]
@@ -313,7 +312,6 @@ def test_ivf_exact_adaptive_probing(spark, sf_dir, tmp_path_factory):
         want = similarity.cosine_topk(emb, qid, k=10).orderBy("rank").collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want], qid
         assert 0 < stats["n_probed"] <= stats["n_lists"]
-        probed.append(stats["n_probed"])
     # the layout without radii must still be exact (probe-all fallback)
     import json as _json
 

@@ -1076,6 +1076,42 @@ def q_ft_phrase_match(spark, sf_dir):
     )
 
 
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                    "5-LOW"]
+
+
+def q_rel_pivot(spark, sf_dir):
+    """PIVOT — order counts per status × priority with a PINNED value list
+    (deterministic column set; never let pivot infer values at scale: that
+    is an extra distinct job AND a nondeterministic schema). Equivalent to
+    conditional aggregation, which is exactly how the oracle mirrors it."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pv = (o.groupBy("o_orderstatus")
+          .pivot("o_orderpriority", PIVOT_PRIORITIES).count())
+    cols = [F.col("o_orderstatus").alias("status")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{i + 1}")
+        for i, p in enumerate(PIVOT_PRIORITIES)
+    ]
+    return pv.select(*cols)
+
+
+def q_rel_w2_range(spark, sf_dir):
+    """RANGE-frame window (time-based, not row-based): for every event, how
+    many of the same user's events fall in the preceding hour (inclusive,
+    peers included — RANGE semantics). Ordering key is int64 microseconds
+    (unix_micros / epoch_us) so both engines frame identically."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py), so
+    # the cast preserves wall-clock and matches DuckDB's naive epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (W.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """Hierarchical aggregate (ROLLUP) — beyond the reference's operator set,
     standard for analytics over the index's own metrics tables."""
@@ -1211,6 +1247,8 @@ def ops_queries():
         "rel_p6_classifier": q_rel_p6_classifier,
         "rel_f5_sequence_explode": q_rel_f5_sequence_explode,
         "rel_w1_running": q_rel_w1_running,
+        "rel_w2_range": q_rel_w2_range,
+        "rel_pivot": q_rel_pivot,
         "rel_stream_window": q_rel_stream_window,
     }
 
@@ -1305,6 +1343,21 @@ def ops_oracles():
             " PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)"
             " AS running_total FROM orders"
+        ),
+        "rel_w2_range": (
+            "SELECT event_id, user_id, count(*) OVER ("
+            " PARTITION BY user_id ORDER BY epoch_us(ts) ASC"
+            " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+            " AS n_last_hour FROM events"
+        ),
+        "rel_pivot": (
+            "SELECT o_orderstatus AS status, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (o_orderpriority = '{p}') AS BIGINT)"
+                f" AS p{i + 1}"
+                for i, p in enumerate(PIVOT_PRIORITIES)
+            )
+            + " FROM orders GROUP BY o_orderstatus"
         ),
         "rel_stream_window": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,"

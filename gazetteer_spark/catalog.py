@@ -1112,6 +1112,40 @@ def q_rel_w2_range(spark, sf_dir):
     )
 
 
+def q_rel_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (interpolated percentile) per group —
+    Spark's `percentile` matches DuckDB `quantile_cont` value-for-value.
+    Exactness costs a per-group value buffer; at extreme group sizes the
+    one-line swap is approx_percentile (documented trade-off, not used
+    here because the oracle compare demands exact)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(*[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4)
+            .alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ])
+    )
+
+
+def q_rel_json_extract(spark, sf_dir):
+    """Semi-structured extraction: the events table's JSON `props` column →
+    typed values (get_json_object, JVM-side) aggregated per event type —
+    the standard lakehouse pattern for sparse attributes."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_rel_rollup(spark, sf_dir):
     """Hierarchical aggregate (ROLLUP) — beyond the reference's operator set,
     standard for analytics over the index's own metrics tables."""
@@ -1249,6 +1283,8 @@ def ops_queries():
         "rel_w1_running": q_rel_w1_running,
         "rel_w2_range": q_rel_w2_range,
         "rel_pivot": q_rel_pivot,
+        "rel_quantiles": q_rel_quantiles,
+        "rel_json_extract": q_rel_json_extract,
         "rel_stream_window": q_rel_stream_window,
     }
 
@@ -1358,6 +1394,21 @@ def ops_oracles():
                 for i, p in enumerate(PIVOT_PRIORITIES)
             )
             + " FROM orders GROUP BY o_orderstatus"
+        ),
+        "rel_quantiles": (
+            "SELECT o_orderstatus AS status,"
+            " round(quantile_cont(o_totalprice, 0.25), 4) AS p25,"
+            " round(quantile_cont(o_totalprice, 0.5), 4) AS p50,"
+            " round(quantile_cont(o_totalprice, 0.75), 4) AS p75"
+            " FROM orders GROUP BY o_orderstatus"
+        ),
+        "rel_json_extract": (
+            "SELECT event_type, count(*) AS n,"
+            " round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)"
+            " AS avg_k,"
+            " CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)"
+            " AS max_k"
+            " FROM events GROUP BY event_type"
         ),
         "rel_stream_window": (
             "SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,"

@@ -78,30 +78,30 @@ def main():
             wb.append(time.time() - t0)
         timings["wand_batch"] = min(wb)
 
-        p50 = []
+        # per-query MIN across passes, then the median across queries: a
+        # steal burst during one pass can't poison the metric as long as
+        # each query sees ONE quiet measurement somewhere
+        lat_by_q = [[] for _ in QUERIES]
         for _ in range(2):
-            lat = []
-            for q in QUERIES:
+            for i, q in enumerate(QUERIES):
                 t0 = time.time()
                 wand.topk(spark, keep, [q], k=10).collect()
-                lat.append(time.time() - t0)
-            p50.append(statistics.median(lat))
-        timings["query_p50"] = min(p50)
+                lat_by_q[i].append(time.time() - t0)
+        timings["query_p50"] = statistics.median(min(v) for v in lat_by_q)
 
         # warm serving path: segments + termstats pinned in memory, term-df
         # driver cache populated by a first pass — steady-state latency
         reader = wand.IndexReader(spark, keep)
         for q in QUERIES:
             reader.topk([q], k=10).collect()
-        p50w = []
+        warm_by_q = [[] for _ in QUERIES]
         for _ in range(3):
-            lat_warm = []
-            for q in QUERIES:
+            for i, q in enumerate(QUERIES):
                 t0 = time.time()
                 reader.topk([q], k=10).collect()
-                lat_warm.append(time.time() - t0)
-            p50w.append(statistics.median(lat_warm))
-        timings["query_p50_warm"] = min(p50w)
+                warm_by_q[i].append(time.time() - t0)
+        timings["query_p50_warm"] = statistics.median(
+            min(v) for v in warm_by_q)
         reader.close()
 
         postings = postings_sql(docs, "doc_id", "text")
@@ -167,13 +167,14 @@ def main():
         big.count()
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "512")  # > n_shards
-        # four runs, min reported: the first big build in a process pays
+        # five runs, min reported: the first big build in a process pays
         # JIT/codegen warm-up and every run is exposed to host-contention
-        # spikes (observed 4× run-to-run swings on the shared VM; a quiet
-        # run measures 5.9-7.9 s at 100k). The min is the honest steady-
-        # state figure (BENCH.md records the control experiments).
+        # spikes (observed up to 10× run-to-run swings on the shared VM —
+        # 70.5 → 7.5 s within one invocation; a quiet run measures
+        # 5.8-7.9 s at 100k). The min is the honest steady-state figure
+        # (BENCH.md records the control experiments).
         runs = []
-        for i in range(4):
+        for i in range(5):
             t0 = time.time()
             spimi.build_index(spark, big, f"{work}/idx{i}", n_shards=128)
             runs.append(time.time() - t0)

@@ -9,6 +9,17 @@ Runs the engine's headline operations at $SPARK_GRAFT_SF_DIR (default
 - exact_batch:   exact (non-index) DataFrame BM25 for the same batch
 - tokens_agg:    analyzer+postings aggregation throughput
 
+Robustness to host CPU steal (the shared VM shows ±25% to 4× run-to-run
+swings — BENCH.md control tables): every metric is measured with
+``_measure`` — min-of-N passes where each pass reads /proc/stat steal
+ticks before/after; a pass whose steal fraction exceeds STEAL_MAX of CPU
+capacity is marked dirty, the min is taken over CLEAN passes when any
+exist, and up to MAX_EXTRA bonus passes run when ALL scheduled passes
+were dirty. Discard/extra counts are reported in the output JSON
+(``steal_dirty_passes`` / ``steal_extra_passes``) so a noisy-window run
+is self-describing. The box shows a ~1-2% steal baseline even when
+quiet, hence a fractional threshold rather than a zero-delta test.
+
 Scaling-efficiency evidence (N vs 4N parallelism) lives in
 tools/bench_scaling.py → BENCH.md, since it needs two JVMs.
 """
@@ -39,6 +50,48 @@ QUERIES = [
     (5, "hash aggregate scan"),
 ]
 
+STEAL_MAX = 0.05  # dirty = steal > 5% of machine CPU capacity during pass
+_NCPU = os.cpu_count() or 1
+_COUNTS = {"dirty": 0, "extra": 0}
+
+
+def _steal_ticks() -> int:
+    """Cumulative steal jiffies across all CPUs; -1 if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu user nice sys idle iowait irq sirq STEAL
+    except Exception:
+        return -1
+
+
+def _measure(fn, passes: int, max_extra: int = 2) -> float:
+    """min-of-N with steal gating (module docstring). fn() runs one pass."""
+    results: list[tuple[float, bool]] = []
+    i = 0
+    while True:
+        s0 = _steal_ticks()
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        s1 = _steal_ticks()
+        dirty = False
+        if s0 >= 0 and s1 >= s0 and dt > 0:
+            frac = ((s1 - s0) / 100.0) / (dt * _NCPU)
+            dirty = frac > STEAL_MAX
+        if dirty:
+            _COUNTS["dirty"] += 1
+        results.append((dt, dirty))
+        i += 1
+        if i < passes:
+            continue
+        if all(d for _, d in results) and (i - passes) < max_extra:
+            _COUNTS["extra"] += 1
+            continue
+        break
+    clean = [dt for dt, d in results if not d]
+    return min(clean) if clean else min(dt for dt, _ in results)
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,77 +101,61 @@ def main():
     n_docs = docs.count()
     timings: dict[str, float] = {}
 
-    # min-of-N for every sub-minute metric: the shared VM shows ±25% (up to
-    # 4×) run-to-run swings from host CPU steal (BENCH.md control tables);
-    # the min is the honest steady-state figure, the same methodology the
-    # 100k build has used since round 2. First runs additionally pay
-    # JIT/codegen warm-up.
     idx_dir = tempfile.mkdtemp(prefix="gz_bench_idx_")
     try:
-        build_runs = []
-        for i in range(2):
-            d = f"{idx_dir}/b{i}"
-            t0 = time.time()
+        # build runs keep distinct output dirs; the first serves queries
+        built = {"i": 0}
+
+        def build_pass():
+            d = f"{idx_dir}/b{built['i']}"
             spimi.build_index(spark, docs, d, n_shards=int(cpus),
                               id_col="doc_id", content_col="text")
-            build_runs.append(time.time() - t0)
-            if i == 0:
-                keep = d  # queries below run against the first build
-            else:
+            if built["i"] > 0:
                 shutil.rmtree(d, ignore_errors=True)
-        timings["index_build"] = min(build_runs)
+            built["i"] += 1
+
+        timings["index_build"] = _measure(build_pass, passes=2)
+        keep = f"{idx_dir}/b0"
         files_per_sec = n_docs / timings["index_build"]
 
         # warm (JIT/code cache) then measure the batch as one job
         wand.topk(spark, keep, QUERIES[:1], k=10).collect()
-        wb = []
-        for _ in range(3):
-            t0 = time.time()
-            wand.topk(spark, keep, QUERIES, k=10).collect()
-            wb.append(time.time() - t0)
-        timings["wand_batch"] = min(wb)
+        timings["wand_batch"] = _measure(
+            lambda: wand.topk(spark, keep, QUERIES, k=10).collect(), passes=4
+        )
 
-        # per-query MIN across passes, then the median across queries: a
-        # steal burst during one pass can't poison the metric as long as
-        # each query sees ONE quiet measurement somewhere
-        lat_by_q = [[] for _ in QUERIES]
-        for _ in range(2):
-            for i, q in enumerate(QUERIES):
-                t0 = time.time()
-                wand.topk(spark, keep, [q], k=10).collect()
-                lat_by_q[i].append(time.time() - t0)
-        timings["query_p50"] = statistics.median(min(v) for v in lat_by_q)
+        # per-query steal-gated MIN across passes, then the median across
+        # queries: a steal burst during one pass can't poison the metric as
+        # long as each query sees ONE clean measurement somewhere
+        lat = [
+            _measure(lambda q=q: wand.topk(spark, keep, [q], k=10).collect(),
+                     passes=3)
+            for q in QUERIES
+        ]
+        timings["query_p50"] = statistics.median(lat)
 
         # warm serving path: segments + termstats pinned in memory, term-df
         # driver cache populated by a first pass — steady-state latency
         reader = wand.IndexReader(spark, keep)
         for q in QUERIES:
             reader.topk([q], k=10).collect()
-        warm_by_q = [[] for _ in QUERIES]
-        for _ in range(3):
-            for i, q in enumerate(QUERIES):
-                t0 = time.time()
-                reader.topk([q], k=10).collect()
-                warm_by_q[i].append(time.time() - t0)
-        timings["query_p50_warm"] = statistics.median(
-            min(v) for v in warm_by_q)
+        warm = [
+            _measure(lambda q=q: reader.topk([q], k=10).collect(), passes=4)
+            for q in QUERIES
+        ]
+        timings["query_p50_warm"] = statistics.median(warm)
         reader.close()
 
         postings = postings_sql(docs, "doc_id", "text")
         ds = doc_stats(postings)
-        eb = []
-        for _ in range(3):
-            t0 = time.time()
-            score_queries(spark, postings, ds, QUERIES, k=10).collect()
-            eb.append(time.time() - t0)
-        timings["exact_batch"] = min(eb)
+        timings["exact_batch"] = _measure(
+            lambda: score_queries(spark, postings, ds, QUERIES, k=10).collect(),
+            passes=4,
+        )
 
-        ta = []
-        for _ in range(2):
-            t0 = time.time()
-            postings.groupBy("term").count().count()
-            ta.append(time.time() - t0)
-        timings["tokens_agg"] = min(ta)
+        timings["tokens_agg"] = _measure(
+            lambda: postings.groupBy("term").count().count(), passes=3
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -128,25 +165,33 @@ def main():
 
     pos_dir = tempfile.mkdtemp(prefix="gz_bench_pos_")
     try:
-        t0 = time.time()
-        spimi.build_index(spark, docs, pos_dir, n_shards=int(cpus),
-                          id_col="doc_id", content_col="text",
-                          positions=True)
-        timings["index_build_pos"] = time.time() - t0
-        phrase.phrase_match_batch(spark, pos_dir, [(0, "key order")]).collect()
-        pb = []
-        for _ in range(2):
-            t0 = time.time()
+        pbuilt = {"i": 0}
+
+        def pos_build_pass():
+            d = f"{pos_dir}/p{pbuilt['i']}"
+            spimi.build_index(spark, docs, d, n_shards=int(cpus),
+                              id_col="doc_id", content_col="text",
+                              positions=True)
+            if pbuilt["i"] > 0:
+                shutil.rmtree(d, ignore_errors=True)
+            pbuilt["i"] += 1
+
+        timings["index_build_pos"] = _measure(pos_build_pass, passes=2)
+        pos_keep = f"{pos_dir}/p0"
+        phrase.phrase_match_batch(
+            spark, pos_keep, [(0, "key order")]).collect()
+
+        def phrase_pass():
             phrase.phrase_match_batch(
-                spark, pos_dir,
+                spark, pos_keep,
                 [(0, "key order"), (1, "sort by"), (2, "group by")],
             ).collect()
             phrase.near_match_n_batch(
-                spark, pos_dir, [(0, ["key", "order"]), (1, ["sort", "by"])],
+                spark, pos_keep, [(0, ["key", "order"]), (1, ["sort", "by"])],
                 k=4,
             ).collect()
-            pb.append(time.time() - t0)
-        timings["phrase_batch"] = min(pb)
+
+        timings["phrase_batch"] = _measure(phrase_pass, passes=3)
     finally:
         shutil.rmtree(pos_dir, ignore_errors=True)
 
@@ -167,20 +212,25 @@ def main():
         big.count()
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "512")  # > n_shards
-        # five runs, min reported: the first big build in a process pays
-        # JIT/codegen warm-up and every run is exposed to host-contention
-        # spikes (observed up to 10× run-to-run swings on the shared VM —
-        # 70.5 → 7.5 s within one invocation; a quiet run measures
-        # 5.8-7.9 s at 100k). The min is the honest steady-state figure
-        # (BENCH.md records the control experiments).
-        runs = []
-        for i in range(5):
+        # five steal-gated runs, clean-preferred min: the first big build in
+        # a process pays JIT/codegen warm-up and every run is exposed to
+        # host-contention spikes (observed up to 10× run-to-run swings on
+        # the shared VM — 70.5 → 7.5 s within one invocation; a quiet run
+        # measures 5.8-7.9 s at 100k). No bonus passes — each run is tens of
+        # seconds; five scheduled runs already ride out a steal burst.
+        big_runs: list[float] = []
+        bi = {"i": 0}
+
+        def big_pass():
+            d = f"{work}/idx{bi['i']}"
             t0 = time.time()
-            spimi.build_index(spark, big, f"{work}/idx{i}", n_shards=128)
-            runs.append(time.time() - t0)
-            shutil.rmtree(f"{work}/idx{i}", ignore_errors=True)
-        timings["index_build_100k"] = min(runs)
-        big_runs = [round(r, 3) for r in runs]
+            spimi.build_index(spark, big, d, n_shards=128)
+            big_runs.append(round(time.time() - t0, 3))
+            shutil.rmtree(d, ignore_errors=True)
+            bi["i"] += 1
+
+        timings["index_build_100k"] = _measure(big_pass, passes=5,
+                                               max_extra=0)
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         files_per_sec_big = n_big / timings["index_build_100k"]
     finally:
@@ -201,6 +251,8 @@ def main():
                 "index_build_100k_runs": big_runs,
                 "query_p50_sec": round(timings["query_p50"], 3),
                 "query_p50_warm_sec": round(timings["query_p50_warm"], 3),
+                "steal_dirty_passes": _COUNTS["dirty"],
+                "steal_extra_passes": _COUNTS["extra"],
                 "cpus": int(cpus),
             }
         )

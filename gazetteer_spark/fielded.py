@@ -770,8 +770,18 @@ def fielded_near_match(
 
     params, seg = _fielded_positional(spark, index_dir, field, seg)
     tokenize = get_analyzer(params.get("analyzer", "default")).py_tokenize
-    ta, tb = (tokenize(term_a) or [""])[0], (tokenize(term_b) or [""])[0]
-    if not ta or not tb or ta == tb:
+    toks_a, toks_b = tokenize(term_a), tokenize(term_b)
+    # the pairwise NEAR takes exactly one analyzed token per side — silently
+    # matching only the first token of a multi-token input would answer a
+    # narrower question than asked (use fielded_near_match_n for multi-term)
+    for raw, toks in ((term_a, toks_a), (term_b, toks_b)):
+        if len(toks) != 1:
+            raise ValueError(
+                f"NEAR term {raw!r} analyzes to {toks} (need exactly one "
+                "token; use fielded_near_match_n for multi-term proximity)"
+            )
+    ta, tb = toks_a[0], toks_b[0]
+    if ta == tb:
         raise ValueError("NEAR needs two distinct non-empty analyzed terms")
     ca, cb = field + FIELD_SEP + ta, field + FIELD_SEP + tb
     return phrase_mod._relevant_rows(seg, [ca, cb]).groupBy("shard").applyInPandas(

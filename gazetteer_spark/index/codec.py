@@ -27,6 +27,12 @@ import numpy as np
 
 BLOCK = 128
 
+# positions are in-document token indexes; 2^21 (2M tokens/doc) leaves 2^42
+# doc ranks per shard in the ``rank*MAXPOS + pos`` packed keys the
+# phrase/NEAR executors use — both far beyond any real segment. Enforced at
+# encode time: a position ≥ MAXPOS would silently alias packed keys.
+MAXPOS = 1 << 21
+
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 _BLOCK_DT = np.dtype(
@@ -216,6 +222,14 @@ def encode_positions_grouped(
     if n == 0:
         return [b""] * nlists
     p = positions.astype(np.uint64, copy=False)
+    pmax = int(p.max())
+    if pmax >= MAXPOS:
+        raise ValueError(
+            f"token position {pmax} >= MAXPOS ({MAXPOS}): a document has "
+            "≥ 2^21 analyzed tokens, which would alias the packed "
+            "rank*MAXPOS+pos keys at query time — split oversized "
+            "documents before positional indexing"
+        )
     t = np.asarray(tfs, np.int64)
     deltas = np.empty(n, dtype=np.uint64)
     deltas[1:] = p[1:] - p[:-1]  # wraps at run boundaries, overwritten next

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import get_analyzer
 from .codec import (
+    MAXPOS,  # noqa: F401 — packed-key base; guarded at encode time in codec
     DelIndex,
     decode_block_meta,
     decode_blocks,
@@ -43,10 +44,6 @@ from .codec import (
     decode_postings,
     gather_runs,
 )
-
-# positions are in-document token indexes; 2^21 (2M tokens/doc) leaves
-# 2^42 doc ranks per shard — both far beyond any real segment
-MAXPOS = 1 << 21
 
 _EMPTY = (
     np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)

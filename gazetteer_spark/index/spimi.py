@@ -708,36 +708,50 @@ def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
     os.replace(tmp, f"{out_dir}/stats.json")
 
 
-def last_stream_commit(out_dir: str, stream_id: str) -> tuple[int | None, set[str]]:
+def last_stream_commit(
+    out_dir: str, stream_id: str
+) -> tuple[int | None, set[str], dict[tuple[int, str], str]]:
     """(newest applied batch_id for this stream, the batch_steps committed
-    at that batch) read from the manifest — the streaming sinks' idempotence
-    check. (None, set()) if the stream has never committed. Driver-side
-    metadata I/O only (one tiny parquet footer+read per commit batch)."""
+    at that batch, committed content fingerprints by (batch_id, step)) read
+    from the manifest — the streaming sinks' idempotence check plus the
+    replay-verification evidence (streaming._check_replay_fp). (None,
+    set(), {}) if the stream has never committed. Driver-side metadata I/O
+    only (one tiny parquet footer+read per commit batch)."""
     man = f"{out_dir}/manifest"
     if not os.path.isdir(man):
-        return None, set()
+        return None, set(), {}
     import pyarrow.parquet as pq
 
     best: int | None = None
     steps: set[str] = set()
+    fps: dict[tuple[int, str], str] = {}
     for name in sorted(os.listdir(man)):
         if not name.endswith(".parquet"):
             continue
         path = f"{man}/{name}"
-        if "batch_id" not in pq.read_schema(path).names:
+        names = pq.read_schema(path).names
+        if "batch_id" not in names:
             continue  # commit from before batch markers existed
-        t = pq.read_table(path, columns=["stream_id", "batch_id", "batch_step"])
-        for sid, bid, step in zip(
+        has_fp = "batch_fp" in names
+        cols = ["stream_id", "batch_id", "batch_step"] + (
+            ["batch_fp"] if has_fp else []
+        )
+        t = pq.read_table(path, columns=cols)
+        fp_col = (t["batch_fp"].to_pylist() if has_fp
+                  else [""] * len(t))
+        for sid, bid, step, fp in zip(
             t["stream_id"].to_pylist(), t["batch_id"].to_pylist(),
-            t["batch_step"].to_pylist(),
+            t["batch_step"].to_pylist(), fp_col,
         ):
             if sid != stream_id or bid is None or bid < 0:
                 continue
+            if fp:
+                fps[(bid, step)] = fp
             if best is None or bid > best:
                 best, steps = bid, set()
             if bid == best:
                 steps.add(step)
-    return best, steps
+    return best, steps, fps
 
 
 def committed_generations(out_dir: str) -> set[int]:
@@ -780,7 +794,7 @@ def _commit_manifest(
     import pyarrow.parquet as pq
 
     marker = {"stream_id": "", "batch_id": -1, "batch_step": "",
-              **(extra or {})}
+              "batch_fp": "", **(extra or {})}
     with open(f"{out_dir}/build.json") as f:
         analyzer_version = json.load(f).get("analyzer_version", ANALYZER_VERSION)
     recs = []
@@ -799,6 +813,7 @@ def _commit_manifest(
         m["stream_id"] = str(marker["stream_id"])
         m["batch_id"] = int(marker["batch_id"])
         m["batch_step"] = str(marker["batch_step"])
+        m["batch_fp"] = str(marker["batch_fp"])
         recs.append(m)
     table = pa.Table.from_pylist(recs)
     os.makedirs(f"{out_dir}/manifest", exist_ok=True)

@@ -171,9 +171,6 @@ def jaccard_pairs(
     )
 
 
-_LAST_CANDS: DataFrame | None = None
-
-
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, content_col: str, threshold: float = 0.8
 ) -> DataFrame:
@@ -182,17 +179,16 @@ def minhash_dedup_pairs(
     below the pair join + the exact pair-level semi), and recomputing the
     LSH band join would double the candidate-generation cost.
 
-    Cache lifetime: each call releases the PREVIOUS call's candidate cache
-    (repeated dedup passes in a long-lived session hold at most one), and
-    the handle rides on the returned DataFrame as ``_lsh_candidates`` so a
-    caller can ``unpersist()`` eagerly after materializing."""
-    global _LAST_CANDS
+    Cache lifetime is scoped to the RETURNED handle only: the candidate
+    DataFrame rides on it as ``_lsh_candidates`` — callers that materialize
+    the result should ``out._lsh_candidates.unpersist()`` to release
+    executor memory eagerly; otherwise Spark's ContextCleaner frees the
+    cache when the handle is garbage-collected. No module-global lifetime:
+    an earlier call's lazily-consumed result can never have its cache
+    yanked by a later call, and concurrent callers are safe."""
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, content_col)
     ).persist()
-    if _LAST_CANDS is not None:
-        _LAST_CANDS.unpersist()
-    _LAST_CANDS = cands
     out = jaccard_pairs(df, id_col, content_col, threshold, candidates=cands)
     out._lsh_candidates = cands
     return out

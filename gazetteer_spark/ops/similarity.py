@@ -582,8 +582,9 @@ def lsh_topk_layout_batch(
                   if bin(b ^ qb).count("1") <= max_hamming]
         all_buckets.update(probes)
         probe_rows += [(int(qid), int(b)) for b in probes]
+        excl = exclude_ids.get(qid)
         qrows.append((int(qid), [float(x) for x in vec],
-                      int(exclude_ids.get(qid, -1))))
+                      None if excl is None else int(excl)))
     probes_df = spark.createDataFrame(probe_rows, "query_id int, bucket int")
     qdf = spark.createDataFrame(
         qrows, "query_id int, qvec array<double>, excl long"
@@ -593,7 +594,9 @@ def lsh_topk_layout_batch(
         .filter(F.col("bucket").isin(sorted(all_buckets)))
         .join(F.broadcast(probes_df), "bucket")
         .join(F.broadcast(qdf), "query_id")
-        .filter(F.col("vec_id") != F.col("excl"))
+        # NULL excl = no exclusion — coalesce keeps every vec_id (a plain
+        # != against a -1 sentinel would drop a legitimate vec_id of -1)
+        .filter(F.coalesce(F.col("vec_id") != F.col("excl"), F.lit(True)))
         .select(
             "query_id", "vec_id",
             F.round(cosine_expr(F.col("embedding"), F.col("qvec")),
@@ -627,8 +630,9 @@ def ivf_topk_layout_batch(
                   np.argsort(-(cents @ qn), kind="stable")[:n_probe]]
         all_lists.update(probes)
         probe_rows += [(int(qid), p) for p in probes]
+        excl = exclude_ids.get(qid)
         qrows.append((int(qid), [float(x) for x in vec],
-                      int(exclude_ids.get(qid, -1))))
+                      None if excl is None else int(excl)))
     probes_df = spark.createDataFrame(probe_rows, "query_id int, list_id int")
     qdf = spark.createDataFrame(
         qrows, "query_id int, qvec array<double>, excl long"
@@ -638,7 +642,8 @@ def ivf_topk_layout_batch(
         .filter(F.col("list_id").isin(sorted(all_lists)))
         .join(F.broadcast(probes_df), "list_id")
         .join(F.broadcast(qdf), "query_id")
-        .filter(F.col("vec_id") != F.col("excl"))
+        # NULL excl = no exclusion (see lsh_topk_layout_batch)
+        .filter(F.coalesce(F.col("vec_id") != F.col("excl"), F.lit(True)))
         .select(
             "query_id", "vec_id",
             F.round(cosine_expr(F.col("embedding"), F.col("qvec")),

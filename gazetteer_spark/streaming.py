@@ -33,6 +33,7 @@ import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .index import spimi
@@ -45,18 +46,77 @@ def _stream_id(checkpoint_dir: str) -> str:
     monotonically increasing per checkpoint; a NEW checkpoint writing into
     the same index restarts at 0 and must not be confused with the old).
 
-    CAVEAT: the identity is the PATH — deleting a checkpoint and starting a
-    genuinely new stream (different source) at the same path into the same
-    index makes its early batch_ids look like replays and they are skipped.
-    Every marker-skip is therefore logged loudly (see _warn_skip); use a
-    fresh checkpoint path per logical stream."""
+    The identity is deliberately the PATH, so that losing the checkpoint
+    and re-running the SAME source converges (replayed batches are skipped
+    via the manifest markers — the exactly-once recovery path). The
+    hazardous twin — a genuinely NEW stream reusing an old checkpoint path,
+    whose early batch_ids would look like replays — is caught by CONTENT,
+    not identity: each committed batch marker records an order-insensitive
+    fingerprint of the batch rows (see _batch_fp), and a would-be skip
+    whose incoming fingerprint differs from the recorded one raises
+    instead of skipping. Silent data loss becomes a loud error; identical
+    replays still converge."""
     return hashlib.sha256(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:16]
 
 
+def _batch_fp(batch_df: DataFrame) -> str:
+    """Order-insensitive fingerprint of a micro-batch: sum of bounded
+    per-row xxhash64 over ALL columns (cast to string) plus the row count.
+    Partition- and order-independent (sum is commutative), deterministic,
+    and overflow-safe (each row hash is reduced mod 2^31-1 first, so the
+    sum stays far below int64 for any realistic batch). One narrow
+    aggregation per micro-batch — trivial next to the index build."""
+    prime = (1 << 31) - 1
+    cols = [F.col(c).cast("string") for c in batch_df.columns]
+    row = batch_df.select(
+        F.sum(F.pmod(F.xxhash64(*cols, F.lit("gz_batch_fp")),
+                     F.lit(prime))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return f"{int(row['s'] or 0) % prime}:{int(row['n'])}"
+
+
+def _check_replay_fp(
+    out_dir: str, sid: str, batch_id: int, step: str,
+    fps: dict[tuple[int, str], str], batch_df: DataFrame,
+) -> None:
+    """A batch is about to be skipped as an exactly-once replay — verify it
+    IS one. Raises if the recorded fingerprint for (batch_id, step) exists
+    and differs from the incoming batch's: that means a NEW stream is
+    reusing an old checkpoint path and its data would be silently dropped.
+    Markers from before fingerprints existed (no fp recorded) skip with
+    the warning only, as before."""
+    expected = fps.get((batch_id, step), "")
+    if not expected:
+        return
+    actual = _batch_fp(batch_df)
+    if actual != expected:
+        raise ValueError(
+            f"index {out_dir}: stream {sid} batch {batch_id} looks like a "
+            f"replay (manifest already records step {step!r}) but its "
+            f"content fingerprint {actual} differs from the committed "
+            f"{expected}. A NEW stream is reusing an old checkpoint path — "
+            "its data would be silently dropped. Use a fresh checkpoint "
+            "location (and a fresh index, or CDC upserts) for a new "
+            "logical stream."
+        )
+
+
+# (out_dir, stream_id) pairs that already produced a WARNING-level skip
+# message — replays of already-committed batches are the NORMAL exactly-once
+# recovery path after a restart, so repeats drop to INFO to keep the one
+# genuinely suspicious case (first skip seen for a stream) loud.
+_WARNED_SKIPS: set[tuple[str, str]] = set()
+
+
 def _warn_skip(out_dir: str, sid: str, batch_id: int, last: int) -> None:
-    log.warning(
+    key = (out_dir, sid)
+    level = logging.INFO if key in _WARNED_SKIPS else logging.WARNING
+    _WARNED_SKIPS.add(key)
+    log.log(
+        level,
         "index %s: stream %s batch %d skipped — manifest already records "
         "batch %d for this stream id (exactly-once replay dedup). If this "
         "is a NEW stream reusing an old checkpoint path, its data is NOT "
@@ -93,13 +153,17 @@ def index_stream(
     sid = _stream_id(checkpoint_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        last, _ = spimi.last_stream_commit(out_dir, sid)
+        last, _, fps = spimi.last_stream_commit(out_dir, sid)
         if last is not None and batch_id <= last:
+            # replay of an already-committed batch — but verify it IS one
+            # (raises if a new stream is reusing this checkpoint path)
+            _check_replay_fp(out_dir, sid, batch_id, "add", fps, batch_df)
             _warn_skip(out_dir, sid, batch_id, last)
-            return  # replay of an already-committed batch
+            return
         if batch_df.isEmpty():
             return
-        extra = {"stream_id": sid, "batch_id": batch_id, "batch_step": "add"}
+        extra = {"stream_id": sid, "batch_id": batch_id,
+                 "batch_step": "add", "batch_fp": _batch_fp(batch_df)}
         fresh = not os.path.exists(f"{out_dir}/build.json")
         if fields is not None:
             from . import fielded
@@ -171,11 +235,26 @@ def index_cdc_stream(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         import pyspark.sql.functions as F
 
-        last, steps = spimi.last_stream_commit(out_dir, sid)
+        last, steps, fps = spimi.last_stream_commit(out_dir, sid)
+
+        def verify_replay(candidate_steps):
+            # both steps record the SAME whole-batch fingerprint; checking
+            # the first recorded one suffices (raises on mismatch)
+            for st in candidate_steps:
+                if (batch_id, st) in fps:
+                    _check_replay_fp(out_dir, sid, batch_id, st, fps,
+                                     batch_df)
+                    return
+
         if last is not None and batch_id < last:
+            verify_replay(("add", "del"))
             _warn_skip(out_dir, sid, batch_id, last)
             return
         done = steps if (last is not None and batch_id == last) else set()
+        if done:
+            verify_replay([st for st in ("add", "del") if st in done])
+        fp = _batch_fp(batch_df) if ("add" not in done or "del" not in done) \
+            else ""
 
         # del runs only if this batch's add step hasn't committed yet: steps
         # commit del→add, so an already-committed add means the del step
@@ -192,13 +271,13 @@ def index_cdc_stream(
                 spimi.delete_documents_df(
                     spark, removes, out_dir,
                     manifest_extra={"stream_id": sid, "batch_id": batch_id,
-                                    "batch_step": "del"},
+                                    "batch_step": "del", "batch_fp": fp},
                 )
         if "add" not in done:
             adds = batch_df.filter(F.col(action_col) == "add").drop(action_col)
             if not adds.isEmpty():
                 extra = {"stream_id": sid, "batch_id": batch_id,
-                         "batch_step": "add"}
+                         "batch_step": "add", "batch_fp": fp}
                 fresh = not os.path.exists(f"{out_dir}/build.json")
                 if fields is not None:
                     from . import fielded

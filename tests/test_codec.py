@@ -123,3 +123,23 @@ def test_grouped_encode_equals_per_list():
         assert p == p1 and m == m1
         d, t = decode_postings(p)
         assert d.tolist() == ids.tolist() and t.tolist() == tfs.tolist()
+
+
+def test_positions_encode_rejects_maxpos_overflow():
+    """A document with ≥ 2^21 analyzed tokens must be rejected at positional
+    encode time — silently encoding it would alias the packed
+    rank*MAXPOS+pos keys the phrase/NEAR executors rely on."""
+    from gazetteer_spark.index.codec import MAXPOS, encode_positions_grouped
+
+    positions = np.array([0, 5, MAXPOS], dtype=np.int64)  # one run of 3
+    tfs = np.array([3], dtype=np.int64)
+    with pytest.raises(ValueError, match="MAXPOS"):
+        encode_positions_grouped(
+            positions, tfs, np.array([0], np.int64), np.array([1], np.int64)
+        )
+    # one below the cap encodes fine
+    ok = encode_positions_grouped(
+        np.array([0, 5, MAXPOS - 1], dtype=np.int64), tfs,
+        np.array([0], np.int64), np.array([1], np.int64)
+    )
+    assert len(ok) == 1 and len(ok[0]) > 0

@@ -427,3 +427,14 @@ def test_fielded_maxscore_equals_exhaustive_property(docs, boosts, qterms, k):
         key=lambda x: (-x[0], x[1]),
     )[:k]
     assert got == expect, (rows, boosts, qterms, k)
+
+
+def test_fielded_near_rejects_multi_token_terms(spark, fidx):
+    """The pairwise NEAR takes exactly one analyzed token per side —
+    silently matching only the FIRST token of a multi-token input (e.g.
+    'sortKey' → ['sort', 'key']) would answer a narrower question than
+    asked; the API raises and points at fielded_near_match_n instead."""
+    with pytest.raises(ValueError, match="exactly one"):
+        fielded.fielded_near_match(spark, fidx, "body", "sortKey", "order")
+    with pytest.raises(ValueError, match="exactly one"):
+        fielded.fielded_near_match(spark, fidx, "body", "key", "hashTable")

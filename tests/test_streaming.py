@@ -407,3 +407,58 @@ def test_streaming_cdc_fielded(spark, documents, tmp_path_factory):
     want = fielded.fielded_topk(spark, ref, queries, k=10) \
         .orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+
+def test_streaming_checkpoint_reuse_with_new_data_detected(
+    spark, documents, tmp_path_factory
+):
+    """A NEW logical stream reusing an OLD checkpoint path with different
+    data must fail loudly, not skip silently: every committed batch marker
+    records a content fingerprint, and a would-be replay skip whose
+    incoming fingerprint differs raises. (The identical-replay twin —
+    checkpoint wiped, SAME source — must still converge silently:
+    test_streaming_replay_is_idempotent.) Re-ingesting under a fresh
+    identity instead would duplicate postings and corrupt df/idf, so the
+    engine refuses and names the remediation."""
+    import shutil
+
+    import pytest
+
+    from gazetteer_spark import streaming
+    from gazetteer_spark.index import spimi
+
+    work = tmp_path_factory.mktemp("stream_fp")
+    src1, src2 = str(work / "src1"), str(work / "src2")
+    (documents.filter(F.col("doc_id") < 200)
+     .coalesce(1).write.parquet(f"{src1}/b0"))
+    (documents.filter(F.col("doc_id") >= 200)
+     .coalesce(1).write.parquet(f"{src2}/b0"))
+    idx, ckpt = str(work / "idx"), str(work / "ckpt")
+
+    def run(src):
+        stream = (
+            spark.readStream.schema(documents.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return streaming.index_stream(
+            spark, stream, idx, ckpt,
+            id_col="doc_id", content_col="text", n_shards=4,
+        )
+
+    run(src1).awaitTermination()
+    man1 = sorted(
+        (r["generation"], r["shard"], r["checksum"])
+        for r in spimi.load_manifest(spark, idx).collect()
+    )
+    # operator mistake: delete the checkpoint, point a DIFFERENT source at
+    # the same path+index — its batch 0 collides with the committed batch 0
+    shutil.rmtree(ckpt)
+    with pytest.raises(Exception, match="fingerprint"):
+        run(src2).awaitTermination()
+    man2 = sorted(
+        (r["generation"], r["shard"], r["checksum"])
+        for r in spimi.load_manifest(spark, idx).collect()
+    )
+    assert man1 == man2  # nothing from the mismatched batch was committed

@@ -172,6 +172,17 @@ def q_ft_boolean_and_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_bm25_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the TERM-partitioned layout (bucket partition
+    pruning + term min/max pruning; doclens resolved term-side at layout
+    build) — must be rank-identical to the doc-sharded WAND path, the exact
+    scorer, and the DuckDB oracle. The 10^12-doc point-query path: touches
+    O(query terms) buckets, not all doc shards."""
+    return termindex.bm25_topk(
+        spark, _layout_dir(spark, sf_dir), FT_QUERIES, k=10
+    )
+
+
 def q_ft_wand_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive retrieval + exact BM25 rank over the index: docs holding
     EVERY query term, candidate intersection with block-selective decode."""
@@ -366,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
+        "ft_bm25_via_termindex": q_ft_bm25_via_termindex,
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_near_via_index": q_ft_near_via_index,
@@ -622,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         " SELECT count(*) AS n_docs, round(avg(doclen), 6) AS avgdl FROM ds",
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
+        "ft_bm25_via_termindex": bm25,
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_phrase_via_index": _oracle_phrase(),

@@ -1,23 +1,37 @@
-"""Term-partitioned secondary layout: analytical term scans + index-backed
-boolean retrieval.
+"""Term-partitioned secondary layout: analytical term scans, index-backed
+boolean retrieval, and BM25 top-k served from O(query terms) buckets.
 
 The primary index is DOC-sharded (spimi.py) — ideal for scoring, wrong for
-term-centric analytics (a term's postings are spread over every shard and
-generation). This module materializes the orthogonal layout the backlog
-calls the "salted term-hash merge as a materialized table": one row per
-term holding its fully-merged posting list, hash-partitioned into
-``bucket = xxhash64(term) % n_buckets`` parquet partitions.
+term-centric access (a term's postings are spread over every shard and
+generation). This module materializes the orthogonal layout the reference
+keeps as sorted per-key side indexes for point lookups
+(`utils/index/MMapBBIndex.java:27-54`, the `BinaryIndex` probe pattern):
+one row per term holding its fully-merged posting list, hash-partitioned
+into ``bucket = xxhash64(term) % n_buckets`` parquet partitions.
 
-Scale shape: the build is ONE shuffle of already-compressed posting bytes
-(grouped by term-hash bucket, NOT by raw term — the per-bucket reducer
-handles many terms vectorized, so a hot term never owns a reduce task by
-itself beyond its own bytes); merge is decode → concat → argsort → re-encode
-in numpy. Readers prune by partition (bucket) AND parquet min/max on term,
-so a lookup of k terms touches ≤ k buckets' row groups.
+Scale shape of the build: a map stage grouped by SHARD resolves each
+posting's doclen from the shard's own doc table (doclens stay shard-local —
+no doclen shuffle, no per-task memory beyond one shard), then ONE shuffle
+of already-compressed posting bytes grouped by term-hash bucket (NOT by raw
+term — the per-bucket reducer handles many terms vectorized, so a hot term
+never owns a reduce task by itself beyond its own bytes); merge is decode →
+concat → argsort → re-encode in numpy. Readers prune by partition (bucket)
+AND parquet min/max on term, so a lookup of k terms touches ≤ k buckets'
+row groups — query cost scales with the QUERY's terms, not the corpus's
+shards.
+
+Doclens ride term-side (a plain varbyte stream aligned with the posting
+order) so BM25 scoring from this layout needs no doclen join at query
+time; block metadata (max_tf/min_dl) is re-derived at merge, enabling
+bound-based pruning later. Fielded (BM25F) source indexes have no
+single-doc doclen — their layouts build without the doclen stream and
+serve term scans / boolean AND only.
 
 Tombstones: committed 'dels' generations are applied during the merge
 (df/cf recomputed from surviving postings), so the layout is an exact
-snapshot of the visible corpus at build time.
+snapshot of the visible corpus at build time; serving checks the snapshot
+is not STALE (new posting generations in the source index) like the fuzzy
+layout does.
 """
 
 from __future__ import annotations
@@ -29,17 +43,58 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
-from .codec import DelIndex, decode_postings, encode_postings
+from .. import B, K1
+from .codec import (
+    DelIndex,
+    _varbyte_decode,
+    _varbyte_encode,
+    decode_postings,
+    encode_postings,
+)
 
-TERM_LAYOUT_SCHEMA = "bucket int, term string, df long, cf long, postings binary"
+TERM_LAYOUT_SCHEMA = (
+    "bucket int, term string, df long, cf long, "
+    "postings binary, blockmeta binary, doclens binary"
+)
+
+STAGE1_SCHEMA = (
+    "kind string, term string, gen int, postings binary, doclens binary"
+)
 
 
 def term_bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+def _resolve_doclens_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One SHARD's committed rows → its post rows with a per-posting doclen
+    stream resolved from the shard's own doc tables (latest generation
+    wins, matching wand._doc_meta). Map-stage: posting bytes pass through
+    untouched; per-task memory is one shard's doc table."""
+    from .wand import _doc_meta
+
+    docs_rows = pdf[pdf["kind"] == "docs"]
+    posts = pdf[pdf["kind"] == "post"]
+    cols = ["kind", "term", "gen", "postings", "doclens"]
+    if posts.empty or docs_rows.empty:
+        return pd.DataFrame(columns=cols).astype({"gen": "int32"})
+    all_ids, all_lens = _doc_meta(docs_rows)
+    has_gen = "gen" in pdf.columns
+    out = []
+    for r in posts.itertuples():
+        ids, _ = decode_postings(r.postings)
+        dls = all_lens[np.searchsorted(all_ids, ids)]
+        out.append((
+            "post", r.term, int(r.gen) if has_gen else 0, r.postings,
+            _varbyte_encode(dls.astype(np.uint64)),
+        ))
+    res = pd.DataFrame(out, columns=cols)
+    return res.astype({"gen": "int32"})
+
+
+def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
     """One bucket's segment rows → one merged row per term. Tombstones are
     generation-ordered (a del masks only older generations — see
     codec.DelIndex), so re-added docids keep their newest postings."""
@@ -52,21 +107,28 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         parts = []
         for r in grp.itertuples():  # mask per generation, then merge
             ids, tfs = decode_postings(r.postings)
+            dls = (_varbyte_decode(r.doclens).astype(np.int64)
+                   if with_doclens else np.ones(len(ids), np.int64))
             if dels:
                 keep = dels.keep_mask(int(r.gen), ids)
-                ids, tfs = ids[keep], tfs[keep]
-            parts.append((ids, tfs))
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            parts.append((ids, tfs, dls))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        dls = np.concatenate([p[2] for p in parts]).astype(np.int64)
         if len(parts) > 1:
             order = np.argsort(ids, kind="stable")  # survivors stay disjoint
-            ids, tfs = ids[order], tfs[order]
+            ids, tfs, dls = ids[order], tfs[order], dls[order]
         if len(ids) == 0:
             continue
-        buf, _ = encode_postings(ids, tfs)
-        out_rows.append((bucket, term, int(len(ids)), int(tfs.sum()), buf))
+        buf, meta = encode_postings(ids, tfs, dls)
+        dl_buf = _varbyte_encode(dls.astype(np.uint64)) if with_doclens else b""
+        out_rows.append((bucket, term, int(len(ids)), int(tfs.sum()),
+                         buf, meta, dl_buf))
     out = pd.DataFrame(
-        out_rows, columns=["bucket", "term", "df", "cf", "postings"]
+        out_rows,
+        columns=["bucket", "term", "df", "cf",
+                 "postings", "blockmeta", "doclens"],
     )
     if not out_rows:  # bucket held only dels rows / fully-tombstoned terms
         out = out.astype({"bucket": "int32", "df": "int64", "cf": "int64"})
@@ -76,35 +138,63 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 def build_term_layout(
     spark: SparkSession, index_dir: str, out_dir: str, n_buckets: int = 64
 ) -> None:
-    """Materialize the term-partitioned layout from COMMITTED segments."""
-    from .spimi import committed_segments
+    """Materialize the term-partitioned layout from COMMITTED segments.
+
+    Non-fielded sources additionally carry a term-side doclen stream
+    (resolved shard-locally in a map stage before the bucket shuffle) plus
+    corpus stats snapshotted into layout.json, enabling :func:`bm25_topk`
+    to serve ranked queries from this layout alone."""
+    from ..fuzzy import _posting_generations
+    from .spimi import committed_segments, load_stats
 
     with open(f"{index_dir}/build.json") as f:
         params = json.load(f)
+    with_doclens = params.get("fields") is None
     seg = committed_segments(spark, index_dir)
-    rows = seg.filter(F.col("kind").isin(["post", "dels"])).select(
+    if with_doclens:
+        stage1 = (
+            seg.filter(F.col("kind").isin(["post", "docs"]))
+            .groupBy("shard")
+            .applyInPandas(_resolve_doclens_shard, STAGE1_SCHEMA)
+        )
+    else:  # fielded source: composite-term posts pass through, no doclens
+        stage1 = seg.filter(F.col("kind") == "post").select(
+            "kind", "term", "gen", "postings",
+            F.lit(None).cast("binary").alias("doclens"),
+        )
+    posts = stage1.select(
         term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
-        "kind", "term", "postings", "gen",
+        "kind", "term", "postings", "doclens", "gen",
     )
     # dels rows have term NULL → xxhash64(NULL) bucket; they must reach EVERY
     # bucket (any term may hold deleted docids): explode them across buckets
-    dels = rows.filter(F.col("kind") == "dels").drop("bucket")
+    dels = seg.filter(F.col("kind") == "dels").select(
+        "kind", "term", "postings",
+        F.lit(None).cast("binary").alias("doclens"), "gen",
+    )
     dels_all = dels.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
-    posts = rows.filter(F.col("kind") == "post")
     allrows = posts.unionByName(
-        dels_all.select("bucket", "kind", "term", "postings", "gen")
+        dels_all.select("bucket", "kind", "term", "postings", "doclens", "gen")
     )
     merged = allrows.groupBy("bucket").applyInPandas(
-        _merge_bucket, TERM_LAYOUT_SCHEMA
+        lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/terms"
     )
     meta = {"n_buckets": n_buckets, "source_index": os.path.abspath(index_dir),
             "analyzer": params.get("analyzer", "default"),
-            "analyzer_version": params["analyzer_version"]}
+            "analyzer_version": params["analyzer_version"],
+            "has_doclens": with_doclens,
+            # lineage snapshot for the staleness check (mirrors fuzzy):
+            # posting generations committed AFTER this are invisible here
+            "source_generations": _posting_generations(index_dir)}
+    if with_doclens:
+        stats = load_stats(index_dir)
+        meta["n_docs"] = stats["n_docs"]
+        meta["avgdl"] = stats["avgdl"]
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -116,6 +206,25 @@ def _load_meta(layout_dir: str) -> dict:
         return json.load(f)
 
 
+def _check_stale(meta: dict, allow_stale: bool) -> None:
+    """Serving from a layout whose source index committed NEW posting
+    generations after the build silently misses those postings — refuse
+    unless the caller opts in (same contract as fuzzy_docs)."""
+    from ..fuzzy import _posting_generations
+
+    built = meta.get("source_generations")
+    if built is None or allow_stale:
+        return
+    new = sorted(set(_posting_generations(meta["source_index"])) - set(built))
+    if new:
+        raise ValueError(
+            f"term layout is STALE: source index {meta['source_index']} "
+            f"committed posting generations {new} after the layout was "
+            "built. Rebuild with build_term_layout, or pass "
+            "allow_stale=True to serve the snapshot."
+        )
+
+
 def _buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
     """Bucket ids of the query terms — one tiny local job (xxhash64 has no
     Python twin; this is driver-side metadata, never data)."""
@@ -124,17 +233,24 @@ def _buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> list[
     return sorted({r["b"] for r in rows})
 
 
+def _pruned_rows(
+    spark: SparkSession, layout_dir: str, meta: dict, terms: list[str]
+) -> DataFrame:
+    buckets = _buckets_for(spark, terms, meta["n_buckets"])
+    return (
+        spark.read.parquet(f"{layout_dir}/terms")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    )
+
+
 def term_postings(
     spark: SparkSession, layout_dir: str, terms: list[str]
 ) -> DataFrame:
     """(term, docid, tf) for the given terms — partition-pruned (bucket) and
     min/max-pruned (term) scan of the merged layout, decoded Arrow-batched."""
     meta = _load_meta(layout_dir)
-    buckets = _buckets_for(spark, terms, meta["n_buckets"])
-    rows = (
-        spark.read.parquet(f"{layout_dir}/terms")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "postings")
+    rows = _pruned_rows(spark, layout_dir, meta, terms).select(
+        "term", "postings"
     )
 
     def decode(iterator):
@@ -171,4 +287,112 @@ def boolean_and(
         .agg(F.countDistinct("term").alias("nt"))
         .filter(F.col("nt") == len(terms))
         .select("docid")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, rank, docid, score): BM25 top-k served from the TERM-
+    partitioned layout — the low-latency point-query path at corpus scale.
+    The scan touches ONLY the query terms' hash buckets (PartitionFilters)
+    and row groups (parquet min/max on term); the doc-sharded segments are
+    never read. Doclens ride term-side in the layout (resolved
+    shard-locally at build), so scoring needs no doclen join.
+
+    This is the engine role of the reference's sorted per-key side indexes
+    (`utils/index/MMapBBIndex.java:27-54`): a point lookup probes its keys'
+    pages, not every stripe. At 10^12 docs a query here costs O(its terms'
+    buckets), where the doc-sharded WAND path fans out to all shards.
+
+    Scale shape: per-term score contributions are computed vectorized
+    inside the pruned scan tasks; the one shuffle carries (query_id,
+    docid, contrib) rows bounded by Σ df(query terms) with map-side
+    partial sums — the standard distributed DAAT cost for those terms —
+    and the merge is the group-limited top-k window (WindowGroupLimit).
+    Stats (n_docs, avgdl) and df are the layout's build-time snapshot,
+    consistent with its merged, tombstone-applied postings; staleness vs
+    the source index is checked (``allow_stale`` opts out).
+
+    Ranking contract: (rounded score desc, docid asc), scores rounded to
+    ``round_to`` — rank-identical to wand.topk / the exact scorer on a
+    current layout."""
+    from ..analyzer import get_analyzer
+    from .wand import _idf
+
+    meta = _load_meta(layout_dir)
+    if not meta.get("has_doclens"):
+        raise ValueError(
+            "layout was built without doclens (fielded source?) — "
+            "bm25_topk needs a doclen-carrying layout"
+        )
+    _check_stale(meta, allow_stale)
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+
+    # df per query term: tiny metadata collect against the SAME pruned scan
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            if t in idf_by_term:
+                qids_by_term.setdefault(t, []).append(int(qid))
+    if not qids_by_term:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+
+    def score_fn(iterator):
+        for pdf in iterator:
+            frames = []
+            for r in pdf.itertuples():
+                qids = qids_by_term.get(r.term)
+                if not qids:
+                    continue
+                ids, tfs = decode_postings(r.postings)
+                dls = _varbyte_decode(r.doclens).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                contrib = idf_by_term[r.term] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dls / avgdl)
+                )
+                for qid in qids:
+                    frames.append(pd.DataFrame({
+                        "query_id": np.int32(qid),
+                        "docid": ids,
+                        "contrib": contrib,
+                    }))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame({
+                       "query_id": pd.Series([], dtype="int32"),
+                       "docid": pd.Series([], dtype="int64"),
+                       "contrib": pd.Series([], dtype="float64")}))
+
+    scored = (
+        rows.select("term", "postings", "doclens")
+        .mapInPandas(score_fn, "query_id int, docid long, contrib double")
+        .groupBy("query_id", "docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.select("query_id", "docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
     )

@@ -90,3 +90,77 @@ def test_layout_applies_tombstones(spark, documents, primary, tmp_path_factory):
     row = (spark.read.parquet(f"{d}/terms")
            .filter(F.col("term") == "customer").collect())
     assert len(row) == 1 and row[0]["df"] == len(got)
+
+
+def test_bm25_via_layout_matches_wand_and_prunes(spark, documents,
+                                                 tmp_path_factory):
+    """BM25 top-k served from the term layout must be rank- and
+    score-identical to the doc-sharded WAND path on the same corpus, while
+    its scan partition-prunes on bucket and pushes the term filter down
+    (the O(query terms) point-query shape)."""
+    from gazetteer_spark.index import wand
+
+    idx = str(tmp_path_factory.mktemp("idx_bm25tl"))
+    spimi.build_index(spark, documents, idx, n_shards=8,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("layout_bm25tl"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=16)
+    queries = [(0, "spark join merge"), (1, "the"), (2, "customer filter")]
+    got = termindex.bm25_topk(spark, lay, queries, k=10)
+    want = wand.topk(spark, idx, queries, k=10)
+    rows = lambda df: [  # noqa: E731
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    assert rows(got) == rows(want) and got.count() > 0
+
+    plan = (termindex.bm25_topk(spark, lay, queries, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "bucket" in part_filters
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "term" in pushed
+
+
+def test_bm25_via_layout_staleness_detected(spark, documents,
+                                            tmp_path_factory):
+    """Serving from a layout after the source index committed NEW posting
+    generations silently misses those postings — bm25_topk must refuse
+    (allow_stale=True opts into the snapshot)."""
+    idx = str(tmp_path_factory.mktemp("idx_stale"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), idx,
+                      n_shards=4, id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("layout_stale"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=8)
+    q = [(0, "spark join")]
+    assert termindex.bm25_topk(spark, lay, q, k=5).count() > 0
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), idx,
+                        id_col="doc_id", content_col="text")
+    with pytest.raises(ValueError, match="STALE"):
+        termindex.bm25_topk(spark, lay, q, k=5)
+    # the snapshot is still explicitly servable
+    assert termindex.bm25_topk(spark, lay, q, k=5,
+                               allow_stale=True).count() > 0
+
+
+def test_layout_doclens_match_corpus(spark, documents, tmp_path_factory):
+    """The term-side doclen stream must equal the corpus doc lengths for
+    every posting (shard-local resolution, latest generation wins)."""
+    from gazetteer_spark.index.codec import _varbyte_decode, decode_postings
+
+    idx = str(tmp_path_factory.mktemp("idx_dl"))
+    spimi.build_index(spark, documents, idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("layout_dl"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=8)
+    want = {r["docid"]: r["doclen"] for r in
+            postings_sql(documents, "doc_id", "text")
+            .groupBy("docid").agg(F.sum("tf").alias("doclen")).collect()}
+    rows = (spark.read.parquet(f"{lay}/terms")
+            .filter(F.col("term").isin(["customer", "the", "spark"]))
+            .select("term", "postings", "doclens").collect())
+    assert rows
+    for r in rows:
+        ids, _ = decode_postings(bytes(r["postings"]))
+        dls = _varbyte_decode(bytes(r["doclens"]))
+        assert [want[i] for i in ids.tolist()] == [int(x) for x in dls]

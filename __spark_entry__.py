@@ -270,6 +270,20 @@ def q_ft_fuzzy_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant (edit-distance ≤ 1) retrieval from the SAME
+    gram-over-dictionary index: docs holding any vocabulary term within
+    one edit of the misspelled query 'windoww' (→ 'window') — q-gram
+    count-bound candidates, exact JVM levenshtein verify, posting fan-in.
+    The corpus is never scanned."""
+    from gazetteer_spark import fuzzy
+
+    return fuzzy.fuzzy_docs(
+        spark, _fuzzy_dir(spark, sf_dir), _index_dir(spark, sf_dir),
+        "windoww", max_edits=1,
+    )
+
+
 # fielded (BM25F) surface: 3 fields over documents with per-field boosts;
 # queries mix body terms with src/lang field terms
 FIELDED_FIELDS = {"body": "text", "src": "source", "lang": "lang"}
@@ -369,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fielded_phrase": q_ft_fielded_phrase,
         "ft_fielded_phrase_topk": q_ft_fielded_phrase_topk,
         "ft_fuzzy_via_index": q_ft_fuzzy_via_index,
+        "ft_fuzzy_edit1": q_ft_fuzzy_edit1,
         "ft_tokens": q_ft_tokens,
         "ft_docstats": q_ft_docstats,
         "ft_termstats": q_ft_termstats,
@@ -624,6 +639,9 @@ def oracle_sql() -> dict[str, str]:
             "table hash", 10, FIELDED_BOOSTS),
         "ft_fuzzy_via_index": _DUCK_POSTINGS
         + " SELECT DISTINCT docid FROM postings WHERE contains(term, 'par')",
+        "ft_fuzzy_edit1": _DUCK_POSTINGS
+        + " SELECT DISTINCT docid FROM postings"
+        " WHERE levenshtein(term, 'windoww') <= 1",
         "ft_tokens": _DUCK_POSTINGS + " SELECT docid, term, tf FROM postings",
         "ft_docstats": _DUCK_POSTINGS
         + " SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid",

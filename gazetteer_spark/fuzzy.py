@@ -240,6 +240,78 @@ def fuzzy_terms(
     return matched
 
 
+def _count_shared_grams_shard(
+    pdf: pd.DataFrame, grams: list[str], min_shared: int
+) -> pd.DataFrame:
+    """term_ids sharing ≥ min_shared DISTINCT query grams over one
+    gram-index shard — the q-gram lower-bound candidate filter for edit
+    distance (postings per gram are term_id sets; a per-term_id distinct
+    count over the query's grams is one np.unique pass)."""
+    empty = pd.DataFrame({"term_id": pd.Series([], dtype="int64")})
+    per_term, _ = _term_handles(pdf)
+    dels = DelIndex.from_pdf(pdf)
+    parts = []
+    for g in sorted(set(grams)):
+        ids_g = []
+        for s in per_term.get(g, []):
+            ids = decode_postings(s.pbuf)[0]
+            if dels:
+                ids = ids[dels.keep_mask(s.gen, ids)]
+            ids_g.append(ids)
+        if ids_g:
+            parts.append(np.unique(np.concatenate(ids_g)))
+    if not parts:
+        return empty
+    allv, cnt = np.unique(np.concatenate(parts), return_counts=True)
+    return pd.DataFrame({"term_id": allv[cnt >= min_shared].astype(np.int64)})
+
+
+def fuzzy_terms_edit(
+    spark: SparkSession, fuzzy_dir: str, word: str, max_edits: int = 1,
+) -> DataFrame:
+    """(term_id, term, df): vocabulary terms within Levenshtein distance
+    ≤ ``max_edits`` of the analyzed word — typo-tolerant term lookup over
+    the SAME gram-over-dictionary layout as containment (the reference's
+    NamesMatcher seam for alternate matchers,
+    `addresses/impl/NamesMatcherImpl.java:18-46`).
+
+    Candidates by the q-gram count lower bound: one edit destroys at most
+    n grams, so a match must share ≥ (|G(w)| − max_edits·n) of w's gram
+    OCCURRENCES, hence ≥ D_w − max_edits·n of its DISTINCT grams (D_w =
+    distinct grams of w; duplicates only weaken, never break, the bound).
+    Candidates are verified with the exact JVM ``levenshtein`` — no
+    Python in the verify. When the bound is powerless (short words:
+    D_w − max_edits·n < 1) the verify runs as a dictionary-table scan —
+    vocabulary-scale, one narrow job, the same documented fallback class
+    as sub-3-char containment."""
+    with open(f"{fuzzy_dir}/layout.json") as f:
+        meta = json.load(f)
+    base = get_analyzer(meta["base_analyzer"])
+    toks = base.py_tokenize(word)
+    if len(toks) != 1:
+        raise ValueError(
+            f"edit-distance lookup takes a single-token word; analyze "
+            f"{word!r} → {toks}"
+        )
+    w = toks[0]
+    terms_tbl = spark.read.parquet(f"{fuzzy_dir}/terms")
+    verify = F.levenshtein(F.col("term"), F.lit(w)) <= max_edits
+    grams = _grams_of(w)
+    min_shared = len(grams) - max_edits * NGRAM_N
+    if min_shared < 1:  # bound powerless → dictionary scan fallback
+        return terms_tbl.filter(verify)
+    seg = spimi.committed_segments(spark, f"{fuzzy_dir}/gramidx")
+    relevant = seg.filter(
+        ((F.col("kind") == "post") & F.col("term").isin(grams))
+        | (F.col("kind") == "dels")
+    )
+    cand = relevant.groupBy("shard").applyInPandas(
+        lambda p: _count_shared_grams_shard(p, grams, min_shared),
+        "term_id long",
+    )
+    return terms_tbl.join(cand, "term_id", "left_semi").filter(verify)
+
+
 def _docs_of_terms_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     """Primary-index shard rows → distinct docids holding ANY given term."""
     per_term, _ = _term_handles(pdf)
@@ -262,11 +334,16 @@ MAX_FUZZY_TERMS = 4096
 def fuzzy_docs(
     spark: SparkSession, fuzzy_dir: str, index_dir: str, fragment: str,
     bidirectional: bool = False, allow_stale: bool = False,
+    max_edits: int | None = None,
 ) -> DataFrame:
     """(docid): documents containing any vocabulary term that matches the
     fragment — gram-index candidates → exact verify → primary-index posting
     fan-in. The corpus itself is never scanned; docids are shard-disjoint so
     no global distinct is needed.
+
+    ``max_edits`` switches the term matcher from containment to Levenshtein
+    distance ≤ max_edits (typo tolerance — :func:`fuzzy_terms_edit`);
+    ``bidirectional`` then has no effect.
 
     The matched-term list rides the driver (same as every query's term list
     — pruning needs literal ``In(term, …)``); MAX_FUZZY_TERMS guards
@@ -290,9 +367,12 @@ def fuzzy_docs(
                 "Rebuild with build_fuzzy_layout, or pass allow_stale=True "
                 "to serve with reduced recall."
             )
-    matched = [r["term"] for r in
-               fuzzy_terms(spark, fuzzy_dir, fragment, bidirectional)
-               .select("term").collect()]
+    term_df = (
+        fuzzy_terms_edit(spark, fuzzy_dir, fragment, max_edits)
+        if max_edits is not None
+        else fuzzy_terms(spark, fuzzy_dir, fragment, bidirectional)
+    )
+    matched = [r["term"] for r in term_df.select("term").collect()]
     if len(matched) > MAX_FUZZY_TERMS:
         raise ValueError(
             f"fragment {fragment!r} matches {len(matched)} terms "

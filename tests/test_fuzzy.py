@@ -172,3 +172,61 @@ def test_fuzzy_layout_staleness(spark, documents, tmp_path_factory):
     fz2 = str(tmp_path_factory.mktemp("fz_stale_layout2"))
     fuzzy.build_fuzzy_layout(spark, idx, fz2, n_shards=2)
     assert fuzzy.fuzzy_docs(spark, fz2, idx, "par").count() >= len(got)
+
+def _brute_edit_terms(vocab, w, k):
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    return {t for t in vocab if lev(t, w) <= k}
+
+
+def test_fuzzy_terms_edit_matches_brute_force(spark, tmp_path_factory):
+    """Edit-distance term lookup over a dictionary WITH real neighbors:
+    gram-bound candidates + levenshtein verify must equal brute force —
+    both through the gram path (long words) and the dictionary-scan
+    fallback (short words where the bound is powerless)."""
+    docs = spark.createDataFrame(
+        [(1, "windows window windoww handler handlers"),
+         (2, "wind winnow handle candle"),
+         (3, "alpha alpah beta betta gamma")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("fz_edit_idx"))
+    spimi.build_index(spark, docs, idx, n_shards=2, id_col="doc_id",
+                      content_col="text")
+    fz = str(tmp_path_factory.mktemp("fz_edit_layout"))
+    fuzzy.build_fuzzy_layout(spark, idx, fz, n_shards=2)
+    vocab = _vocab(spark, idx)
+    # long words take the gram-candidate path (min_shared >= 1)
+    for w, k in [("window", 1), ("handler", 1), ("windows", 2)]:
+        got = {r["term"] for r in
+               fuzzy.fuzzy_terms_edit(spark, fz, w, max_edits=k).collect()}
+        assert got == _brute_edit_terms(vocab, w, k) and got, (w, k)
+    # short word: D_w - k*n < 1 → dictionary-scan fallback
+    got = {r["term"] for r in
+           fuzzy.fuzzy_terms_edit(spark, fz, "beta", max_edits=1).collect()}
+    assert got == _brute_edit_terms(vocab, "beta", 1)
+    assert "betta" in got
+
+
+def test_fuzzy_docs_edit_equals_corpus_scan(spark, documents, layout):
+    """fuzzy_docs(max_edits=1) for a misspelled word must equal the
+    corpus-scan truth (docs holding any term within one edit)."""
+    idx, fz = layout
+    got = {r["docid"] for r in
+           fuzzy.fuzzy_docs(spark, fz, idx, "windoww",
+                            max_edits=1).collect()}
+    toks = documents.select(
+        F.col("doc_id").alias("docid"),
+        F.explode(tokens_expr(F.col("text"))).alias("term"),
+    )
+    want = {r["docid"] for r in
+            toks.filter(F.levenshtein(F.col("term"), F.lit("windoww")) <= 1)
+            .select("docid").distinct().collect()}
+    assert got == want and got

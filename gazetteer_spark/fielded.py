@@ -362,20 +362,26 @@ def _score_shard_fielded(
     cap: int,
 ) -> pd.DataFrame:
     """One shard's fielded segment rows → local top-k' per query, via
-    term-at-a-time MaxScore with block-max skipping (the wand.py algorithm
-    lifted to BM25F):
+    unit-at-a-time MaxScore with block-max skipping, where a UNIT is one
+    (field, term) composite posting list (the wand.py algorithm lifted to
+    BM25F at field granularity):
 
-    - per-term upper bound: tfw(d,t) = Σ_f boost_f·tf/(1−b+b·len_f/avglen_f)
-      with len_f(d) ≥ tf_{d,f,t}, so per block boost_f·M/(1−b+b·M/avglen_f)
-      (M = block max_tf, the expression monotone-increasing in tf) bounds
-      every member's per-field weight; summed over fields it bounds tfw, and
-      idf·ub/(k1+ub) bounds the term's score contribution (x/(k1+x)
-      monotone — the same argument as wand.py's header).
-    - terms run in bound-descending order; once the remaining-ub suffix
-      cannot beat θ (k-th best partial, minus the two-rounding-ulp margin),
-      a high-df term never decodes its full composite postings: candidates
-      that cannot reach θ even granted their own blocks' bounds are dropped,
-      then ONLY blocks still holding surviving candidates are decoded.
+    - per-unit upper bound: with f(x) = x/(K1+x) (concave, f(0)=0, hence
+      subadditive: f(a+b) ≤ f(a)+f(b)), the unit's block-metadata weight
+      bound W = max_b boost_f·M_b/(1−b+b·M_b/avglen_f) gives score-gain
+      bound idf·f(W); summed over any set of remaining units this bounds
+      the total remaining gain even though BM25F's saturation spans
+      fields — so the classic MaxScore suffix argument carries over.
+    - units run in bound-descending order; a low-boost wide field sorts
+      LATE and is pruned independently of its term's high-boost narrow
+      fields: once the suffix cannot beat θ (k-th best partial, minus the
+      two-rounding-ulp margin) the unit never decodes its full composite
+      postings — candidates that cannot reach θ even granted their own
+      blocks' bound are dropped, then ONLY blocks still holding survivors
+      are decoded.
+    - per-(term, field) tfw components are kept separately and summed in
+      FIELDS order at scoring, so float summation matches the exact
+      scorer (_term_tfw) bit-for-bit.
     Survivors end with exact BM25F scores by construction; emission uses
     the rounded-bar rule shared with the global merge."""
     empty = pd.DataFrame(columns=["query_id", "docid", "score"]).astype(
@@ -431,14 +437,6 @@ def _score_shard_fielded(
             handles_cache[term] = (out, tub)
         return handles_cache[term]
 
-    tfw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-
-    def tfw_of(term):
-        if term not in tfw_cache:
-            tfw_cache[term] = _term_tfw(pdf, term, fields, boosts, avglen,
-                                        fdocs, dels)
-        return tfw_cache[term]
-
     margin = (2.0 * 10.0 ** (-round_to) if round_to is not None else 0.0) + EPS
 
     out_q, out_d, out_s = [], [], []
@@ -446,94 +444,130 @@ def _score_shard_fielded(
         terms = [(t, idf) for t, idf in weighted_terms if handles_of(t)[0]]
         if not terms:
             continue
-        ubs = np.array(
-            [idf * handles_of(t)[1] / (K1 + handles_of(t)[1])
-             for t, idf in terms],
-            dtype=np.float64,
-        )
+        # MaxScore over (FIELD, term) UNITS, not terms: each unit's bound
+        # is idf·f(fmax) with f(x)=x/(K1+x); f is concave with f(0)=0, so
+        # f(Σ_f w_f) ≤ Σ_f f(w_f) — the suffix-sum of unit bounds upper-
+        # bounds any remaining score gain even though the BM25F saturation
+        # spans fields. A low-boost wide field (tiny bound, huge postings)
+        # therefore sorts late and is skipped/block-decoded INDEPENDENTLY
+        # of its term's high-boost narrow fields.
+        units = []  # (term_idx, field, boost, segs)
+        uub = []
+        for ti, (t, idf) in enumerate(terms):
+            for f, bst, segs in handles_of(t)[0]:
+                fmax = max(
+                    (float(s.bub.max()) for s in segs if len(s.bub)),
+                    default=0.0,
+                )
+                units.append((ti, f, bst, segs))
+                uub.append(idf * fmax / (K1 + fmax))
+        ubs = np.asarray(uub, dtype=np.float64)
         order = np.argsort(-ubs, kind="stable")
         suffix = np.zeros(len(order) + 1)
         suffix[:-1] = np.cumsum(ubs[order][::-1])[::-1]
 
         cand_ids = np.zeros(0, np.int64)
-        cand_s = np.zeros(0, np.float64)
+        # per-(term, field) tfw components aligned with cand_ids — summed
+        # in FIELDS order at scoring time so float summation matches the
+        # exact scorer (_term_tfw) exactly
+        comp: dict[tuple[int, str], np.ndarray] = {}
+
+        def scores() -> np.ndarray:
+            s = np.zeros(len(cand_ids))
+            for ti, (t, idf) in enumerate(terms):
+                tfw = None
+                for f in fields:
+                    a = comp.get((ti, f))
+                    if a is not None:
+                        tfw = a.copy() if tfw is None else tfw + a
+                if tfw is not None:
+                    s += np.where(tfw > 0, idf * tfw / (K1 + tfw), 0.0)
+            return s
+
         theta = -np.inf
-        for oi, ti in enumerate(order):
+        for oi, ui in enumerate(order):
+            ti, f, bst, segs = units[ui]
             term, idf = terms[ti]
             rem = suffix[oi + 1]
             can_introduce = not np.isfinite(theta) or (
-                ubs[ti] + rem >= theta - margin
+                ubs[ui] + rem >= theta - margin
             )
             if can_introduce:
-                ids, tfw = tfw_of(term)
+                ids, tfs = _decode_composite(pdf, f + FIELD_SEP + term, dels)
                 if len(ids):
-                    contrib = idf * tfw / (K1 + tfw)
+                    f_ids, f_lens = fdocs[f]
+                    lens = f_lens[np.searchsorted(f_ids, ids)]
+                    w = (bst * tfs
+                         / (1.0 - B + B * lens.astype(np.float64)
+                            / avglen[f]))
                     merged = np.union1d(cand_ids, ids)
-                    ns = np.zeros(len(merged))
-                    ns[np.searchsorted(merged, cand_ids)] = cand_s
-                    ns[np.searchsorted(merged, ids)] += contrib
-                    cand_ids, cand_s = merged, ns
+                    if len(merged) != len(cand_ids):
+                        old_pos = np.searchsorted(merged, cand_ids)
+                        for key in comp:
+                            arr = np.zeros(len(merged))
+                            arr[old_pos] = comp[key]
+                            comp[key] = arr
+                        cand_ids = merged
+                    a = comp.setdefault((ti, f), np.zeros(len(cand_ids)))
+                    a[np.searchsorted(cand_ids, ids)] += w
             elif len(cand_ids):
-                fh, _ = handles_of(term)
-                # candidate-level bound from block metadata: per field the
-                # best block bound at the candidate's position (max across
-                # generations), summed over fields — then drop candidates
-                # that cannot reach θ even granted it plus all remaining
-                # terms' bounds
-                blk_tfw = np.zeros(len(cand_ids))
-                for f, bst, segs in fh:
-                    fub = np.zeros(len(cand_ids))
-                    for s in segs:
-                        bi = np.searchsorted(s.blast, cand_ids, side="left")
-                        inside = bi < len(s.blast)
-                        u = np.zeros(len(cand_ids))
-                        u[inside] = s.bub[bi[inside]]
-                        fub = np.maximum(fub, u)
-                    blk_tfw += fub
+                # update-only: candidate-level bound for THIS unit from
+                # block metadata (max across generations); gain ≤ idf·f(ub)
+                # by the same concavity argument — drop candidates that
+                # cannot reach θ even granted it plus all remaining units'
+                # bounds, then decode ONLY blocks holding survivors
+                ub_c = np.zeros(len(cand_ids))
+                for s in segs:
+                    bi = np.searchsorted(s.blast, cand_ids, side="left")
+                    inside = bi < len(s.blast)
+                    u = np.zeros(len(cand_ids))
+                    u[inside] = s.bub[bi[inside]]
+                    ub_c = np.maximum(ub_c, u)
                 keep = (
-                    cand_s + idf * blk_tfw / (K1 + blk_tfw) + rem
+                    scores() + idf * ub_c / (K1 + ub_c) + rem
                     >= theta - margin
                 )
-                cand_ids, cand_s = cand_ids[keep], cand_s[keep]
+                if not keep.all():
+                    cand_ids = cand_ids[keep]
+                    for key in comp:
+                        comp[key] = comp[key][keep]
                 if len(cand_ids) == 0:
                     continue
-                # selective decode: only blocks holding survivors, per field
-                # in sorted order (same float summation as tfw_of)
-                tfw = np.zeros(len(cand_ids))
-                for f, bst, segs in fh:
-                    f_ids, f_lens = fdocs[f]
-                    for s in segs:
-                        bi = np.searchsorted(s.blast, cand_ids, side="left")
-                        inside = bi < len(s.blast)
-                        need = np.unique(bi[inside]) if len(bi) else bi[:0]
-                        if len(need) == 0:
-                            continue
-                        ids, tfs = decode_blocks(s.pbuf, s.bends, need)
-                        if dels:
-                            km = dels.keep_mask(s.gen, ids)
-                            ids, tfs = ids[km], tfs[km]
-                        hit = np.searchsorted(cand_ids, ids)
-                        ok = (hit < len(cand_ids)) & (
-                            cand_ids[np.minimum(hit, len(cand_ids) - 1)]
-                            == ids
-                        )
-                        if not ok.any():
-                            continue
-                        lens = f_lens[np.searchsorted(f_ids, ids[ok])]
-                        w = (bst * tfs[ok]
-                             / (1.0 - B + B * lens.astype(np.float64)
-                                / avglen[f]))
-                        tfw[hit[ok]] += w
-                cand_s = cand_s + np.where(
-                    tfw > 0, idf * tfw / (K1 + tfw), 0.0
-                )
+                f_ids, f_lens = fdocs[f]
+                for s in segs:
+                    bi = np.searchsorted(s.blast, cand_ids, side="left")
+                    inside = bi < len(s.blast)
+                    need = np.unique(bi[inside]) if len(bi) else bi[:0]
+                    if len(need) == 0:
+                        continue
+                    ids, tfs = decode_blocks(s.pbuf, s.bends, need)
+                    if dels:
+                        km = dels.keep_mask(s.gen, ids)
+                        ids, tfs = ids[km], tfs[km]
+                    hit = np.searchsorted(cand_ids, ids)
+                    ok = (hit < len(cand_ids)) & (
+                        cand_ids[np.minimum(hit, len(cand_ids) - 1)] == ids
+                    )
+                    if not ok.any():
+                        continue
+                    lens = f_lens[np.searchsorted(f_ids, ids[ok])]
+                    w = (bst * tfs[ok]
+                         / (1.0 - B + B * lens.astype(np.float64)
+                            / avglen[f]))
+                    a = comp.setdefault((ti, f), np.zeros(len(cand_ids)))
+                    a[hit[ok]] += w
             # θ only grows; prune docs that cannot reach it
             if len(cand_ids) >= k:
-                theta = np.partition(cand_s, -k)[-k]
-                keep = cand_s + rem >= theta - margin
-                cand_ids, cand_s = cand_ids[keep], cand_s[keep]
+                s_now = scores()
+                theta = np.partition(s_now, -k)[-k]
+                keep = s_now + rem >= theta - margin
+                if not keep.all():
+                    cand_ids = cand_ids[keep]
+                    for key in comp:
+                        comp[key] = comp[key][keep]
         if len(cand_ids) == 0:
             continue
+        cand_s = scores()
         rounded = np.round(cand_s, round_to) if round_to is not None else cand_s
         if len(cand_ids) > k:
             bar = np.partition(rounded, -k)[-k]

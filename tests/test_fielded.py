@@ -438,3 +438,53 @@ def test_fielded_near_rejects_multi_token_terms(spark, fidx):
         fielded.fielded_near_match(spark, fidx, "body", "sortKey", "order")
     with pytest.raises(ValueError, match="exactly one"):
         fielded.fielded_near_match(spark, fidx, "body", "key", "hashTable")
+
+
+def test_unit_maxscore_skips_low_boost_wide_field(spark, tmp_path_factory,
+                                                  monkeypatch):
+    """Per-(field, term) MaxScore units: a term living in BOTH a high-boost
+    narrow field and a LOW-boost wide field must never fully decode the
+    wide field's composite postings — the wide unit sorts below θ once the
+    narrow unit has filled the top-k, so it runs update-only (block-
+    selective decode). This is the field-granular pruning the per-TERM
+    bound (fields summed) could not express: the summed bound was dragged
+    up by the narrow field, forcing a full decode of the wide postings."""
+    from gazetteer_spark.index.wand import _idf
+
+    rows = []
+    for i in range(6):  # narrow field fa: 'tag' + a filler
+        rows.append((i, f"tag only{i}", "tag pad"))
+    for i in range(6, 40):  # wide field fb: every doc holds 'tag'
+        rows.append((i, f"other{i}", "tag filler words here"))
+    docs = spark.createDataFrame(rows, "docid long, fa string, fb string")
+    d = str(tmp_path_factory.mktemp("fidx_units"))
+    fields = {"fa": "fa", "fb": "fb"}
+    fielded.build_fielded_index(spark, docs, d, fields, n_shards=1,
+                                id_col="docid")
+    stats = spimi.load_stats(d)
+    seg = spimi.committed_segments(spark, d)
+    boosts = {"fa": 5.0, "fb": 0.01}
+    dfs = fielded._df_job(seg, stats["fields"], ["tag"])
+    qplans = [(0, [("tag", _idf(stats["n_docs"], dfs["tag"]))])]
+    avglen = {f: stats["field_totals"][f] / stats["n_docs"]
+              for f in stats["fields"]}
+    pdf = fielded._relevant_fielded(seg, stats["fields"], ["tag"]).toPandas()
+
+    full_decoded: list[str] = []
+    orig = fielded._decode_composite
+
+    def spy(p, comp, dels):
+        full_decoded.append(comp)
+        return orig(p, comp, dels)
+
+    monkeypatch.setattr(fielded, "_decode_composite", spy)
+    out = fielded._score_shard_fielded(
+        pdf, qplans, stats["fields"], boosts, avglen, 3, 4, 4096
+    )
+    assert len(out) >= 3
+    # top-3 are fa holders (boost 5 vs 0.01)
+    top = out.sort_values("score", ascending=False)["docid"].head(3).tolist()
+    assert set(top) <= set(range(6))
+    by_field = {c.split(spimi.FIELD_SEP, 1)[0] for c in full_decoded}
+    assert "fa" in by_field            # narrow unit introduced
+    assert "fb" not in by_field, full_decoded  # wide unit never full-decoded

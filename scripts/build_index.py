@@ -57,6 +57,13 @@ def main(argv=None):
     ap.add_argument("--fuzzy-from", default=None,
                     help="build the fuzzy gram-over-dictionary layout at "
                          "--out from this existing index")
+    ap.add_argument("--term-layout-from", default=None,
+                    help="build the term-partitioned layout (term scans, "
+                         "boolean AND, bucket-pruned BM25 via scripts/"
+                         "query.py --mode layout-bm25) at --out from this "
+                         "existing index")
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="term-layout: number of term-hash partitions")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -78,6 +85,15 @@ def main(argv=None):
         fuzzy.build_fuzzy_layout(spark, args.fuzzy_from, args.out,
                                  n_shards=args.n_shards)
         print(json.dumps({"fuzzy_layout": args.out,
+                          "sec": round(time.time() - t0, 2)}))
+        return
+    if args.term_layout_from:
+        from gazetteer_spark.index import termindex
+
+        t0 = time.time()
+        termindex.build_term_layout(spark, args.term_layout_from, args.out,
+                                    n_buckets=args.n_buckets)
+        print(json.dumps({"term_layout": args.out,
                           "sec": round(time.time() - t0, 2)}))
         return
     if args.delete_ids or args.delete_ids_from:

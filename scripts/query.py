@@ -18,6 +18,11 @@ Usage:
   ...   --mode fielded-near --field body --near-k 3   NEAR/k within a field
   ...   --mode fuzzy --fuzzy-layout DIR   containment lookup (query = one
   ...                                     fragment; gram index + verify)
+  ...   --mode fuzzy-edit --fuzzy-layout DIR [--max-edits 1]   typo-tolerant
+  ...                                     lookup (Levenshtein over dictionary)
+  ...   --mode layout-bm25 --term-layout DIR   BM25 top-k served from the
+  ...                                     term-partitioned layout (bucket-
+  ...                                     pruned point-query path)
 """
 
 from __future__ import annotations
@@ -41,7 +46,7 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["or", "and", "phrase", "phrase-topk",
                                        "near", "near-n", "fielded",
                                        "fielded-phrase", "fielded-near",
-                                       "fuzzy"],
+                                       "fuzzy", "fuzzy-edit", "layout-bm25"],
                     default="or")
     ap.add_argument("--field", default=None,
                     help="fielded-phrase / fielded-near: the field to match in")
@@ -54,6 +59,11 @@ def main(argv=None):
     ap.add_argument("--fuzzy-layout", default=None,
                     help="fuzzy: gram-over-dictionary layout dir "
                          "(build with scripts/build_index.py --fuzzy-from)")
+    ap.add_argument("--max-edits", type=int, default=1,
+                    help="fuzzy-edit: Levenshtein distance bound")
+    ap.add_argument("--term-layout", default=None,
+                    help="layout-bm25: term-partitioned layout dir (build "
+                         "with scripts/build_index.py --term-layout-from)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -142,14 +152,25 @@ def main(argv=None):
                 ).collect()
                 out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
                             for r in rows]
-    else:  # fuzzy
+    elif args.mode == "layout-bm25":
+        from gazetteer_spark.index import termindex
+
+        if not args.term_layout:
+            raise SystemExit("--mode layout-bm25 needs --term-layout")
+        for r in termindex.bm25_topk(spark, args.term_layout, queries,
+                                     k=args.k).collect():
+            out.setdefault(r["query_id"], []).append(
+                {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
+            )
+    else:  # fuzzy / fuzzy-edit
         from gazetteer_spark import fuzzy
 
         if not args.fuzzy_layout:
-            raise SystemExit("--mode fuzzy needs --fuzzy-layout")
+            raise SystemExit(f"--mode {args.mode} needs --fuzzy-layout")
+        edits = args.max_edits if args.mode == "fuzzy-edit" else None
         for qid, text in queries:
             rows = fuzzy.fuzzy_docs(
-                spark, args.fuzzy_layout, args.index, text
+                spark, args.fuzzy_layout, args.index, text, max_edits=edits
             ).collect()
             out[qid] = [{"docid": r["docid"]} for r in rows]
     dt = time.time() - t0

@@ -111,3 +111,39 @@ def test_cli_fielded_and_fuzzy(spark, documents, cli_env, capsys):
         "--query", "par",
     ])
     assert got["mode"] == "fuzzy" and got["results"]
+
+
+def test_cli_term_layout_and_edit_fuzzy(spark, documents, cli_env, capsys):
+    """Round-5 CLI surface: term-layout build + layout-served BM25, and
+    typo-tolerant (edit-distance) fuzzy retrieval."""
+    work, src = cli_env
+    idx = str(work / "idx_tl")
+    _run(capsys, build_cli.main, [
+        "--source", src, "--out", idx, "--n-shards", "4",
+        "--docid-col", "doc_id", "--content-col", "text",
+    ])
+
+    lay = str(work / "tl")
+    out = _run(capsys, build_cli.main, [
+        "--term-layout-from", idx, "--out", lay, "--n-buckets", "8",
+    ])
+    assert out["term_layout"] == lay
+
+    got = _run(capsys, query_cli.main, [
+        "--index", idx, "--mode", "layout-bm25", "--term-layout", lay,
+        "--query", "spark join", "--k", "5",
+    ])
+    assert got["mode"] == "layout-bm25" and got["results"]["0"]
+    # rank-identical to the doc-sharded path on the same corpus
+    ref = _run(capsys, query_cli.main,
+               ["--index", idx, "--query", "spark join", "--k", "5"])
+    assert got["results"] == ref["results"]
+
+    fz = str(work / "fuzzy_edit")
+    _run(capsys, build_cli.main, ["--fuzzy-from", idx, "--out", fz,
+                                  "--n-shards", "2"])
+    got = _run(capsys, query_cli.main, [
+        "--index", idx, "--mode", "fuzzy-edit", "--fuzzy-layout", fz,
+        "--query", "windoww", "--max-edits", "1",
+    ])
+    assert got["mode"] == "fuzzy-edit" and got["results"]["0"]

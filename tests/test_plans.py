@@ -72,3 +72,13 @@ def test_jaccard_candidate_gate_pushed_below_pair_join(spark, sf_dir):
     df = entrymod.queries()["dd_lsh_pairs"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftSemi") >= 3, plan
+
+
+def test_bm25_via_termindex_merge_group_limited(spark, sf_dir):
+    """ft_bm25_via_termindex's top-k merge must trigger the
+    WindowGroupLimit pushdown (partial per-partition group-limit below the
+    exchange), so the rank shuffle carries ≤ partitions × queries × k rows
+    — never the full Σ df(query terms) scored set."""
+    df = entrymod.queries()["ft_bm25_via_termindex"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

@@ -13,9 +13,12 @@ Robustness to host CPU steal (the shared VM shows ±25% to 4× run-to-run
 swings — BENCH.md control tables): every metric is measured with
 ``_measure`` — min-of-N passes where each pass reads /proc/stat steal
 ticks before/after; a pass whose steal fraction exceeds STEAL_MAX of CPU
-capacity is marked dirty, the min is taken over CLEAN passes when any
-exist, and up to MAX_EXTRA bonus passes run when ALL scheduled passes
-were dirty. Discard/extra counts are reported in the output JSON
+capacity is marked dirty, and up to MAX_EXTRA bonus passes run when ALL
+scheduled passes were dirty. The reported figure is the GLOBAL min:
+steal can only SLOW a pass, so the fastest pass is the honest
+steady-state number regardless of its gate flag — the gate's only job
+is to buy more attempts when every scheduled pass was degraded.
+Dirty/extra counts are reported in the output JSON
 (``steal_dirty_passes`` / ``steal_extra_passes``) so a noisy-window run
 is self-describing. The box shows a ~1-2% steal baseline even when
 quiet, hence a fractional threshold rather than a zero-delta test.
@@ -89,8 +92,7 @@ def _measure(fn, passes: int, max_extra: int = 2) -> float:
             _COUNTS["extra"] += 1
             continue
         break
-    clean = [dt for dt, d in results if not d]
-    return min(clean) if clean else min(dt for dt, _ in results)
+    return min(dt for dt, _ in results)
 
 
 def main():

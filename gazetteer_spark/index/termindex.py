@@ -290,6 +290,79 @@ def boolean_and(
     )
 
 
+# a term is "expensive" (stopword-class) for the candidate-pruned serving
+# path when its df exceeds max(this floor, EXPENSIVE_DF_FRACTION·n_docs)
+EXPENSIVE_DF_FLOOR = 1_000_000
+EXPENSIVE_DF_FRACTION = 0.05
+# candidate docid sets ride the driver/closure; queries whose cheap-term
+# df sum exceeds this cap fall back to the full scan (disclosed trade-off)
+CANDIDATE_CAP = 2_000_000
+
+_EPS = 1e-9
+
+
+def _scored_rows(
+    rows: DataFrame,
+    qids_by_term: dict[str, list[int]],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    cand_by_qid: dict[int, np.ndarray] | None = None,
+    restrict: set[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """(query_id, docid, score): exact BM25 sums for the subscribed
+    (query, term) pairs. ``restrict`` marks (qid, term) pairs whose
+    postings are emitted ONLY for docids in ``cand_by_qid[qid]`` (the
+    MaxScore candidate gate); unrestricted pairs emit everything."""
+    cand_by_qid = cand_by_qid or {}
+    restrict = restrict or set()
+
+    def score_fn(iterator):
+        for pdf in iterator:
+            frames = []
+            for r in pdf.itertuples():
+                qids = qids_by_term.get(r.term)
+                if not qids:
+                    continue
+                ids, tfs = decode_postings(r.postings)
+                dls = _varbyte_decode(r.doclens).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                contrib = idf_by_term[r.term] * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * dls / avgdl)
+                )
+                for qid in qids:
+                    if (qid, r.term) in restrict:
+                        cand = cand_by_qid[qid]
+                        pos = np.searchsorted(cand, ids)
+                        hit = (pos < len(cand)) & (
+                            cand[np.minimum(pos, len(cand) - 1)] == ids
+                        )
+                        if not hit.any():
+                            continue
+                        frames.append(pd.DataFrame({
+                            "query_id": np.int32(qid),
+                            "docid": ids[hit],
+                            "contrib": contrib[hit],
+                        }))
+                    else:
+                        frames.append(pd.DataFrame({
+                            "query_id": np.int32(qid),
+                            "docid": ids,
+                            "contrib": contrib,
+                        }))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame({
+                       "query_id": pd.Series([], dtype="int32"),
+                       "docid": pd.Series([], dtype="int64"),
+                       "contrib": pd.Series([], dtype="float64")}))
+
+    return (
+        rows.select("term", "postings", "doclens")
+        .mapInPandas(score_fn, "query_id int, docid long, contrib double")
+        .groupBy("query_id", "docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def bm25_topk(
     spark: SparkSession,
     layout_dir: str,
@@ -297,6 +370,7 @@ def bm25_topk(
     k: int = 10,
     round_to: int | None = 4,
     allow_stale: bool = False,
+    expensive_df: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25 top-k served from the TERM-
     partitioned layout — the low-latency point-query path at corpus scale.
@@ -311,10 +385,31 @@ def bm25_topk(
     buckets), where the doc-sharded WAND path fans out to all shards.
 
     Scale shape: per-term score contributions are computed vectorized
-    inside the pruned scan tasks; the one shuffle carries (query_id,
-    docid, contrib) rows bounded by Σ df(query terms) with map-side
-    partial sums — the standard distributed DAAT cost for those terms —
-    and the merge is the group-limited top-k window (WindowGroupLimit).
+    inside the pruned scan tasks; the shuffle carries (query_id, docid,
+    contrib) rows with map-side partial sums, and the merge is the
+    group-limited top-k window (WindowGroupLimit). Without pruning that
+    shuffle is bounded by Σ df(query terms) — dominated by stopword-class
+    terms at corpus scale — so a MaxScore CANDIDATE GATE engages per
+    query when it has both cheap and expensive (df > ``expensive_df``,
+    default max(1M, 5% of corpus)) terms:
+
+    1. cheap-only scoring establishes θ₀ = the k-th best partial score
+       (a lower bound on the final k-th best, since scores only grow);
+    2. a doc holding ONLY expensive terms scores ≤ Σ idf_t·(K1+1) over
+       the query's expensive terms (tfnorm < K1+1 always) — when that
+       bound < θ₀ − margin (two rounding ulps, the wand.py rank-safety
+       argument), such docs provably cannot enter or tie the top-k;
+    3. the expensive terms' postings are then emitted ONLY for the
+       cheap-term candidate docs (sorted-array gate inside the scan
+       task), collapsing the stopword's df-sized emission to the
+       candidate count, which is ≤ Σ cheap df ≤ CANDIDATE_CAP.
+
+    Every emitted doc still receives its EXACT full score (all terms),
+    so results are hash-identical to the ungated path — pinned by a
+    forced-threshold equality test. Queries where the bound fails, with
+    no cheap terms, or over the candidate cap fall back to the full scan
+    (per query, within the same jobs).
+
     Stats (n_docs, avgdl) and df are the layout's build-time snapshot,
     consistent with its merged, tombstone-applied postings; staleness vs
     the source index is checked (``allow_stale`` opts out).
@@ -333,6 +428,9 @@ def bm25_topk(
         )
     _check_stale(meta, allow_stale)
     n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    if expensive_df is None:
+        expensive_df = max(EXPENSIVE_DF_FLOOR,
+                           int(EXPENSIVE_DF_FRACTION * n_docs))
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -344,47 +442,75 @@ def bm25_topk(
     df_by_term = {r["term"]: int(r["df"])
                   for r in rows.select("term", "df").collect()}
     idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
-    qids_by_term: dict[str, list[int]] = {}
+    plans = []  # (qid, [present terms])
     for qid, ts in qterms.items():
-        for t in ts:
-            if t in idf_by_term:
-                qids_by_term.setdefault(t, []).append(int(qid))
-    if not qids_by_term:
+        present = [t for t in ts if t in idf_by_term]
+        if present:
+            plans.append((int(qid), present))
+    if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double"
         )
+    margin = (2.0 * 10.0 ** (-round_to) if round_to is not None
+              else 0.0) + _EPS
 
-    def score_fn(iterator):
-        for pdf in iterator:
-            frames = []
-            for r in pdf.itertuples():
-                qids = qids_by_term.get(r.term)
-                if not qids:
-                    continue
-                ids, tfs = decode_postings(r.postings)
-                dls = _varbyte_decode(r.doclens).astype(np.float64)
-                tf = tfs.astype(np.float64)
-                contrib = idf_by_term[r.term] * (tf * (K1 + 1.0)) / (
-                    tf + K1 * (1.0 - B + B * dls / avgdl)
+    # per-query split: pruning needs BOTH a cheap side (to establish θ₀ and
+    # the candidate set) and an expensive side (worth gating)
+    maybe = []      # (qid, present, cheap, exp) — gate candidates
+    to_score = []   # (qid, present) — final-job subscriptions
+    for qid, present in plans:
+        cheap = [t for t in present if df_by_term[t] <= expensive_df]
+        exp = [t for t in present if df_by_term[t] > expensive_df]
+        if (not exp or not cheap
+                or sum(df_by_term[t] for t in cheap) > CANDIDATE_CAP):
+            to_score.append((qid, present))
+        else:
+            maybe.append((qid, present, cheap, exp))
+
+    cand_by_qid: dict[int, np.ndarray] = {}
+    restrict: set[tuple[int, str]] = set()
+    if maybe:
+        # phase 1: cheap-only scoring for the gating queries — one job
+        cheap_sub: dict[str, list[int]] = {}
+        for qid, _, cheap, _ in maybe:
+            for t in cheap:
+                cheap_sub.setdefault(t, []).append(qid)
+        phase1 = _scored_rows(rows, cheap_sub, idf_by_term, avgdl).collect()
+        by_qid: dict[int, list] = {}
+        for r in phase1:
+            by_qid.setdefault(r["query_id"], []).append(
+                (r["docid"], r["score"])
+            )
+        for qid, present, cheap, exp in maybe:
+            got = by_qid.get(qid, [])
+            exp_bound = sum(idf_by_term[t] * (K1 + 1.0) for t in exp)
+            if len(got) >= k:
+                theta0 = np.partition(
+                    np.array([s for _, s in got]), -k
+                )[-k]
+            else:
+                theta0 = -np.inf
+            if exp_bound < theta0 - margin:
+                cand_by_qid[qid] = np.sort(
+                    np.array([d for d, _ in got], dtype=np.int64)
                 )
-                for qid in qids:
-                    frames.append(pd.DataFrame({
-                        "query_id": np.int32(qid),
-                        "docid": ids,
-                        "contrib": contrib,
-                    }))
-            yield (pd.concat(frames, ignore_index=True) if frames
-                   else pd.DataFrame({
-                       "query_id": pd.Series([], dtype="int32"),
-                       "docid": pd.Series([], dtype="int64"),
-                       "contrib": pd.Series([], dtype="float64")}))
+                restrict.update((qid, t) for t in exp)
+            else:  # bound can't exclude stopword-only docs → full scan
+                to_score.append((qid, present))
+        # gated queries score too — all their terms, expensive ones
+        # candidate-restricted via `restrict`
+        to_score.extend(
+            (qid, present) for qid, present, _, _ in maybe
+            if qid in cand_by_qid
+        )
 
-    scored = (
-        rows.select("term", "postings", "doclens")
-        .mapInPandas(score_fn, "query_id int, docid long, contrib double")
-        .groupBy("query_id", "docid")
-        .agg(F.sum("contrib").alias("score"))
-    )
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, present in to_score:
+        for t in present:
+            qids_by_term.setdefault(t, []).append(qid)
+
+    scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
+                          cand_by_qid, restrict)
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(

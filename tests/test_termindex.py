@@ -164,3 +164,53 @@ def test_layout_doclens_match_corpus(spark, documents, tmp_path_factory):
         ids, _ = decode_postings(bytes(r["postings"]))
         dls = _varbyte_decode(bytes(r["doclens"]))
         assert [want[i] for i in ids.tolist()] == [int(x) for x in dls]
+
+
+def test_bm25_layout_candidate_gate_exact_and_engaged(spark, tmp_path_factory,
+                                                      monkeypatch):
+    """The MaxScore candidate gate (expensive terms emit postings only for
+    cheap-term candidate docs) must be hash-identical to the ungated path
+    AND actually engage: the stopword's (qid, term) pair is restricted to
+    a candidate set of exactly the cheap term's df docids. Queries where
+    the gate cannot apply (stopword-only, all-expensive) fall back and
+    stay correct in the same batch."""
+    rows = []
+    for i in range(300):
+        extra = " needle shard" if i % 7 == 0 else ""
+        rows.append((i, f"the quick the lazy the dog w{i % 11}" + extra))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("idx_gate"))
+    spimi.build_index(spark, docs, idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("layout_gate"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=8)
+
+    queries = [(0, "needle the"), (1, "the"), (2, "the quick")]
+    want = [  # ungated reference (default threshold = 1M floor)
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in termindex.bm25_topk(spark, lay, queries, k=10)
+        .orderBy("query_id", "rank").collect()
+    ]
+
+    calls = []
+    orig = termindex._scored_rows
+
+    def spy(rows, sub, idf, avgdl, cand=None, restrict=None):
+        calls.append((cand, restrict))
+        return orig(rows, sub, idf, avgdl, cand, restrict)
+
+    monkeypatch.setattr(termindex, "_scored_rows", spy)
+    got = [
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in termindex.bm25_topk(spark, lay, queries, k=10,
+                                     expensive_df=100)
+        .orderBy("query_id", "rank").collect()
+    ]
+    assert got == want and got
+
+    cand, restrict = calls[-1]  # the final scoring job
+    assert (0, "the") in restrict          # stopword gated for query 0
+    assert all(q != 1 for q, _ in restrict)  # stopword-only q1: fallback
+    assert all(q != 2 for q, _ in restrict)  # all-expensive q2: fallback
+    n_needle = sum(1 for i in range(300) if i % 7 == 0)
+    assert len(cand[0]) == n_needle        # candidates = needle's docs

@@ -418,7 +418,6 @@ def bm25_topk(
     ``round_to`` — rank-identical to wand.topk / the exact scorer on a
     current layout."""
     from ..analyzer import get_analyzer
-    from .wand import _idf
 
     meta = _load_meta(layout_dir)
     if not meta.get("has_doclens"):
@@ -427,12 +426,8 @@ def bm25_topk(
             "bm25_topk needs a doclen-carrying layout"
         )
     _check_stale(meta, allow_stale)
-    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
-    if expensive_df is None:
-        expensive_df = max(EXPENSIVE_DF_FLOOR,
-                           int(EXPENSIVE_DF_FRACTION * n_docs))
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
-    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         raise ValueError("no query terms")
@@ -441,6 +436,28 @@ def bm25_topk(
     # df per query term: tiny metadata collect against the SAME pruned scan
     df_by_term = {r["term"]: int(r["df"])
                   for r in rows.select("term", "df").collect()}
+    return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
+                      expensive_df)
+
+
+def _bm25_impl(
+    spark: SparkSession,
+    rows: DataFrame,
+    meta: dict,
+    df_by_term: dict[str, int],
+    qterms: dict[int, list[str]],
+    k: int,
+    round_to: int | None,
+    expensive_df: int | None,
+) -> DataFrame:
+    """Shared scoring pipeline behind bm25_topk and TermLayoutReader.topk:
+    candidate-gate planning + scoring jobs + the group-limited merge."""
+    from .wand import _idf
+
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    if expensive_df is None:
+        expensive_df = max(EXPENSIVE_DF_FLOOR,
+                           int(EXPENSIVE_DF_FRACTION * n_docs))
     idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
     plans = []  # (qid, [present terms])
     for qid, ts in qterms.items():
@@ -522,3 +539,61 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+class TermLayoutReader:
+    """Warm serving handle over the term-partitioned layout: the merged
+    terms table pinned in executor memory (MEMORY_AND_DISK) and per-term
+    df memoized driver-side, so a warm ranked query runs exactly ONE
+    Spark job (plus the cheap-only gating job when the candidate gate
+    engages) — the layout twin of wand.IndexReader / FieldedReader.
+
+    Staleness vs the source index is checked once at open (the handle
+    serves a fixed snapshot by design; reopen after rebuilds)."""
+
+    def __init__(self, spark: SparkSession, layout_dir: str,
+                 allow_stale: bool = False):
+        self.spark = spark
+        self.layout_dir = layout_dir
+        self.meta = _load_meta(layout_dir)
+        if not self.meta.get("has_doclens"):
+            raise ValueError(
+                "layout was built without doclens (fielded source?) — "
+                "ranked serving needs a doclen-carrying layout"
+            )
+        _check_stale(self.meta, allow_stale)
+        self.table = spark.read.parquet(f"{layout_dir}/terms").persist()
+        self.table.count()  # materialize the cache
+        self._df_cache: dict[str, int | None] = {}  # None = known-absent
+
+    def _dfs_for(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            found = {r["term"]: int(r["df"]) for r in
+                     self.table.filter(F.col("term").isin(missing))
+                     .select("term", "df").collect()}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: v for t in terms if (v := self._df_cache[t]) is not None}
+
+    def topk(self, queries: list[tuple[int, str]], k: int = 10,
+             round_to: int | None = 4,
+             expensive_df: int | None = None) -> DataFrame:
+        from ..analyzer import get_analyzer
+
+        tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
+        qterms = {int(qid): sorted(set(tokenize(text)))
+                  for qid, text in queries}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            raise ValueError("no query terms")
+        df_by_term = self._dfs_for(all_terms)
+        present = sorted(df_by_term)
+        # the persisted table replaces disk-side pruning; the term filter
+        # still narrows the in-memory columnar scan
+        rows = self.table.filter(F.col("term").isin(present or all_terms))
+        return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
+                          k, round_to, expensive_df)
+
+    def close(self) -> None:
+        self.table.unpersist()

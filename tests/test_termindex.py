@@ -214,3 +214,31 @@ def test_bm25_layout_candidate_gate_exact_and_engaged(spark, tmp_path_factory,
     assert all(q != 2 for q, _ in restrict)  # all-expensive q2: fallback
     n_needle = sum(1 for i in range(300) if i % 7 == 0)
     assert len(cand[0]) == n_needle        # candidates = needle's docs
+
+
+def test_term_layout_reader_warm_matches_cold(spark, documents,
+                                              tmp_path_factory):
+    """TermLayoutReader (terms table pinned, df memoized) must be result-
+    identical to the cold bm25_topk path across repeated and partially-
+    absent-term queries."""
+    idx = str(tmp_path_factory.mktemp("idx_tlr"))
+    spimi.build_index(spark, documents, idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("layout_tlr"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=8)
+    reader = termindex.TermLayoutReader(spark, lay)
+    try:
+        batches = [
+            [(0, "spark join merge"), (1, "the")],
+            [(0, "spark join merge"), (2, "customer zz_absent filter")],
+        ]
+        for queries in batches:
+            rows = lambda df: [  # noqa: E731
+                (r["query_id"], r["rank"], r["docid"], r["score"])
+                for r in df.orderBy("query_id", "rank").collect()
+            ]
+            got = rows(reader.topk(queries, k=10))
+            want = rows(termindex.bm25_topk(spark, lay, queries, k=10))
+            assert got == want and got
+    finally:
+        reader.close()

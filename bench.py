@@ -8,6 +8,8 @@ Runs the engine's headline operations at $SPARK_GRAFT_SF_DIR (default
 - query_p50:     per-query top-k latency, p50 over the batch run singly
 - exact_batch:   exact (non-index) DataFrame BM25 for the same batch
 - tokens_agg:    analyzer+postings aggregation throughput
+- layout_build / layout_bm25_batch: term-partitioned layout build +
+  the same batch served warm from it (TermLayoutReader, one job/pass)
 
 Robustness to host CPU steal (the shared VM shows ±25% to 4× run-to-run
 swings — BENCH.md control tables): every metric is measured with
@@ -158,6 +160,24 @@ def main():
         timings["tokens_agg"] = _measure(
             lambda: postings.groupBy("term").count().count(), passes=3
         )
+
+        # round-5 serving path: BM25 from the term-partitioned layout —
+        # build the layout from the committed index, then the same 6-query
+        # batch warm (terms table pinned, df memoized → one job per pass)
+        from gazetteer_spark.index import termindex
+
+        lay = f"{idx_dir}/layout"
+        timings["layout_build"] = _measure(
+            lambda: termindex.build_term_layout(spark, keep, lay,
+                                                n_buckets=int(cpus)),
+            passes=1,
+        )
+        lreader = termindex.TermLayoutReader(spark, lay)
+        lreader.topk(QUERIES, k=10).collect()  # warm the cache
+        timings["layout_bm25_batch"] = _measure(
+            lambda: lreader.topk(QUERIES, k=10).collect(), passes=4
+        )
+        lreader.close()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -183,6 +183,27 @@ def q_ft_bm25_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rare term 'dup' (df≈5% of docs) + stopword-class terms: with the forced
+# threshold the MaxScore candidate gate ENGAGES (stopword postings emit
+# only for the rare term's candidate docs) — results must stay exact
+FT_GATED_QUERIES: list[tuple[int, str]] = [
+    (0, "dup the"),
+    (1, "dup window key"),
+]
+
+
+def q_ft_bm25_gated_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-served BM25 with the MaxScore candidate gate FORCED ON
+    (expensive_df=100 makes every common term stopword-class): cheap-only
+    scoring bounds θ, stopword postings are emitted only for candidate
+    docs, and the result must still hash-equal the full-scan oracle —
+    the stopword-robust point-query path at corpus scale."""
+    return termindex.bm25_topk(
+        spark, _layout_dir(spark, sf_dir), FT_GATED_QUERIES, k=10,
+        expensive_df=100,
+    )
+
+
 def q_ft_wand_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive retrieval + exact BM25 rank over the index: docs holding
     EVERY query term, candidate intersection with block-selective decode."""
@@ -393,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
         "ft_bm25_via_termindex": q_ft_bm25_via_termindex,
+        "ft_bm25_gated_via_termindex": q_ft_bm25_gated_via_termindex,
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_near_via_index": q_ft_near_via_index,
@@ -653,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
         "ft_bm25_via_termindex": bm25,
+        "ft_bm25_gated_via_termindex": bm25_sql(FT_GATED_QUERIES, 10),
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_phrase_via_index": _oracle_phrase(),

@@ -242,3 +242,46 @@ def test_term_layout_reader_warm_matches_cold(spark, documents,
             assert got == want and got
     finally:
         reader.close()
+
+
+def test_bm25_gate_random_trials(spark, tmp_path_factory):
+    """Seeded-random corpora + thresholds: the gated scorer equals the
+    ungated one on every trial (rare/medium/stopword term mix, random
+    query compositions, random expensive_df cutoffs)."""
+    import random
+
+    rng = random.Random(1105)
+    vocab_rare = [f"r{i}" for i in range(6)]
+    vocab_mid = [f"m{i}" for i in range(4)]
+    for trial in range(3):
+        rows = []
+        for i in range(240):
+            words = ["stop"] * rng.randint(1, 4)
+            if rng.random() < 0.5:
+                words += [rng.choice(vocab_mid)] * rng.randint(1, 2)
+            if rng.random() < 0.15:
+                words.append(rng.choice(vocab_rare))
+            rng.shuffle(words)
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = str(tmp_path_factory.mktemp(f"idx_rgate{trial}"))
+        spimi.build_index(spark, docs, idx, n_shards=2,
+                          id_col="doc_id", content_col="text")
+        lay = str(tmp_path_factory.mktemp(f"lay_rgate{trial}"))
+        termindex.build_term_layout(spark, idx, lay, n_buckets=4)
+        queries = [
+            (0, f"{rng.choice(vocab_rare)} stop"),
+            (1, f"{rng.choice(vocab_rare)} {rng.choice(vocab_mid)} stop"),
+            (2, "stop"),
+            (3, f"{rng.choice(vocab_mid)} stop"),
+        ]
+        k = rng.choice([3, 10])
+        cut = rng.choice([20, 60, 150])
+        rows_of = lambda df: [  # noqa: E731
+            (r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+        got = rows_of(termindex.bm25_topk(spark, lay, queries, k=k,
+                                          expensive_df=cut))
+        want = rows_of(termindex.bm25_topk(spark, lay, queries, k=k))
+        assert got == want and got, (trial, k, cut)

@@ -210,6 +210,17 @@ def q_ft_wand_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand.topk_and(spark, _index_dir(spark, sf_dir), FT_AND_QUERIES, k=10)
 
 
+def q_ft_bm25_and_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BM25 rank served from the TERM layout: the rarest
+    term's postings gate every other term's emission (exact under AND
+    semantics — no theta needed), contributing-term count enforces the
+    conjunction. Must hash-equal the doc-sharded wand.topk_and and the
+    DuckDB oracle."""
+    return termindex.bm25_and_topk(
+        spark, _layout_dir(spark, sf_dir), FT_AND_QUERIES, k=10
+    )
+
+
 def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase match served from the POSITIONAL index (layout v2) — must be
     hash-identical to the full-scan shingle oracle (ft_phrase_match), while
@@ -416,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_via_termindex": q_ft_bm25_via_termindex,
         "ft_bm25_gated_via_termindex": q_ft_bm25_gated_via_termindex,
         "ft_wand_and_topk": q_ft_wand_and_topk,
+        "ft_bm25_and_via_termindex": q_ft_bm25_and_via_termindex,
         "ft_phrase_via_index": q_ft_phrase_via_index,
         "ft_near_via_index": q_ft_near_via_index,
         "ft_near3_via_index": q_ft_near3_via_index,
@@ -678,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_gated_via_termindex": bm25_sql(FT_GATED_QUERIES, 10),
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),
+        "ft_bm25_and_via_termindex": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_phrase_via_index": _oracle_phrase(),
         "ft_near_via_index": (
             "WITH d AS (SELECT doc_id AS docid, "

@@ -308,11 +308,14 @@ def _scored_rows(
     avgdl: float,
     cand_by_qid: dict[int, np.ndarray] | None = None,
     restrict: set[tuple[int, str]] | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
-    """(query_id, docid, score): exact BM25 sums for the subscribed
+    """(query_id, docid, score[, nt]): exact BM25 sums for the subscribed
     (query, term) pairs. ``restrict`` marks (qid, term) pairs whose
     postings are emitted ONLY for docids in ``cand_by_qid[qid]`` (the
-    MaxScore candidate gate); unrestricted pairs emit everything."""
+    MaxScore candidate gate); unrestricted pairs emit everything.
+    ``with_count`` additionally returns the number of contributing terms
+    per (query, doc) — the conjunctive-retrieval predicate."""
     cand_by_qid = cand_by_qid or {}
     restrict = restrict or set()
 
@@ -355,12 +358,15 @@ def _scored_rows(
                        "docid": pd.Series([], dtype="int64"),
                        "contrib": pd.Series([], dtype="float64")}))
 
-    return (
+    scored = (
         rows.select("term", "postings", "doclens")
         .mapInPandas(score_fn, "query_id int, docid long, contrib double")
         .groupBy("query_id", "docid")
-        .agg(F.sum("contrib").alias("score"))
     )
+    if with_count:
+        return scored.agg(F.sum("contrib").alias("score"),
+                          F.count(F.lit(1)).alias("nt"))
+    return scored.agg(F.sum("contrib").alias("score"))
 
 
 def bm25_topk(
@@ -597,3 +603,106 @@ class TermLayoutReader:
 
     def close(self) -> None:
         self.table.unpersist()
+
+
+def bm25_and_topk(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+    gate_cap: int = CANDIDATE_CAP,
+) -> DataFrame:
+    """(query_id, rank, docid, score): conjunctive retrieval + exact BM25
+    rank served from the term layout — docs containing EVERY analyzed
+    query term, the layout twin of wand.topk_and. Queries with a term
+    absent from the corpus return no rows (strict AND).
+
+    Scale shape: AND semantics make the rarest-term gate EXACT with no
+    θ estimation — a matching doc must appear in the rarest term's
+    postings, so when that term's df ≤ ``gate_cap`` its docids are
+    collected (one pruned job for the whole batch) and every OTHER
+    term's postings emit only for those candidates: the shuffle is
+    bounded by n_terms × df(rarest), not Σ df. Queries whose rarest df
+    exceeds the cap run ungated (count-filtered full emission) in the
+    same job. Either way the conjunctive predicate is enforced by the
+    contributing-term count, so results are exact by construction."""
+    from ..analyzer import get_analyzer
+    from .wand import _idf
+
+    meta = _load_meta(layout_dir)
+    if not meta.get("has_doclens"):
+        raise ValueError(
+            "layout was built without doclens (fielded source?) — "
+            "ranked serving needs a doclen-carrying layout"
+        )
+    _check_stale(meta, allow_stale)
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
+
+    plans = []  # strict AND: every analyzed term must exist in the corpus
+    for qid, ts in qterms.items():
+        if ts and all(t in df_by_term for t in ts):
+            plans.append((qid, ts))
+    if not plans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+
+    # rarest-term gate (exact under AND): one pruned job collects the
+    # gating terms' postings for the whole batch
+    gate_terms = {}
+    for qid, ts in plans:
+        if len(ts) < 2:
+            continue
+        rare = min(ts, key=lambda t: (df_by_term[t], t))
+        if df_by_term[rare] <= gate_cap:
+            gate_terms[qid] = rare
+    cand_by_qid: dict[int, np.ndarray] = {}
+    restrict: set[tuple[int, str]] = set()
+    if gate_terms:
+        need = sorted(set(gate_terms.values()))
+        by_term: dict[str, list[int]] = {}
+        for r in (term_postings(spark, layout_dir, need)
+                  .select("term", "docid").collect()):
+            by_term.setdefault(r["term"], []).append(r["docid"])
+        for qid, rare in gate_terms.items():
+            cand_by_qid[qid] = np.sort(
+                np.array(by_term.get(rare, []), dtype=np.int64)
+            )
+            restrict.update(
+                (qid, t) for t in qterms[qid] if t != rare
+            )
+
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, ts in plans:
+        for t in ts:
+            qids_by_term.setdefault(t, []).append(qid)
+    nt_required = F.create_map(
+        *[F.lit(v) for qid, ts in plans for v in (qid, len(ts))]
+    )
+    scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
+                          cand_by_qid, restrict, with_count=True)
+    scored = scored.filter(
+        F.col("nt") == nt_required[F.col("query_id")]
+    )
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.select("query_id", "docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )

@@ -285,3 +285,49 @@ def test_bm25_gate_random_trials(spark, tmp_path_factory):
                                           expensive_df=cut))
         want = rows_of(termindex.bm25_topk(spark, lay, queries, k=k))
         assert got == want and got, (trial, k, cut)
+
+
+def test_bm25_and_layout_matches_wand_and_gates(spark, documents,
+                                                tmp_path_factory,
+                                                monkeypatch):
+    """Conjunctive ranked retrieval from the layout equals wand.topk_and
+    rank-for-rank; the rarest-term gate restricts every non-rarest term,
+    and an over-cap query runs ungated yet stays exact."""
+    from gazetteer_spark.index import wand
+
+    idx = str(tmp_path_factory.mktemp("idx_and_tl"))
+    spimi.build_index(spark, documents, idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("lay_and_tl"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=8)
+    queries = [
+        (0, "customer filter group"),
+        (1, "the window"),
+        (5, "hash aggregate zz_absent"),  # absent term → strict AND empties
+    ]
+    rows_of = lambda df: [  # noqa: E731
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    calls = []
+    orig = termindex._scored_rows
+
+    def spy(rows, sub, idf, avgdl, cand=None, restrict=None, **kw):
+        calls.append((cand, restrict))
+        return orig(rows, sub, idf, avgdl, cand, restrict, **kw)
+
+    monkeypatch.setattr(termindex, "_scored_rows", spy)
+    got = rows_of(termindex.bm25_and_topk(spark, lay, queries, k=10))
+    want = rows_of(wand.topk_and(spark, idx, queries, k=10))
+    assert got == want and got
+    assert not any(q == 5 for q, *_ in got)  # absent-term query empty
+    cand, restrict = calls[-1]
+    # every query with ≥2 present terms is gated on its rarest term:
+    # exactly (n_terms − 1) restricted pairs per gated query
+    assert sum(1 for q, _ in restrict if q == 0) == 2
+    assert sum(1 for q, _ in restrict if q == 1) == 1
+
+    # over-cap fallback: gate_cap=0 disables gating, results unchanged
+    ungated = rows_of(termindex.bm25_and_topk(spark, lay, queries, k=10,
+                                              gate_cap=0))
+    assert ungated == want

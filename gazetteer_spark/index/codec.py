@@ -409,12 +409,21 @@ class DelIndex:
     __slots__ = ("_gens", "_ids", "_cache")
 
     def __init__(self, gens_and_bufs):
-        """``gens_and_bufs``: iterable of (generation, postings_bytes)."""
-        items = sorted(
-            (int(g), decode_postings(b)[0]) for g, b in gens_and_bufs
-        )
-        self._gens = np.array([g for g, _ in items], dtype=np.int64)
-        self._ids = [ids for _, ids in items]
+        """``gens_and_bufs``: iterable of (generation, postings_bytes).
+        A generation may appear MULTIPLE times (e.g. one dels row per
+        shard of the same delete, replicated into a term-layout bucket) —
+        same-gen buffers are merged, never compared (a bare sort would
+        tie on gen and fall into ambiguous ndarray comparison)."""
+        by_gen: dict[int, list[np.ndarray]] = {}
+        for g, b in gens_and_bufs:
+            by_gen.setdefault(int(g), []).append(decode_postings(b)[0])
+        gens = sorted(by_gen)
+        self._gens = np.array(gens, dtype=np.int64)
+        self._ids = [
+            (np.unique(np.concatenate(by_gen[g])) if len(by_gen[g]) > 1
+             else by_gen[g][0])
+            for g in gens
+        ]
         self._cache: dict[int, np.ndarray] = {}
 
     @classmethod

@@ -23,6 +23,8 @@ Usage:
   ...   --mode layout-bm25 --term-layout DIR   BM25 top-k served from the
   ...                                     term-partitioned layout (bucket-
   ...                                     pruned point-query path)
+  ...   --mode layout-and --term-layout DIR    conjunctive (every term) +
+  ...                                     BM25 rank from the same layout
 """
 
 from __future__ import annotations
@@ -46,7 +48,8 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["or", "and", "phrase", "phrase-topk",
                                        "near", "near-n", "fielded",
                                        "fielded-phrase", "fielded-near",
-                                       "fuzzy", "fuzzy-edit", "layout-bm25"],
+                                       "fuzzy", "fuzzy-edit", "layout-bm25",
+                                       "layout-and"],
                     default="or")
     ap.add_argument("--field", default=None,
                     help="fielded-phrase / fielded-near: the field to match in")
@@ -152,13 +155,14 @@ def main(argv=None):
                 ).collect()
                 out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
                             for r in rows]
-    elif args.mode == "layout-bm25":
+    elif args.mode in ("layout-bm25", "layout-and"):
         from gazetteer_spark.index import termindex
 
         if not args.term_layout:
-            raise SystemExit("--mode layout-bm25 needs --term-layout")
-        for r in termindex.bm25_topk(spark, args.term_layout, queries,
-                                     k=args.k).collect():
+            raise SystemExit(f"--mode {args.mode} needs --term-layout")
+        fn = (termindex.bm25_topk if args.mode == "layout-bm25"
+              else termindex.bm25_and_topk)
+        for r in fn(spark, args.term_layout, queries, k=args.k).collect():
             out.setdefault(r["query_id"], []).append(
                 {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}
             )

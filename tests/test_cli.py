@@ -134,6 +134,11 @@ def test_cli_term_layout_and_edit_fuzzy(spark, documents, cli_env, capsys):
         "--query", "spark join", "--k", "5",
     ])
     assert got["mode"] == "layout-bm25" and got["results"]["0"]
+    got = _run(capsys, query_cli.main, [
+        "--index", idx, "--mode", "layout-and", "--term-layout", lay,
+        "--query", "spark join", "--k", "5",
+    ])
+    assert got["mode"] == "layout-and" and got["results"]["0"]
     # rank-identical to the doc-sharded path on the same corpus
     ref = _run(capsys, query_cli.main,
                ["--index", idx, "--query", "spark join", "--k", "5"])

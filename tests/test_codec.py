@@ -143,3 +143,19 @@ def test_positions_encode_rejects_maxpos_overflow():
         np.array([0], np.int64), np.array([1], np.int64)
     )
     assert len(ok) == 1 and len(ok[0]) > 0
+
+
+def test_delindex_merges_duplicate_generations():
+    """One generation may contribute MULTIPLE dels buffers (per-shard dels
+    rows replicated into a term-layout bucket) — they merge instead of
+    falling into ambiguous ndarray comparison on the gen tie."""
+    from gazetteer_spark.index.codec import DelIndex
+
+    b1, _ = encode_postings(np.array([3, 7]), np.array([1, 1]))
+    b2, _ = encode_postings(np.array([5, 7]), np.array([1, 1]))
+    b3, _ = encode_postings(np.array([9]), np.array([1]))
+    d = DelIndex([(2, b1), (2, b2), (4, b3)])
+    assert d.mask_for(1).tolist() == [3, 5, 7, 9]   # both gen-2 + gen-4
+    assert d.mask_for(3).tolist() == [9]            # only newer gen masks
+    keep = d.keep_mask(1, np.array([1, 3, 5, 8, 9]))
+    assert keep.tolist() == [True, False, False, True, False]

@@ -331,3 +331,24 @@ def test_bm25_and_layout_matches_wand_and_gates(spark, documents,
     ungated = rows_of(termindex.bm25_and_topk(spark, lay, queries, k=10,
                                               gate_cap=0))
     assert ungated == want
+
+
+def test_bm25_layout_excludes_tombstoned(spark, documents, tmp_path_factory):
+    """A layout rebuilt after deletions must never rank tombstoned docs,
+    and its snapshot stats (df from surviving postings) stay
+    self-consistent."""
+    idx = str(tmp_path_factory.mktemp("idx_bm25_del"))
+    spimi.build_index(spark, documents, idx, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    lay0 = str(tmp_path_factory.mktemp("lay_bm25_del0"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=8)
+    before = termindex.bm25_topk(spark, lay0, [(0, "customer filter")],
+                                 k=10).collect()
+    victims = [r["docid"] for r in before[:3]]
+    spimi.delete_documents(spark, victims, idx)
+    lay1 = str(tmp_path_factory.mktemp("lay_bm25_del1"))
+    termindex.build_term_layout(spark, idx, lay1, n_buckets=8)
+    after = {r["docid"] for r in
+             termindex.bm25_topk(spark, lay1, [(0, "customer filter")],
+                                 k=10).collect()}
+    assert after and not (after & set(victims))

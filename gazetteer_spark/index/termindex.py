@@ -29,9 +29,13 @@ serve term scans / boolean AND only.
 
 Tombstones: committed 'dels' generations are applied during the merge
 (df/cf recomputed from surviving postings), so the layout is an exact
-snapshot of the visible corpus at build time; serving checks the snapshot
-is not STALE (new posting generations in the source index) like the fuzzy
-layout does.
+snapshot of the visible corpus at build time. Serving refuses a STALE
+snapshot — and here staleness covers ALL post-build generations,
+INCLUDING dels-only ones: unlike the fuzzy layout (whose posting fan-in
+masks tombstones at read), this layout serves merged postings directly,
+so a post-build delete would silently resurrect docs. Snapshots are
+maintained incrementally with :func:`refresh_term_layout` (delta-cost,
+byte-identical to a full rebuild).
 """
 
 from __future__ import annotations
@@ -135,22 +139,13 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
     return out
 
 
-def build_term_layout(
-    spark: SparkSession, index_dir: str, out_dir: str, n_buckets: int = 64
-) -> None:
-    """Materialize the term-partitioned layout from COMMITTED segments.
-
-    Non-fielded sources additionally carry a term-side doclen stream
-    (resolved shard-locally in a map stage before the bucket shuffle) plus
-    corpus stats snapshotted into layout.json, enabling :func:`bm25_topk`
-    to serve ranked queries from this layout alone."""
-    from ..fuzzy import _posting_generations
-    from .spimi import committed_segments, load_stats
-
-    with open(f"{index_dir}/build.json") as f:
-        params = json.load(f)
-    with_doclens = params.get("fields") is None
-    seg = committed_segments(spark, index_dir)
+def _layout_input_rows(
+    spark: SparkSession, seg: DataFrame, n_buckets: int, with_doclens: bool
+) -> DataFrame:
+    """Segment rows → merge-input rows (bucket, kind, term, postings,
+    doclens, gen): the doclen-resolve map stage for post rows plus dels
+    rows replicated across every bucket (dels have term NULL — any term
+    may hold deleted docids)."""
     if with_doclens:
         stage1 = (
             seg.filter(F.col("kind").isin(["post", "docs"]))
@@ -166,8 +161,6 @@ def build_term_layout(
         term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
         "kind", "term", "postings", "doclens", "gen",
     )
-    # dels rows have term NULL → xxhash64(NULL) bucket; they must reach EVERY
-    # bucket (any term may hold deleted docids): explode them across buckets
     dels = seg.filter(F.col("kind") == "dels").select(
         "kind", "term", "postings",
         F.lit(None).cast("binary").alias("doclens"), "gen",
@@ -175,9 +168,27 @@ def build_term_layout(
     dels_all = dels.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
-    allrows = posts.unionByName(
+    return posts.unionByName(
         dels_all.select("bucket", "kind", "term", "postings", "doclens", "gen")
     )
+
+
+def build_term_layout(
+    spark: SparkSession, index_dir: str, out_dir: str, n_buckets: int = 64
+) -> None:
+    """Materialize the term-partitioned layout from COMMITTED segments.
+
+    Non-fielded sources additionally carry a term-side doclen stream
+    (resolved shard-locally in a map stage before the bucket shuffle) plus
+    corpus stats snapshotted into layout.json, enabling :func:`bm25_topk`
+    to serve ranked queries from this layout alone."""
+    from .spimi import committed_generations, committed_segments, load_stats
+
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    with_doclens = params.get("fields") is None
+    seg = committed_segments(spark, index_dir)
+    allrows = _layout_input_rows(spark, seg, n_buckets, with_doclens)
     merged = allrows.groupBy("bucket").applyInPandas(
         lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
     )
@@ -188,9 +199,13 @@ def build_term_layout(
             "analyzer": params.get("analyzer", "default"),
             "analyzer_version": params["analyzer_version"],
             "has_doclens": with_doclens,
-            # lineage snapshot for the staleness check (mirrors fuzzy):
-            # posting generations committed AFTER this are invisible here
-            "source_generations": _posting_generations(index_dir)}
+            # lineage snapshot for the staleness check: ALL committed
+            # generations, INCLUDING dels-only ones — unlike the fuzzy
+            # layout (whose posting fan-in masks tombstones at read), this
+            # layout serves merged postings directly, so a post-build
+            # delete would otherwise silently resurrect deleted docs
+            "source_generations": sorted(committed_generations(index_dir))}
+    meta["max_source_gen"] = max(meta["source_generations"], default=0)
     if with_doclens:
         stats = load_stats(index_dir)
         meta["n_docs"] = stats["n_docs"]
@@ -207,21 +222,27 @@ def _load_meta(layout_dir: str) -> dict:
 
 
 def _check_stale(meta: dict, allow_stale: bool) -> None:
-    """Serving from a layout whose source index committed NEW posting
-    generations after the build silently misses those postings — refuse
-    unless the caller opts in (same contract as fuzzy_docs)."""
-    from ..fuzzy import _posting_generations
+    """Serving from a layout whose source index committed NEW generations
+    after the build silently misses those postings — or, for dels-only
+    generations, silently RESURRECTS deleted docs (this layout serves
+    merged postings directly; there is no read-time tombstone mask) —
+    refuse unless the caller opts in."""
+    from .spimi import committed_generations
 
     built = meta.get("source_generations")
     if built is None or allow_stale:
         return
-    new = sorted(set(_posting_generations(meta["source_index"])) - set(built))
+    new = sorted(
+        set(committed_generations(meta["source_index"])) - set(built)
+    )
     if new:
         raise ValueError(
             f"term layout is STALE: source index {meta['source_index']} "
-            f"committed posting generations {new} after the layout was "
-            "built. Rebuild with build_term_layout, or pass "
-            "allow_stale=True to serve the snapshot."
+            f"committed generations {new} after the layout was built "
+            "(new postings would be missing; new deletes would be "
+            "ignored). Rebuild with build_term_layout / refresh with "
+            "refresh_term_layout, or pass allow_stale=True to serve the "
+            "snapshot."
         )
 
 
@@ -244,11 +265,14 @@ def _pruned_rows(
 
 
 def term_postings(
-    spark: SparkSession, layout_dir: str, terms: list[str]
+    spark: SparkSession, layout_dir: str, terms: list[str],
+    allow_stale: bool = False,
 ) -> DataFrame:
     """(term, docid, tf) for the given terms — partition-pruned (bucket) and
-    min/max-pruned (term) scan of the merged layout, decoded Arrow-batched."""
+    min/max-pruned (term) scan of the merged layout, decoded Arrow-batched.
+    Refuses a stale snapshot unless ``allow_stale`` (see _check_stale)."""
     meta = _load_meta(layout_dir)
+    _check_stale(meta, allow_stale)
     rows = _pruned_rows(spark, layout_dir, meta, terms).select(
         "term", "postings"
     )
@@ -270,7 +294,8 @@ def term_postings(
 
 
 def boolean_and(
-    spark: SparkSession, layout_dir: str, query: str
+    spark: SparkSession, layout_dir: str, query: str,
+    allow_stale: bool = False,
 ) -> DataFrame:
     """(docid): conjunctive retrieval served from the term layout — docs
     containing EVERY analyzed query term."""
@@ -281,7 +306,7 @@ def boolean_and(
     terms = sorted(set(tokenize(query)))
     if not terms:
         raise ValueError("empty query after analysis")
-    tp = term_postings(spark, layout_dir, terms)
+    tp = term_postings(spark, layout_dir, terms, allow_stale=allow_stale)
     return (
         tp.groupBy("docid")
         .agg(F.countDistinct("term").alias("nt"))
@@ -672,7 +697,8 @@ def bm25_and_topk(
     if gate_terms:
         need = sorted(set(gate_terms.values()))
         by_term: dict[str, list[int]] = {}
-        for r in (term_postings(spark, layout_dir, need)
+        # staleness already validated above — don't re-read the manifest
+        for r in (term_postings(spark, layout_dir, need, allow_stale=True)
                   .select("term", "docid").collect()):
             by_term.setdefault(r["term"], []).append(r["docid"])
         for qid, rare in gate_terms.items():
@@ -706,3 +732,65 @@ def bm25_and_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "docid", "score")
     )
+
+
+def refresh_term_layout(
+    spark: SparkSession, index_dir: str, layout_dir: str, out_dir: str
+) -> None:
+    """Incrementally fold the source index's NEW generations into an
+    existing layout snapshot → a fresh layout at ``out_dir`` (layout dirs
+    are immutable snapshots; the old one stays valid for allow_stale
+    readers). Cost scales with the DELTA generations' segment bytes plus
+    a re-merge of the affected buckets' rows — never a full source scan.
+
+    Correctness composes through generation-ordered tombstones: the
+    existing merged rows re-enter the merge labeled with the max source
+    generation known at their build, so a delta del (gen > label) masks
+    them, a delta re-add (gen > del) survives, and re-applying an
+    already-applied del is an idempotent no-op. The result is
+    byte-identical to a from-scratch build at the new snapshot
+    (test-pinned)."""
+    from .spimi import committed_generations, committed_segments, load_stats
+
+    meta = _load_meta(layout_dir)
+    n_buckets = meta["n_buckets"]
+    with_doclens = meta["has_doclens"]
+    built = set(meta.get("source_generations") or [])
+    current = committed_generations(index_dir)
+    delta = sorted(set(current) - built)
+    if not delta:
+        raise ValueError(
+            f"layout {layout_dir} is already current with {index_dir} — "
+            "nothing to refresh"
+        )
+    max_built = int(meta.get("max_source_gen", max(built, default=0)))
+
+    seg = committed_segments(spark, index_dir).filter(
+        F.col("gen").isin(delta)
+    )
+    delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens)
+    existing = spark.read.parquet(f"{layout_dir}/terms").select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.lit("post").alias("kind"),
+        "term", "postings", "doclens",
+        F.lit(max_built).cast("int").alias("gen"),
+    )
+    allrows = existing.unionByName(delta_rows)
+    merged = allrows.groupBy("bucket").applyInPandas(
+        lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{out_dir}/terms"
+    )
+    new_meta = dict(meta)
+    new_meta["source_generations"] = sorted(current)
+    new_meta["max_source_gen"] = max(current, default=0)
+    if with_doclens:
+        stats = load_stats(index_dir)
+        new_meta["n_docs"] = stats["n_docs"]
+        new_meta["avgdl"] = stats["avgdl"]
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.layout.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, f"{out_dir}/layout.json")

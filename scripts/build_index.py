@@ -64,6 +64,10 @@ def main(argv=None):
                          "existing index")
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="term-layout: number of term-hash partitions")
+    ap.add_argument("--refresh-layout", default=None,
+                    help="with --term-layout-from: fold only the DELTA "
+                         "generations into this existing layout snapshot "
+                         "(byte-identical to a full rebuild, delta cost)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -91,8 +95,13 @@ def main(argv=None):
         from gazetteer_spark.index import termindex
 
         t0 = time.time()
-        termindex.build_term_layout(spark, args.term_layout_from, args.out,
-                                    n_buckets=args.n_buckets)
+        if args.refresh_layout:
+            termindex.refresh_term_layout(
+                spark, args.term_layout_from, args.refresh_layout, args.out)
+        else:
+            termindex.build_term_layout(
+                spark, args.term_layout_from, args.out,
+                n_buckets=args.n_buckets)
         print(json.dumps({"term_layout": args.out,
                           "sec": round(time.time() - t0, 2)}))
         return

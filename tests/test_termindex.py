@@ -352,3 +352,55 @@ def test_bm25_layout_excludes_tombstoned(spark, documents, tmp_path_factory):
              termindex.bm25_topk(spark, lay1, [(0, "customer filter")],
                                  k=10).collect()}
     assert after and not (after & set(victims))
+
+
+def test_layout_refresh_matches_full_rebuild(spark, documents,
+                                             tmp_path_factory):
+    """refresh_term_layout folding delta generations (adds + deletes) into
+    an existing snapshot must be BYTE-identical to a from-scratch rebuild
+    at the new snapshot — and dels-only generations now stale the layout
+    (they have no read-time mask here, unlike the fuzzy fan-in)."""
+    idx = str(tmp_path_factory.mktemp("idx_refresh"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), idx,
+                      n_shards=4, id_col="doc_id", content_col="text")
+    lay0 = str(tmp_path_factory.mktemp("lay_refresh0"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=8)
+
+    # delta: one add generation + one dels-only generation
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), idx,
+                        id_col="doc_id", content_col="text")
+    victims = [r["docid"] for r in
+               termindex.term_postings(spark, lay0, ["customer"],
+                                       allow_stale=True)
+               .select("docid").limit(3).collect()]
+    spimi.delete_documents(spark, victims, idx)
+
+    # the dels-only generation STALES the layout for every reader
+    with pytest.raises(ValueError, match="STALE"):
+        termindex.term_postings(spark, lay0, ["customer"]).collect()
+    with pytest.raises(ValueError, match="STALE"):
+        termindex.boolean_and(spark, lay0, "customer filter")
+
+    lay1 = str(tmp_path_factory.mktemp("lay_refresh1"))
+    termindex.refresh_term_layout(spark, idx, lay0, lay1)
+    lay2 = str(tmp_path_factory.mktemp("lay_refresh2"))
+    termindex.build_term_layout(spark, idx, lay2, n_buckets=8)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)
+    # refreshed snapshot serves: victims gone, added docs present
+    got = {r["docid"] for r in
+           termindex.term_postings(spark, lay1, ["customer"]).collect()}
+    assert got and not (got & set(victims))
+    assert any(d >= 300 for d in
+               {r["docid"] for r in
+                termindex.term_postings(spark, lay1, ["the"]).collect()})
+    # refreshing a current layout is a loud no-op
+    with pytest.raises(ValueError, match="already current"):
+        termindex.refresh_term_layout(spark, idx, lay1, lay2 + "_x")

@@ -749,7 +749,13 @@ def refresh_term_layout(
     them, a delta re-add (gen > del) survives, and re-applying an
     already-applied del is an idempotent no-op. The result is
     byte-identical to a from-scratch build at the new snapshot
-    (test-pinned)."""
+    (test-pinned).
+
+    Write amplification: an adds-only delta re-merges ONLY the delta
+    terms' buckets — untouched bucket partitions are copied verbatim
+    (file-level). A delta containing dels re-merges every bucket (a
+    deleted docid may appear under any term), which is the honest
+    lower bound without a docid→terms inverse."""
     from .spimi import committed_generations, committed_segments, load_stats
 
     meta = _load_meta(layout_dir)
@@ -769,6 +775,14 @@ def refresh_term_layout(
         F.col("gen").isin(delta)
     )
     delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens)
+    has_dels = not seg.filter(F.col("kind") == "dels").isEmpty()
+    affected: list[int] | None = None
+    if not has_dels:
+        # adds-only delta: only the delta terms' buckets change
+        affected = sorted(
+            r["bucket"] for r in delta_rows.select("bucket")
+            .distinct().collect()
+        )
     existing = spark.read.parquet(f"{layout_dir}/terms").select(
         F.col("bucket").cast("int").alias("bucket"),
         F.lit("post").alias("kind"),
@@ -776,12 +790,25 @@ def refresh_term_layout(
         F.lit(max_built).cast("int").alias("gen"),
     )
     allrows = existing.unionByName(delta_rows)
+    if affected is not None:
+        allrows = allrows.filter(F.col("bucket").isin(affected))
     merged = allrows.groupBy("bucket").applyInPandas(
         lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/terms"
     )
+    if affected is not None:
+        # untouched bucket partitions: verbatim file-level copy
+        import shutil
+
+        touched = {f"bucket={b}" for b in affected}
+        for name in sorted(os.listdir(f"{layout_dir}/terms")):
+            if name.startswith("bucket=") and name not in touched:
+                src = f"{layout_dir}/terms/{name}"
+                dst = f"{out_dir}/terms/{name}"
+                if os.path.isdir(src) and not os.path.exists(dst):
+                    shutil.copytree(src, dst)
     new_meta = dict(meta)
     new_meta["source_generations"] = sorted(current)
     new_meta["max_source_gen"] = max(current, default=0)

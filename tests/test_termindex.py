@@ -404,3 +404,70 @@ def test_layout_refresh_matches_full_rebuild(spark, documents,
     # refreshing a current layout is a loud no-op
     with pytest.raises(ValueError, match="already current"):
         termindex.refresh_term_layout(spark, idx, lay1, lay2 + "_x")
+
+
+def test_layout_refresh_adds_only_copies_untouched_buckets(
+    spark, tmp_path_factory
+):
+    """An adds-only delta re-merges ONLY the delta terms' buckets;
+    untouched bucket partitions are verbatim file-level copies of the old
+    snapshot (same file names, same bytes — a re-merge always writes new
+    part files), and the refreshed layout equals a full rebuild
+    byte-for-byte."""
+    import os as _os
+
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(100 + i, f"alpha gamma w{i % 5}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path_factory.mktemp("idx_addsonly"))
+    spimi.build_index(spark, docs1, idx, n_shards=2,
+                      id_col="doc_id", content_col="text")
+    lay0 = str(tmp_path_factory.mktemp("lay_addsonly0"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=32)
+    spimi.add_documents(spark, docs2, idx, id_col="doc_id",
+                        content_col="text")
+    lay1 = str(tmp_path_factory.mktemp("lay_addsonly1"))
+    termindex.refresh_term_layout(spark, idx, lay0, lay1)
+
+    delta_terms = ["alpha", "gamma", "w0", "w1", "w2", "w3", "w4"]
+    affected = set(termindex._buckets_for(spark, delta_terms, 32))
+    beta_bucket = termindex._buckets_for(spark, ["beta"], 32)[0]
+    assert beta_bucket not in affected  # deterministic for this vocab
+
+    checked_copy = checked_remerge = False
+    for name in sorted(_os.listdir(f"{lay0}/terms")):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        files0 = sorted(f for f in _os.listdir(f"{lay0}/terms/{name}")
+                        if f.endswith(".parquet"))
+        files1 = sorted(f for f in _os.listdir(f"{lay1}/terms/{name}")
+                        if f.endswith(".parquet"))
+        if b not in affected:
+            assert files0 == files1, name  # verbatim copy
+            for f in files0:
+                with open(f"{lay0}/terms/{name}/{f}", "rb") as a, \
+                        open(f"{lay1}/terms/{name}/{f}", "rb") as c:
+                    assert a.read() == c.read()
+            checked_copy = True
+        else:
+            assert files0 != files1, name  # freshly written part files
+            checked_remerge = True
+    assert checked_copy and checked_remerge
+
+    lay2 = str(tmp_path_factory.mktemp("lay_addsonly2"))
+    termindex.build_term_layout(spark, idx, lay2, n_buckets=32)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)

@@ -217,8 +217,19 @@ def build_term_layout(
 
 
 def _load_meta(layout_dir: str) -> dict:
-    with open(f"{layout_dir}/layout.json") as f:
-        return json.load(f)
+    """layout.json is the COMMIT POINT (written atomically after the terms
+    table lands): its absence means no layout or a build that died before
+    committing — either way the partial data is invisible by design."""
+    try:
+        with open(f"{layout_dir}/layout.json") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{layout_dir} has no layout.json — not a committed term "
+            "layout (the atomic json write is the build's commit point; "
+            "a killed build leaves no visible layout). Rebuild with "
+            "build_term_layout."
+        ) from None
 
 
 def _check_stale(meta: dict, allow_stale: bool) -> None:

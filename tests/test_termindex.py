@@ -471,3 +471,30 @@ def test_layout_refresh_adds_only_copies_untouched_buckets(
         )
 
     assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)
+
+
+def test_partial_layout_invisible(spark, documents, tmp_path_factory):
+    """A layout build killed before the layout.json commit leaves data
+    that is INVISIBLE to every reader (clear error, not silent partial
+    results) — the json write is the commit point."""
+    import os as _os
+    import shutil as _sh
+
+    idx = str(tmp_path_factory.mktemp("idx_partial"))
+    spimi.build_index(spark, documents.limit(100), idx, n_shards=2,
+                      id_col="doc_id", content_col="text")
+    lay = str(tmp_path_factory.mktemp("lay_partial"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=4)
+    _os.remove(f"{lay}/layout.json")  # simulate death before commit
+    assert _os.path.isdir(f"{lay}/terms")  # data present but uncommitted
+    for fn in (
+        lambda: termindex.term_postings(spark, lay, ["the"]).collect(),
+        lambda: termindex.bm25_topk(spark, lay, [(0, "the")]).collect(),
+        lambda: termindex.TermLayoutReader(spark, lay),
+    ):
+        with pytest.raises(ValueError, match="commit point"):
+            fn()
+    # rebuild over the dir recovers
+    _sh.rmtree(lay)
+    termindex.build_term_layout(spark, idx, lay, n_buckets=4)
+    assert termindex.term_postings(spark, lay, ["the"]).count() > 0

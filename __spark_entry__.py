@@ -337,14 +337,44 @@ def _fielded_dir(spark: SparkSession, sf_dir: str) -> str:
         from gazetteer_spark import fielded
 
         d = tempfile.mkdtemp(prefix="gz_fidx_")
-        # positions=True (layout v2f): ONE index serves BM25F scoring (which
-        # ignores the positions stream) and phrase-within-field queries
+        # positions=True (layout v2f) + doclens=True (v3): ONE index serves
+        # BM25F scoring (which ignores the positions stream), phrase-within-
+        # field queries, AND one-shuffle fielded term-layout builds
         fielded.build_fielded_index(
             spark, _docs(spark, sf_dir), d, FIELDED_FIELDS,
-            n_shards=8, id_col="doc_id", positions=True,
+            n_shards=8, id_col="doc_id", positions=True, doclens=True,
         )
         _FIELDED_CACHE[sf_dir] = d
     return _FIELDED_CACHE[sf_dir]
+
+
+_FIELDED_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _fielded_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Fielded term-partitioned layout (composites bucketed by BASE term,
+    per-field doclen streams carried from the v3 source)."""
+    if sf_dir not in _FIELDED_LAYOUT_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="gz_ftl_")
+        termindex.build_term_layout(spark, _fielded_dir(spark, sf_dir), d,
+                                    n_buckets=16)
+        _FIELDED_LAYOUT_CACHE[sf_dir] = d
+    return _FIELDED_LAYOUT_CACHE[sf_dir]
+
+
+def q_ft_bm25f_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F top-k served from the FIELDED term-partitioned layout: every
+    field's postings for a base term co-locate in one hash bucket, each
+    carrying its per-field doclen stream, so ranked multi-field serving
+    touches O(query terms) buckets — must be rank-identical to the
+    doc-sharded fielded index path, the exact scorer, and the DuckDB
+    oracle."""
+    return termindex.bm25f_topk(
+        spark, _fielded_layout_dir(spark, sf_dir), FIELDED_QUERIES,
+        boosts=FIELDED_BOOSTS, k=10,
+    )
 
 
 def q_ft_fielded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_topk": q_ft_wand_topk,
         "ft_wand_k100": q_ft_wand_k100,
         "ft_bm25_via_termindex": q_ft_bm25_via_termindex,
+        "ft_bm25f_via_termindex": q_ft_bm25f_via_termindex,
         "ft_bm25_gated_via_termindex": q_ft_bm25_gated_via_termindex,
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_bm25_and_via_termindex": q_ft_bm25_and_via_termindex,
@@ -687,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": bm25,
         "ft_wand_topk": bm25,
         "ft_bm25_via_termindex": bm25,
+        "ft_bm25f_via_termindex": bm25f,
         "ft_bm25_gated_via_termindex": bm25_sql(FT_GATED_QUERIES, 10),
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),

@@ -172,6 +172,7 @@ def build_fielded_index(
     analyzer: str = "default",
     positions: bool = False,
     manifest_extra: dict | None = None,
+    doclens: bool = False,
 ) -> dict:
     """Build a fielded index: composite ``field\\x1fterm`` postings in the
     standard segment layout + per-field kind='fdocs' doc-length rows, all
@@ -182,7 +183,12 @@ def build_fielded_index(
 
     ``positions=True`` stores FIELD-LOCAL token positions per composite
     term (layout v2), enabling phrase-within-field queries
-    (:func:`fielded_phrase_match`) from the same index."""
+    (:func:`fielded_phrase_match`) from the same index.
+
+    ``doclens=True`` (layout v3): each composite term additionally stores
+    a varbyte stream of PER-FIELD doclens aligned with its posting order —
+    the normalization length BM25F applies to that posting — so
+    term-partitioned layouts build without a doclen-resolve stage."""
     import shutil
 
     os.makedirs(out_dir, exist_ok=True)
@@ -195,11 +201,14 @@ def build_fielded_index(
         "k1": K1, "b": B, "positions": positions,
         "fields": sorted(fields),
     }
+    if doclens:  # key present only when on: older build.json files stay valid
+        params["doclens"] = True
     with open(f"{out_dir}/build.json", "w") as f:
         json.dump(params, f)
     p = _fielded_source(docs, id_col, fields, analyzer, n_shards, positions)
     spimi._write_generation(spark, p, out_dir, list(range(n_shards)), 0,
-                            manifest_extra=manifest_extra)
+                            manifest_extra=manifest_extra,
+                            with_doclens=doclens)
     spimi._refresh_derived(spark, out_dir, params)
     _refresh_field_stats(spark, out_dir)
     return spimi.load_stats(out_dir)
@@ -232,7 +241,8 @@ def add_fielded_documents(
                         params.get("positions", False))
     spimi._write_generation(spark, p, out_dir,
                             list(range(params["n_shards"])), generation,
-                            manifest_extra=manifest_extra)
+                            manifest_extra=manifest_extra,
+                            with_doclens=bool(params.get("doclens")))
     spimi._refresh_derived(spark, out_dir, params)
     _refresh_field_stats(spark, out_dir)
     return spimi.load_stats(out_dir)

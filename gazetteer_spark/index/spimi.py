@@ -59,14 +59,19 @@ from .codec import (
 from ..analyzer import TOKENIZER_VERSION as ANALYZER_VERSION  # noqa: E402
 
 # layout v2 adds the optional per-term positions stream (empty when the
-# index is built with positions=False — the column is always present so one
-# schema serves both layouts)
+# index is built with positions=False); layout v3 adds the optional
+# per-term doclen stream (``doclens=True`` builds: one varbyte doclen per
+# posting, aligned with the posting order — per-FIELD doclen for fielded
+# indexes). Both columns are always present so one schema serves every
+# layout; empty streams cost nothing (parquet RLE) and contribute nothing
+# to the manifest checksums.
 SEGMENT_SCHEMA = (
     "shard int, kind string, term string, df int, cf long, "
-    "postings binary, blockmeta binary, positions binary"
+    "postings binary, blockmeta binary, positions binary, doclens binary"
 )
 SEGMENT_COLS = [
-    "shard", "kind", "term", "df", "cf", "postings", "blockmeta", "positions"
+    "shard", "kind", "term", "df", "cf", "postings", "blockmeta",
+    "positions", "doclens",
 ]
 
 
@@ -98,6 +103,25 @@ def _field_doclens(
     return groups
 
 
+def _field_stream_dlen(
+    raw_ids: np.ndarray, fcodes: np.ndarray, fnames,
+    field_groups: list[tuple[str, np.ndarray, np.ndarray]],
+) -> np.ndarray:
+    """Per-POSTING field doclen (raw order): posting i of field f gets
+    len_f(doc_i) — the normalization length BM25F applies to that posting.
+    Reuses the per-field tables _field_doclens already built."""
+    by_name = {g[0]: g for g in field_groups}
+    out = np.zeros(len(raw_ids), np.int64)
+    for fi, fname in enumerate(fnames):
+        g = by_name.get(str(fname))
+        if g is None:
+            continue
+        m = fcodes == fi
+        if m.any():
+            out[m] = g[2][np.searchsorted(g[1], raw_ids[m])]
+    return out
+
+
 def _postings_source(
     docs: DataFrame, id_col: str, content_col: str, positions: bool,
     analyzer_name: str = "default",
@@ -124,6 +148,8 @@ def _encode_shard_core(
     flat_raw: np.ndarray | None,
     pending_dir: str | None,
     field_groups: list[tuple[str, np.ndarray, np.ndarray]] | None = None,
+    with_doclens: bool = False,
+    stream_dlen_raw: np.ndarray | None = None,
 ) -> dict:
     """Format-agnostic shard encode: raw posting arrays (+ lexicographic
     term codes and the sorted unique terms) → segment-row column arrays.
@@ -135,7 +161,14 @@ def _encode_shard_core(
     ``field_groups`` (fielded indexes, layout v2f): [(field_name, docids
     sorted, per-field doclens)] — each becomes one extra kind='fdocs' row
     (term = field name) so BM25F norms read per-field lengths from the
-    same shard the postings live in."""
+    same shard the postings live in.
+
+    ``with_doclens`` (layout v3): emit a per-term varbyte doclen stream
+    aligned with the posting order — the normalization length of each
+    posting (doc total length; or ``stream_dlen_raw``, the per-field
+    length in raw posting order, for fielded indexes). Term-partitioned
+    layouts then build with ONE shuffle: no shard-group doclen-resolve
+    stage, the posting bytes and their doclens travel together."""
     # doclen per doc: every posting of a doc is in its shard (doc-sharded)
     doc_order = np.argsort(raw_ids, kind="stable")
     sorted_ids = raw_ids[doc_order]
@@ -165,6 +198,22 @@ def _encode_shard_core(
         posbytes = encode_positions_grouped(flat, tfs, starts, ends)
     else:
         posbytes = [b""] * len(starts)
+    if with_doclens:
+        # one vectorized varbyte pass over ALL postings' doclens; per-term
+        # buffers are byte-range slices (varbyte values are independent)
+        from .codec import _varbyte_encode_offsets
+
+        sdl = (stream_dlen_raw[order] if stream_dlen_raw is not None
+               else dlen).astype(np.uint64)
+        dl_all, dl_ends = _varbyte_encode_offsets(sdl)
+        dl_off = np.concatenate([[0], dl_ends])
+        dl_raw = dl_all.tobytes()
+        dlbytes = [
+            dl_raw[int(dl_off[s]):int(dl_off[e])]
+            for s, e in zip(starts, ends)
+        ]
+    else:
+        dlbytes = [b""] * len(starts)
     term_vals = uniq_arr[tcodes[starts]]
     # docmeta row appended last: packed (docid, doclen) for query-time
     # doclen lookup
@@ -179,12 +228,13 @@ def _encode_shard_core(
     # (content is a pure function of the shard's data), so this is safe.
     h = hashlib.sha256()
     n_bytes = 0
-    for term, p, m, pb in zip(term_vals, posts, metas, posbytes):
+    for term, p, m, pb, dlb in zip(term_vals, posts, metas, posbytes, dlbytes):
         h.update(term.encode())
         h.update(p)
         h.update(m)
-        h.update(pb)  # no-op for layout v1 (positions empty)
-        n_bytes += len(p) + len(m) + len(pb)
+        h.update(pb)   # no-op for layout v1 (positions empty)
+        h.update(dlb)  # no-op below layout v3 (doclens empty)
+        n_bytes += len(p) + len(m) + len(pb) + len(dlb)
     h.update(b"")  # docs row: term None
     h.update(docs_buf)
     h.update(b"")
@@ -199,7 +249,7 @@ def _encode_shard_core(
             n_bytes += len(buf)
             fdocs_rows.append(
                 (shard, "fdocs", fname, int(len(f_ids)), int(f_lens.sum()),
-                 buf, b"", b"")
+                 buf, b"", b"", b"")
             )
     metrics = {
         "shard": shard,
@@ -224,13 +274,15 @@ def _encode_shard_core(
         "postings": posts,
         "blockmeta": metas,
         "positions": posbytes,
+        "doclens": dlbytes,
         "docs_row": (shard, "docs", None, int(len(doc_ids)),
-                     int(doc_lens.sum()), docs_buf, b"", b""),
+                     int(doc_lens.sum()), docs_buf, b"", b"", b""),
         "fdocs_rows": fdocs_rows,
     }
 
 
-def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFrame:
+def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None,
+                 with_doclens: bool = False) -> pd.DataFrame:
     """One shard's postings (docid, term, tf[, pos]) → segment rows
     (pandas assembly — used by compaction; the build hot path uses
     :func:`_build_shard_arrow`)."""
@@ -250,12 +302,18 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
         flat_raw = (np.concatenate(pos_obj.tolist()).astype(np.int64)
                     if len(pos_obj) else np.zeros(0, np.int64))
     field_groups = None
+    stream_dlen = None
     if "field" in pdf.columns:
         fcodes, funiq = pd.factorize(pdf["field"], sort=True)
         field_groups = _field_doclens(raw_ids, raw_tfs, funiq, fcodes)
+        if with_doclens:  # fielded v3: per-FIELD doclen per posting
+            stream_dlen = _field_stream_dlen(
+                raw_ids, fcodes, funiq, field_groups
+            )
 
     cols = _encode_shard_core(shard, raw_ids, raw_tfs, codes, uniq_arr,
-                              flat_raw, pending_dir, field_groups)
+                              flat_raw, pending_dir, field_groups,
+                              with_doclens, stream_dlen)
     out = pd.DataFrame(
         {
             "shard": np.full(len(cols["term"]), shard, dtype=np.int32),
@@ -266,6 +324,7 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
             "postings": cols["postings"],
             "blockmeta": cols["blockmeta"],
             "positions": cols["positions"],
+            "doclens": cols["doclens"],
         },
         columns=SEGMENT_COLS,
     )
@@ -275,7 +334,8 @@ def _build_shard(pdf: pd.DataFrame, pending_dir: str | None = None) -> pd.DataFr
     return out
 
 
-def _build_shard_arrow(tbl, pending_dir: str | None = None):
+def _build_shard_arrow(tbl, pending_dir: str | None = None,
+                       with_doclens: bool = False):
     """Arrow-native shard assembly (the build hot path, via applyInArrow):
     the term column never materializes per-posting Python strings — Arrow
     dictionary-encodes it C-side (one PyObject per UNIQUE term, for the
@@ -307,15 +367,20 @@ def _build_shard_arrow(tbl, pending_dir: str | None = None):
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
     field_groups = None
+    stream_dlen = None
     if "field" in tbl.schema.names:
         fd = tbl["field"].combine_chunks().dictionary_encode()
-        field_groups = _field_doclens(
-            raw_ids, raw_tfs, fd.dictionary.to_pylist(),
-            fd.indices.to_numpy(zero_copy_only=False),
-        )
+        fnames = fd.dictionary.to_pylist()
+        fcodes = fd.indices.to_numpy(zero_copy_only=False)
+        field_groups = _field_doclens(raw_ids, raw_tfs, fnames, fcodes)
+        if with_doclens:  # fielded v3: per-FIELD doclen per posting
+            stream_dlen = _field_stream_dlen(
+                raw_ids, fcodes, fnames, field_groups
+            )
 
     cols = _encode_shard_core(shard, raw_ids, raw_tfs, codes, uniq_arr,
-                              flat_raw, pending_dir, field_groups)
+                              flat_raw, pending_dir, field_groups,
+                              with_doclens, stream_dlen)
     n = len(cols["term"])
     tail = [cols["docs_row"]] + cols["fdocs_rows"]
     m = len(tail)
@@ -339,6 +404,8 @@ def _build_shard_arrow(tbl, pending_dir: str | None = None):
                                   type=pa.binary()),
             "positions": pa.array(cols["positions"] + [r[7] for r in tail],
                                   type=pa.binary()),
+            "doclens": pa.array(cols["doclens"] + [r[8] for r in tail],
+                                type=pa.binary()),
         }
     )
 
@@ -355,6 +422,7 @@ def build_index(
     positions: bool = False,
     analyzer: str = "default",
     manifest_extra: dict | None = None,
+    doclens: bool = False,
 ) -> dict:
     """Build (or resume) the index. Returns the stats dict.
 
@@ -366,6 +434,12 @@ def build_index(
     stream alongside the postings, serving index-backed phrase/proximity
     queries (:mod:`gazetteer_spark.index.phrase`) at ~1.5-2× the segment
     bytes. Scoring queries ignore the stream entirely.
+
+    ``doclens=True`` builds layout v3: a per-term varbyte doclen stream
+    aligned with the posting order (~1-2 bytes/posting). Term-partitioned
+    layouts (:mod:`gazetteer_spark.index.termindex`) over such an index
+    build with ONE shuffle — the shard-group doclen-resolve stage is
+    skipped because posting bytes already travel with their doclens.
     """
     os.makedirs(out_dir, exist_ok=True)
     build_path = f"{out_dir}/build.json"
@@ -376,6 +450,8 @@ def build_index(
     params = {"n_shards": n_shards, "analyzer": analyzer,
               "analyzer_version": get_analyzer(analyzer).version,
               "k1": K1, "b": B, "positions": positions}
+    if doclens:  # key present only when on: v2 build.json files stay valid
+        params["doclens"] = True
 
     committed: set[int] = set()
     if resume and os.path.exists(man_path) and os.path.exists(build_path):
@@ -420,7 +496,8 @@ def build_index(
             if len(batch) < n_shards:
                 p = p.filter(F.col("shard").isin(batch))
             _write_generation(spark, p, out_dir, batch, generation=0,
-                              manifest_extra=manifest_extra)
+                              manifest_extra=manifest_extra,
+                              with_doclens=doclens)
 
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)
@@ -476,7 +553,8 @@ def add_documents(
     if os.path.exists(stale_pending):
         shutil.rmtree(stale_pending)
     _write_generation(spark, p, out_dir, list(range(n_shards)), generation,
-                      manifest_extra=manifest_extra)
+                      manifest_extra=manifest_extra,
+                      with_doclens=bool(params.get("doclens")))
     _refresh_derived(spark, out_dir, params)
     return load_stats(out_dir)
 
@@ -534,7 +612,7 @@ def delete_documents_df(
             json.dump(metrics, f, sort_keys=True)
         os.replace(tmp, f"{pending}/shard_{shard}.json")
         return pd.DataFrame(
-            [(shard, "dels", None, int(len(ids)), 0, buf, b"", b"")],
+            [(shard, "dels", None, int(len(ids)), 0, buf, b"", b"", b"")],
             columns=SEGMENT_COLS,
         )
 
@@ -624,7 +702,8 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
         if params.get("fields"):  # fielded: recover field from the
             # composite term prefix so fdocs rows are rebuilt
             flat["field"] = flat["term"].str.split(FIELD_SEP, n=1).str[0]
-        return _build_shard(flat, pending_dir=pending)
+        return _build_shard(flat, pending_dir=pending,
+                            with_doclens=bool(params.get("doclens")))
 
     seg = committed_segments(spark, index_dir)
     out = seg.groupBy("shard").applyInPandas(compact_shard, SEGMENT_SCHEMA)
@@ -654,6 +733,7 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
 def _write_generation(
     spark: SparkSession, postings: DataFrame, out_dir: str,
     shards: list[int], generation: int, manifest_extra: dict | None = None,
+    with_doclens: bool = False,
 ) -> None:
     # groupBy itself shuffles on the group key — an explicit repartition
     # would be a second, redundant shuffle. With shuffle.partitions >
@@ -667,7 +747,8 @@ def _write_generation(
     # no pandas block manager — see _build_shard_arrow. Single-parameter
     # callback (a second param would receive the group key).
     segments = postings.groupBy("shard").applyInArrow(
-        lambda tbl: _build_shard_arrow(tbl, pending_dir=pending),
+        lambda tbl: _build_shard_arrow(tbl, pending_dir=pending,
+                                       with_doclens=with_doclens),
         SEGMENT_SCHEMA,
     ).withColumn("gen", F.lit(generation))
     segments.write.mode("append").partitionBy("gen", "shard").parquet(

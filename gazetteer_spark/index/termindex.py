@@ -9,13 +9,16 @@ keeps as sorted per-key side indexes for point lookups
 one row per term holding its fully-merged posting list, hash-partitioned
 into ``bucket = xxhash64(term) % n_buckets`` parquet partitions.
 
-Scale shape of the build: a map stage grouped by SHARD resolves each
-posting's doclen from the shard's own doc table (doclens stay shard-local —
-no doclen shuffle, no per-task memory beyond one shard), then ONE shuffle
-of already-compressed posting bytes grouped by term-hash bucket (NOT by raw
-term — the per-bucket reducer handles many terms vectorized, so a hot term
-never owns a reduce task by itself beyond its own bytes); merge is decode →
-concat → argsort → re-encode in numpy. Readers prune by partition (bucket)
+Scale shape of the build: ONE shuffle of already-compressed posting bytes
+grouped by term-hash bucket (NOT by raw term — the per-bucket reducer
+handles many terms vectorized, so a hot term never owns a reduce task by
+itself beyond its own bytes); merge is decode → concat → argsort →
+re-encode in numpy. Layout-v3 sources (``build_index(..., doclens=True)``)
+already carry a per-posting doclen stream next to the posting bytes, so
+the build is a narrow select straight into that shuffle; v2 sources first
+run a map stage grouped by SHARD that resolves each posting's doclen from
+the shard's own doc table (doclens stay shard-local — no doclen shuffle,
+no per-task memory beyond one shard). Readers prune by partition (bucket)
 AND parquet min/max on term, so a lookup of k terms touches ≤ k buckets'
 row groups — query cost scales with the QUERY's terms, not the corpus's
 shards.
@@ -23,9 +26,12 @@ shards.
 Doclens ride term-side (a plain varbyte stream aligned with the posting
 order) so BM25 scoring from this layout needs no doclen join at query
 time; block metadata (max_tf/min_dl) is re-derived at merge, enabling
-bound-based pruning later. Fielded (BM25F) source indexes have no
-single-doc doclen — their layouts build without the doclen stream and
-serve term scans / boolean AND only.
+bound-based pruning later. Fielded (BM25F) sources bucket their composite
+``field\\x1fterm`` rows by BASE term, so every field's postings for a term
+co-locate in one bucket; built from a ``doclens=True`` (v3) source each
+composite row carries its per-FIELD doclen stream and :func:`bm25f_topk`
+serves ranked multi-field queries from the layout alone — fielded v2
+sources still build (term scans only, no ranked serving).
 
 Tombstones: committed 'dels' generations are applied during the merge
 (df/cf recomputed from surviving postings), so the layout is an exact
@@ -70,6 +76,17 @@ STAGE1_SCHEMA = (
 
 def term_bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def _base_bucket_expr(term_col, n_buckets: int):
+    """Bucket of a composite ``field\\x1fterm`` row = hash of its BASE term,
+    so every field's postings for a term co-locate in ONE bucket — the
+    locality BM25F serving needs (tfw sums across fields before the
+    nonlinear saturation). Plain terms hash identically (no separator)."""
+    from .spimi import FIELD_SEP
+
+    return term_bucket_expr(F.substring_index(term_col, FIELD_SEP, -1),
+                            n_buckets)
 
 
 def _resolve_doclens_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -140,13 +157,24 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
 
 
 def _layout_input_rows(
-    spark: SparkSession, seg: DataFrame, n_buckets: int, with_doclens: bool
+    spark: SparkSession, seg: DataFrame, n_buckets: int, with_doclens: bool,
+    source_doclens: bool = False, fielded: bool = False,
 ) -> DataFrame:
     """Segment rows → merge-input rows (bucket, kind, term, postings,
     doclens, gen): the doclen-resolve map stage for post rows plus dels
     rows replicated across every bucket (dels have term NULL — any term
-    may hold deleted docids)."""
-    if with_doclens:
+    may hold deleted docids). ``fielded`` buckets composite terms by their
+    BASE term (see _base_bucket_expr)."""
+    if with_doclens and source_doclens:
+        # layout-v3 source (build_index(..., doclens=True)): the posting
+        # bytes already travel with their per-posting doclen stream, so
+        # the shard-group resolve stage — and its extra shuffle of all
+        # posting bytes — is skipped entirely: ONE shuffle total (the
+        # bucket groupBy), a straight narrow select before it.
+        stage1 = seg.filter(F.col("kind") == "post").select(
+            "kind", "term", "gen", "postings", "doclens"
+        )
+    elif with_doclens:
         stage1 = (
             seg.filter(F.col("kind").isin(["post", "docs"]))
             .groupBy("shard")
@@ -157,8 +185,9 @@ def _layout_input_rows(
             "kind", "term", "gen", "postings",
             F.lit(None).cast("binary").alias("doclens"),
         )
+    bucket_of = _base_bucket_expr if fielded else term_bucket_expr
     posts = stage1.select(
-        term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
+        bucket_of(F.col("term"), n_buckets).alias("bucket"),
         "kind", "term", "postings", "doclens", "gen",
     )
     dels = seg.filter(F.col("kind") == "dels").select(
@@ -186,9 +215,15 @@ def build_term_layout(
 
     with open(f"{index_dir}/build.json") as f:
         params = json.load(f)
-    with_doclens = params.get("fields") is None
+    fielded = params.get("fields") is not None
+    source_doclens = bool(params.get("doclens"))
+    # fielded sources carry rankable doclens only when built with
+    # doclens=True (the per-FIELD stream, layout v3); non-fielded v2
+    # sources resolve doclens in the shard-group map stage
+    with_doclens = source_doclens if fielded else True
     seg = committed_segments(spark, index_dir)
-    allrows = _layout_input_rows(spark, seg, n_buckets, with_doclens)
+    allrows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
+                                 source_doclens, fielded)
     merged = allrows.groupBy("bucket").applyInPandas(
         lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
     )
@@ -199,6 +234,7 @@ def build_term_layout(
             "analyzer": params.get("analyzer", "default"),
             "analyzer_version": params["analyzer_version"],
             "has_doclens": with_doclens,
+            "fielded": fielded,
             # lineage snapshot for the staleness check: ALL committed
             # generations, INCLUDING dels-only ones — unlike the fuzzy
             # layout (whose posting fan-in masks tombstones at read), this
@@ -209,7 +245,11 @@ def build_term_layout(
     if with_doclens:
         stats = load_stats(index_dir)
         meta["n_docs"] = stats["n_docs"]
-        meta["avgdl"] = stats["avgdl"]
+        if fielded:  # BM25F stats: per-field totals → avglen_f at serve
+            meta["fields"] = sorted(params["fields"])
+            meta["field_totals"] = stats["field_totals"]
+        else:
+            meta["avgdl"] = stats["avgdl"]
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -259,8 +299,14 @@ def _check_stale(meta: dict, allow_stale: bool) -> None:
 
 def _buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
     """Bucket ids of the query terms — one tiny local job (xxhash64 has no
-    Python twin; this is driver-side metadata, never data)."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    Python twin; this is driver-side metadata, never data). Composite
+    ``field\\x1fterm`` inputs hash by their base term (fielded layouts
+    bucket by base; plain terms contain no separator, so the strip is the
+    identity for them)."""
+    from .spimi import FIELD_SEP
+
+    base = [t.split(FIELD_SEP)[-1] for t in terms]
+    df = spark.createDataFrame([(t,) for t in base], "term string")
     rows = df.select(term_bucket_expr(F.col("term"), n_buckets).alias("b")).collect()
     return sorted({r["b"] for r in rows})
 
@@ -467,6 +513,11 @@ def bm25_topk(
             "layout was built without doclens (fielded source?) — "
             "bm25_topk needs a doclen-carrying layout"
         )
+    if meta.get("fielded"):
+        raise ValueError(
+            "fielded layout: rows are composite (field, term) postings — "
+            "use bm25f_topk for ranked serving"
+        )
     _check_stale(meta, allow_stale)
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
@@ -583,6 +634,140 @@ def _bm25_impl(
     )
 
 
+def bm25f_topk(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, rank, docid, score): BM25F top-k served from a FIELDED
+    term-partitioned layout — the multi-field twin of :func:`bm25_topk`,
+    rank-identical to fielded.fielded_topk / fielded.bm25f_topk on a
+    current layout.
+
+    Requires a layout built from a ``build_fielded_index(...,
+    doclens=True)`` source: composite ``field\\x1fterm`` rows carry a
+    per-FIELD doclen stream (the normalization length BM25F applies to
+    each posting), and composites of one base term co-locate in ONE
+    bucket (_base_bucket_expr) — so the per-bucket scorer can sum
+    boost-weighted, length-normalized tf across fields BEFORE the
+    nonlinear ``tfw/(K1+tfw)`` saturation, and compute each term's
+    doc-level df (distinct docids across its fields) locally without a
+    shuffle. Stats (n_docs, per-field totals) are the layout's build-time
+    snapshot.
+
+    Scale shape: the scan touches only the query terms' buckets
+    (PartitionFilters) and row groups (min/max on the composite term
+    strings); scoring is vectorized per bucket; the shuffle carries
+    (query_id, docid, contrib) partial sums and the merge is the
+    group-limited top-k window. Reference analog: point lookups over
+    sorted per-key side indexes (`utils/index/MMapBBIndex.java:27-54`)
+    combined with the multi-field weighting of
+    `GazetteerOutWriter.java:455-550`."""
+    from ..analyzer import get_analyzer
+    from ..fielded import DEFAULT_BOOST
+    from .spimi import FIELD_SEP
+    from .wand import _idf
+
+    meta = _load_meta(layout_dir)
+    if not meta.get("fielded"):
+        raise ValueError("not a fielded layout — use bm25_topk")
+    if not meta.get("has_doclens"):
+        raise ValueError(
+            "fielded layout without per-field doclens — rebuild the source "
+            "index with build_fielded_index(..., doclens=True) to serve "
+            "ranked BM25F from the layout"
+        )
+    _check_stale(meta, allow_stale)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    fields = meta["fields"]  # sorted at build — deterministic float sums
+    n_docs = meta["n_docs"]
+    avglen = {f: meta["field_totals"].get(f, 0) / n_docs for f in fields}
+    boosts = dict(boosts or {})
+    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
+    buckets = _buckets_for(spark, all_terms, meta["n_buckets"])
+    rows = (
+        spark.read.parquet(f"{layout_dir}/terms")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
+    )
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, ts in qterms.items():
+        for t in ts:
+            qids_by_term.setdefault(t, []).append(qid)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        split = pdf["term"].str.split(FIELD_SEP, n=1)
+        pdf = pdf.assign(fld=split.str[0], base=split.str[1])
+        frames = []
+        for t, grp in pdf.groupby("base", sort=True):
+            qids = qids_by_term.get(t)
+            if not qids:
+                continue
+            by_field = {r.fld: r for r in grp.itertuples()}
+            acc_ids, acc_w = [], []
+            for f in fields:  # field-sorted accumulation order — matches
+                r = by_field.get(f)  # fielded._term_tfw's left-assoc sums
+                if r is None:
+                    continue
+                ids, tfs = decode_postings(r.postings)
+                dls = _varbyte_decode(r.doclens).astype(np.float64)
+                acc_ids.append(ids)
+                acc_w.append(
+                    boosts.get(f, DEFAULT_BOOST) * tfs.astype(np.float64)
+                    / (1.0 - B + B * dls / avglen[f])
+                )
+            if not acc_ids:
+                continue
+            ids = np.concatenate(acc_ids)
+            w = np.concatenate(acc_w)
+            order = np.argsort(ids, kind="stable")  # in-doc order = field order
+            ids, w = ids[order], w[order]
+            bounds = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+            starts = np.concatenate([[0], bounds])
+            uids = ids[starts]
+            tfw = np.add.reduceat(w, starts)
+            # doc-level df is bucket-local by construction (all the term's
+            # composites are here), so idf needs no extra job
+            contrib = _idf(n_docs, len(uids)) * tfw / (K1 + tfw)
+            for qid in qids:
+                frames.append(pd.DataFrame({
+                    "query_id": np.int32(qid),
+                    "docid": uids,
+                    "contrib": contrib,
+                }))
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({
+                    "query_id": pd.Series([], dtype="int32"),
+                    "docid": pd.Series([], dtype="int64"),
+                    "contrib": pd.Series([], dtype="float64")}))
+
+    scored = (
+        rows.select("bucket", "term", "postings", "doclens")
+        .groupBy("bucket")
+        .applyInPandas(score_bucket, "query_id int, docid long, contrib double")
+        .groupBy("query_id", "docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        scored.select("query_id", "docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
 class TermLayoutReader:
     """Warm serving handle over the term-partitioned layout: the merged
     terms table pinned in executor memory (MEMORY_AND_DISK) and per-term
@@ -598,10 +783,10 @@ class TermLayoutReader:
         self.spark = spark
         self.layout_dir = layout_dir
         self.meta = _load_meta(layout_dir)
-        if not self.meta.get("has_doclens"):
+        if not self.meta.get("has_doclens") or self.meta.get("fielded"):
             raise ValueError(
-                "layout was built without doclens (fielded source?) — "
-                "ranked serving needs a doclen-carrying layout"
+                "ranked layout serving needs a doclen-carrying non-fielded "
+                "layout (fielded layouts serve through bm25f_topk)"
             )
         _check_stale(self.meta, allow_stale)
         self.table = spark.read.parquet(f"{layout_dir}/terms").persist()
@@ -782,10 +967,14 @@ def refresh_term_layout(
         )
     max_built = int(meta.get("max_source_gen", max(built, default=0)))
 
+    with open(f"{index_dir}/build.json") as f:
+        source_doclens = bool(json.load(f).get("doclens"))
     seg = committed_segments(spark, index_dir).filter(
         F.col("gen").isin(delta)
     )
-    delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens)
+    delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
+                                    source_doclens,
+                                    bool(meta.get("fielded")))
     has_dels = not seg.filter(F.col("kind") == "dels").isEmpty()
     affected: list[int] | None = None
     if not has_dels:
@@ -826,7 +1015,10 @@ def refresh_term_layout(
     if with_doclens:
         stats = load_stats(index_dir)
         new_meta["n_docs"] = stats["n_docs"]
-        new_meta["avgdl"] = stats["avgdl"]
+        if meta.get("fielded"):
+            new_meta["field_totals"] = stats["field_totals"]
+        else:
+            new_meta["avgdl"] = stats["avgdl"]
     os.makedirs(out_dir, exist_ok=True)
     tmp = f"{out_dir}/.layout.json.tmp"
     with open(tmp, "w") as f:

@@ -136,6 +136,7 @@ def index_stream(
     positions: bool = False,
     analyzer: str = "default",
     fields: dict[str, str] | None = None,
+    doclens: bool = False,
     **trigger_kwargs,
 ):
     """Start a streaming query that maintains the index at ``out_dir`` —
@@ -172,7 +173,7 @@ def index_stream(
                 fielded.build_fielded_index(
                     spark, batch_df, out_dir, fields, n_shards=n_shards,
                     id_col=id_col, analyzer=analyzer, positions=positions,
-                    manifest_extra=extra,
+                    manifest_extra=extra, doclens=doclens,
                 )
             else:
                 fielded.add_fielded_documents(
@@ -184,7 +185,7 @@ def index_stream(
                 spark, batch_df, out_dir, n_shards=n_shards,
                 id_col=id_col, content_col=content_col,
                 positions=positions, analyzer=analyzer,
-                manifest_extra=extra,
+                manifest_extra=extra, doclens=doclens,
             )
         else:
             spimi.add_documents(
@@ -212,6 +213,7 @@ def index_cdc_stream(
     positions: bool = False,
     analyzer: str = "default",
     fields: dict[str, str] | None = None,
+    doclens: bool = False,
     **trigger_kwargs,
 ):
     """Change-data-capture ingest: each record carries an ``action`` column
@@ -287,6 +289,7 @@ def index_cdc_stream(
                             spark, adds, out_dir, fields, n_shards=n_shards,
                             id_col=id_col, analyzer=analyzer,
                             positions=positions, manifest_extra=extra,
+                            doclens=doclens,
                         )
                     else:
                         fielded.add_fielded_documents(
@@ -298,7 +301,7 @@ def index_cdc_stream(
                         spark, adds, out_dir, n_shards=n_shards,
                         id_col=id_col, content_col=content_col,
                         positions=positions, analyzer=analyzer,
-                        manifest_extra=extra,
+                        manifest_extra=extra, doclens=doclens,
                     )
                 else:
                     spimi.add_documents(

@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--id-cols", default="repo,path,commit")
     ap.add_argument("--docid-col", default=None)
     ap.add_argument("--content-col", default="content")
+    ap.add_argument("--doclens", action="store_true",
+                    help="layout v3: store per-posting doclen streams so "
+                         "term layouts build with one shuffle")
     ap.add_argument("--positions", action="store_true",
                     help="layout v2: per-term positions stream enabling "
                          "phrase/NEAR queries (scripts/query.py --mode "
@@ -141,7 +144,8 @@ def main(argv=None):
         else:
             stats = fielded.build_fielded_index(
                 spark, docs, args.out, fields, n_shards=args.n_shards,
-                id_col=id_col, positions=args.positions)
+                id_col=id_col, positions=args.positions,
+                doclens=args.doclens)
     elif args.add:
         stats = spimi.add_documents(
             spark, docs, args.out, id_col=id_col, content_col=args.content_col
@@ -151,6 +155,7 @@ def main(argv=None):
             spark, docs, args.out, n_shards=args.n_shards, id_col=id_col,
             content_col=args.content_col, resume=args.resume,
             batch_shards=args.batch_shards, positions=args.positions,
+            doclens=args.doclens,
         )
     dt = time.time() - t0
     print(json.dumps({"built": args.out, "sec": round(dt, 2),

@@ -488,3 +488,40 @@ def test_unit_maxscore_skips_low_boost_wide_field(spark, tmp_path_factory,
     by_field = {c.split(spimi.FIELD_SEP, 1)[0] for c in full_decoded}
     assert "fa" in by_field            # narrow unit introduced
     assert "fb" not in by_field, full_decoded  # wide unit never full-decoded
+
+
+def test_fielded_v3_per_field_doclen_stream(spark, documents,
+                                            tmp_path_factory):
+    """Fielded layout v3: each composite field\\x1fterm post row carries a
+    doclen stream of PER-FIELD lengths (the normalization length BM25F
+    applies to that posting), aligned with posting order and equal to the
+    shard's fdocs tables — the precondition for building fielded term
+    layouts without a doclen-resolve stage."""
+    from gazetteer_spark.index.codec import _varbyte_decode, decode_postings
+
+    d = str(tmp_path_factory.mktemp("fidx_v3"))
+    fielded.build_fielded_index(spark, documents, d, FIELDS, n_shards=4,
+                                id_col="doc_id", doclens=True)
+    seg = spark.read.parquet(f"{d}/segments")
+    flen = {}  # (field, docid) -> per-field doclen
+    for r in seg.filter(F.col("kind") == "fdocs").collect():
+        ids, lens = decode_postings(bytes(r["postings"]))
+        for i, ln in zip(ids.tolist(), lens.tolist()):
+            flen[(r["term"], i)] = ln
+    posts = seg.filter(F.col("kind") == "post").limit(500).collect()
+    assert posts
+    checked_fields = set()
+    for r in posts:
+        fld = r["term"].split(spimi.FIELD_SEP, 1)[0]
+        checked_fields.add(fld)
+        ids, _ = decode_postings(bytes(r["postings"]))
+        dls = _varbyte_decode(bytes(r["doclens"]))
+        assert [flen[(fld, i)] for i in ids.tolist()] == \
+            [int(x) for x in dls], r["term"]
+    assert checked_fields == set(FIELDS)
+
+    # scoring semantics are unchanged by the extra stream
+    got = _rows(fielded.fielded_topk(spark, d, QUERIES, boosts=BOOSTS, k=10))
+    want = _rows(fielded.bm25f_topk(spark, documents, "doc_id", FIELDS,
+                                    QUERIES, boosts=BOOSTS, k=10))
+    assert got == want and got

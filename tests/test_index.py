@@ -365,3 +365,35 @@ def test_batched_build_equals_single(spark, documents, tmp_path_factory):
     ca = {r["shard"]: r["checksum"] for r in spimi.load_manifest(spark, a).collect()}
     cb = {r["shard"]: r["checksum"] for r in spimi.load_manifest(spark, b).collect()}
     assert ca == cb
+
+
+def test_v3_doclen_stream_matches_doc_table(spark, documents,
+                                            tmp_path_factory):
+    """Layout v3 (doclens=True): every post row carries a varbyte doclen
+    stream aligned with its posting order, equal to the shard doc table's
+    length for each posting's docid; non-v3 builds keep the column empty
+    so checksums and byte-identity are unchanged."""
+    from gazetteer_spark.index.codec import _varbyte_decode, decode_postings
+
+    d = str(tmp_path_factory.mktemp("idx_v3stream"))
+    spimi.build_index(spark, documents, d, n_shards=4,
+                      id_col="doc_id", content_col="text", doclens=True)
+    seg = spark.read.parquet(f"{d}/segments")
+    doclen_of = {}
+    for r in seg.filter(F.col("kind") == "docs").collect():
+        ids, lens = decode_postings(bytes(r["postings"]))
+        doclen_of.update(zip(ids.tolist(), lens.tolist()))
+    posts = seg.filter(F.col("kind") == "post").collect()
+    assert posts
+    for r in posts:
+        ids, _ = decode_postings(bytes(r["postings"]))
+        dls = _varbyte_decode(bytes(r["doclens"]))
+        assert [doclen_of[i] for i in ids.tolist()] == \
+            [int(x) for x in dls], r["term"]
+
+    d2 = str(tmp_path_factory.mktemp("idx_v2stream"))
+    spimi.build_index(spark, documents, d2, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    empty = (spark.read.parquet(f"{d2}/segments")
+             .select(F.max(F.length("doclens"))).first()[0])
+    assert empty == 0

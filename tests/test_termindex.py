@@ -498,3 +498,272 @@ def test_partial_layout_invisible(spark, documents, tmp_path_factory):
     _sh.rmtree(lay)
     termindex.build_term_layout(spark, idx, lay, n_buckets=4)
     assert termindex.term_postings(spark, lay, ["the"]).count() > 0
+
+
+def test_layout_v3_source_skips_resolve_and_is_identical(
+    spark, documents, tmp_path_factory, monkeypatch
+):
+    """A layout-v3 source (build_index(..., doclens=True)) carries the
+    per-posting doclen stream next to the posting bytes, so the term-layout
+    build runs NO shard-group resolve stage (one shuffle total) and the
+    merged layout is byte-identical to one built from a v2 source."""
+    from gazetteer_spark.index import wand
+
+    idx2 = str(tmp_path_factory.mktemp("idx_v2src"))
+    spimi.build_index(spark, documents, idx2, n_shards=4,
+                      id_col="doc_id", content_col="text")
+    idx3 = str(tmp_path_factory.mktemp("idx_v3src"))
+    spimi.build_index(spark, documents, idx3, n_shards=4,
+                      id_col="doc_id", content_col="text", doclens=True)
+    lay2 = str(tmp_path_factory.mktemp("lay_v2src"))
+    termindex.build_term_layout(spark, idx2, lay2, n_buckets=8)
+
+    def boom(pdf):
+        raise AssertionError("resolve stage ran on a v3 source")
+
+    monkeypatch.setattr(termindex, "_resolve_doclens_shard", boom)
+    lay3 = str(tmp_path_factory.mktemp("lay_v3src"))
+    termindex.build_term_layout(spark, idx3, lay3, n_buckets=8)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay2) == snapshot(lay3) and snapshot(lay2)
+
+    queries = [(0, "spark join merge"), (1, "the"), (2, "customer filter")]
+    rows_of = lambda df: [  # noqa: E731
+        (r["query_id"], r["rank"], r["docid"], r["score"])
+        for r in df.orderBy("query_id", "rank").collect()
+    ]
+    got = rows_of(termindex.bm25_topk(spark, lay3, queries, k=10))
+    assert got == rows_of(wand.topk(spark, idx3, queries, k=10)) and got
+
+
+def test_layout_v3_refresh_and_compact(spark, documents, tmp_path_factory,
+                                       monkeypatch):
+    """Refreshing a layout over a v3 source (adds + dels delta) also skips
+    the resolve stage and stays byte-identical to a from-scratch rebuild;
+    compaction of a v3 index preserves doclens=True so rebuilt layouts
+    keep the one-shuffle path."""
+    import json as _json
+
+    idx = str(tmp_path_factory.mktemp("idx_v3ref"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), idx,
+                      n_shards=4, id_col="doc_id", content_col="text",
+                      doclens=True)
+
+    def boom(pdf):
+        raise AssertionError("resolve stage ran on a v3 source")
+
+    monkeypatch.setattr(termindex, "_resolve_doclens_shard", boom)
+    lay0 = str(tmp_path_factory.mktemp("lay_v3ref0"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=8)
+
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), idx,
+                        id_col="doc_id", content_col="text")
+    victims = [r["docid"] for r in
+               termindex.term_postings(spark, lay0, ["customer"],
+                                       allow_stale=True)
+               .select("docid").limit(3).collect()]
+    spimi.delete_documents(spark, victims, idx)
+
+    lay1 = str(tmp_path_factory.mktemp("lay_v3ref1"))
+    termindex.refresh_term_layout(spark, idx, lay0, lay1)
+    lay2 = str(tmp_path_factory.mktemp("lay_v3ref2"))
+    termindex.build_term_layout(spark, idx, lay2, n_buckets=8)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)
+    got = {r["docid"] for r in
+           termindex.term_postings(spark, lay1, ["customer"]).collect()}
+    assert got and not (got & set(victims))
+
+    idxc = str(tmp_path_factory.mktemp("idx_v3ref_c"))
+    spimi.compact_index(spark, idx, idxc)
+    assert _json.load(open(f"{idxc}/build.json"))["doclens"] is True
+    layc = str(tmp_path_factory.mktemp("lay_v3ref_c"))
+    termindex.build_term_layout(spark, idxc, layc, n_buckets=8)  # boom armed
+    gotc = {r["docid"] for r in
+            termindex.term_postings(spark, layc, ["customer"]).collect()}
+    assert gotc == got
+
+
+# ---------------------------------------------------------------------------
+# fielded (BM25F) term layout
+# ---------------------------------------------------------------------------
+
+FL_FIELDS = {"body": "text", "src": "source", "lang": "lang"}
+FL_BOOSTS = {"body": 1.0, "src": 2.0, "lang": 0.5}
+FL_QUERIES = [
+    (0, "spark join src13"),
+    (1, "window src8"),
+    (2, "customer filter en"),
+    (3, "the"),
+]
+
+
+def _rows_of(df):
+    return [(r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in df.orderBy("query_id", "rank").collect()]
+
+
+@pytest.fixture(scope="module")
+def fielded_v3(spark, documents, tmp_path_factory):
+    from gazetteer_spark import fielded
+
+    d = str(tmp_path_factory.mktemp("fidx_v3tl"))
+    fielded.build_fielded_index(spark, documents, d, FL_FIELDS, n_shards=4,
+                                id_col="doc_id", doclens=True)
+    lay = str(tmp_path_factory.mktemp("flay_v3tl"))
+    termindex.build_term_layout(spark, d, lay, n_buckets=16)
+    return d, lay
+
+
+def test_fielded_layout_bm25f_matches_and_prunes(spark, documents,
+                                                 fielded_v3):
+    """BM25F served from the fielded term layout must be rank- and
+    score-identical to the doc-sharded fielded index AND the exact
+    corpus-scan scorer, while partition-pruning on bucket and pushing the
+    composite-term filter into the parquet scan."""
+    from gazetteer_spark import fielded
+
+    fidx, flay = fielded_v3
+    got = _rows_of(termindex.bm25f_topk(spark, flay, FL_QUERIES,
+                                        boosts=FL_BOOSTS, k=10))
+    assert got == _rows_of(fielded.fielded_topk(spark, fidx, FL_QUERIES,
+                                                boosts=FL_BOOSTS, k=10))
+    assert got == _rows_of(fielded.bm25f_topk(spark, documents, "doc_id",
+                                              FL_FIELDS, FL_QUERIES,
+                                              boosts=FL_BOOSTS, k=10))
+    assert got
+
+    plan = (termindex.bm25f_topk(spark, flay, FL_QUERIES, boosts=FL_BOOSTS,
+                                 k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "bucket" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "term" in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_fielded_layout_base_term_colocation(spark, fielded_v3):
+    """Every composite of a base term lands in ONE bucket (base-term
+    bucketing) — the locality the in-bucket cross-field tfw sum and the
+    local doc-level df computation both rely on."""
+    _, flay = fielded_v3
+    rows = (spark.read.parquet(f"{flay}/terms")
+            .select("term", "bucket").collect())
+    seen: dict[str, set] = {}
+    n_multi_field = 0
+    for r in rows:
+        base = r["term"].split(spimi.FIELD_SEP)[-1]
+        seen.setdefault(base, set()).add(r["bucket"])
+    assert seen and all(len(b) == 1 for b in seen.values())
+
+
+def test_fielded_layout_cross_field_tfw(spark, tmp_path_factory):
+    """Terms appearing in SEVERAL fields of the same doc: the in-bucket
+    scorer must sum boost-weighted, per-field-normalized tf across fields
+    BEFORE the K1 saturation — parity with the exact corpus-scan scorer on
+    a corpus built to exercise exactly that (the sf corpus has no
+    cross-field terms)."""
+    from gazetteer_spark import fielded
+
+    rows = [(i,
+             f"alpha beta w{i % 7} " + ("alpha gamma" if i % 3 == 0 else ""),
+             f"alpha tag{i % 4}" if i % 2 == 0 else f"beta tag{i % 4}")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    fls = {"body": "text", "tags": "tag"}
+    boosts = {"body": 1.0, "tags": 3.0}
+    fidx = str(tmp_path_factory.mktemp("fidx_xf"))
+    fielded.build_fielded_index(spark, docs, fidx, fls, n_shards=2,
+                                id_col="doc_id", doclens=True)
+    lay = str(tmp_path_factory.mktemp("flay_xf"))
+    termindex.build_term_layout(spark, fidx, lay, n_buckets=4)
+    queries = [(0, "alpha"), (1, "alpha beta"), (2, "gamma tag1")]
+    got = _rows_of(termindex.bm25f_topk(spark, lay, queries, boosts=boosts,
+                                        k=10))
+    assert got == _rows_of(fielded.bm25f_topk(
+        spark, docs, "doc_id", fls, queries, boosts=boosts, k=10)) and got
+    # the layout really holds 'alpha' under both fields, one bucket
+    comps = {r["term"] for r in
+             spark.read.parquet(f"{lay}/terms").select("term").collect()}
+    assert {"body" + spimi.FIELD_SEP + "alpha",
+            "tags" + spimi.FIELD_SEP + "alpha"} <= comps
+
+
+def test_fielded_layout_guards(spark, documents, fielded_v3,
+                               tmp_path_factory):
+    """A fielded layout refuses bm25_topk / TermLayoutReader (composite
+    rows need the BM25F scorer); a fielded layout built from a NON-doclens
+    (v2) source refuses bm25f_topk with a clear rebuild hint but still
+    serves composite term scans."""
+    from gazetteer_spark import fielded
+
+    _, flay = fielded_v3
+    with pytest.raises(ValueError, match="bm25f_topk"):
+        termindex.bm25_topk(spark, flay, [(0, "the")])
+    with pytest.raises(ValueError, match="bm25f_topk"):
+        termindex.TermLayoutReader(spark, flay)
+
+    d2 = str(tmp_path_factory.mktemp("fidx_v2tl"))
+    fielded.build_fielded_index(spark, documents.filter(F.col("doc_id") < 200),
+                                d2, FL_FIELDS, n_shards=2, id_col="doc_id")
+    lay2 = str(tmp_path_factory.mktemp("flay_v2tl"))
+    termindex.build_term_layout(spark, d2, lay2, n_buckets=8)
+    with pytest.raises(ValueError, match="doclens=True"):
+        termindex.bm25f_topk(spark, lay2, FL_QUERIES, boosts=FL_BOOSTS)
+    comp = "body" + spimi.FIELD_SEP + "the"
+    assert termindex.term_postings(spark, lay2, [comp]).count() > 0
+
+
+def test_fielded_layout_refresh_matches_rebuild(spark, documents,
+                                                tmp_path_factory):
+    """refresh_term_layout over a FIELDED v3 source (adds + dels delta)
+    stays byte-identical to a from-scratch rebuild, keeps base-term
+    bucketing for delta rows, and the refreshed snapshot never ranks
+    tombstoned docs."""
+    from gazetteer_spark import fielded
+
+    fidx = str(tmp_path_factory.mktemp("fidx_ref3"))
+    fielded.build_fielded_index(
+        spark, documents.filter(F.col("doc_id") < 300), fidx, FL_FIELDS,
+        n_shards=4, id_col="doc_id", doclens=True)
+    lay0 = str(tmp_path_factory.mktemp("flay_ref0"))
+    termindex.build_term_layout(spark, fidx, lay0, n_buckets=16)
+
+    fielded.add_fielded_documents(
+        spark, documents.filter(F.col("doc_id") >= 300), fidx, FL_FIELDS,
+        id_col="doc_id")
+    before = termindex.bm25f_topk(spark, lay0, [(0, "customer filter")],
+                                  boosts=FL_BOOSTS, k=5,
+                                  allow_stale=True).collect()
+    victims = [r["docid"] for r in before[:2]]
+    spimi.delete_documents(spark, victims, fidx)
+
+    lay1 = str(tmp_path_factory.mktemp("flay_ref1"))
+    termindex.refresh_term_layout(spark, fidx, lay0, lay1)
+    lay2 = str(tmp_path_factory.mktemp("flay_ref2"))
+    termindex.build_term_layout(spark, fidx, lay2, n_buckets=16)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)
+    after = {r["docid"] for r in
+             termindex.bm25f_topk(spark, lay1, [(0, "customer filter")],
+                                  boosts=FL_BOOSTS, k=10).collect()}
+    assert after and not (after & set(victims))

@@ -377,6 +377,27 @@ def q_ft_bm25f_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rare body term 'dup' + cheap src-field term 'src8' vs stopword-class
+# 'the'/'window': with the forced threshold the fielded MaxScore candidate
+# gate ENGAGES (expensive bases emit only for cheap-candidate docs)
+FIELDED_GATED_QUERIES: list[tuple[int, str]] = [
+    (0, "dup the"),
+    (1, "dup window src8"),
+]
+
+
+def q_ft_bm25f_gated_via_termindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded-layout BM25F with the MaxScore candidate gate FORCED ON
+    (expensive_df=100): cheap composites (rare body term, src-field term)
+    establish θ₀, expensive bases are bounded by idf(n_docs, max_f df_f)
+    driver-side and emit only candidate docs — results must still
+    hash-equal the corpus-scan DuckDB oracle."""
+    return termindex.bm25f_topk(
+        spark, _fielded_layout_dir(spark, sf_dir), FIELDED_GATED_QUERIES,
+        boosts=FIELDED_BOOSTS, k=10, expensive_df=100,
+    )
+
+
 def q_ft_fielded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25F top-k served from the fielded index (composite (field, term)
     postings + per-field fdocs length rows) — must be rank-identical to the
@@ -456,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_k100": q_ft_wand_k100,
         "ft_bm25_via_termindex": q_ft_bm25_via_termindex,
         "ft_bm25f_via_termindex": q_ft_bm25f_via_termindex,
+        "ft_bm25f_gated_via_termindex": q_ft_bm25f_gated_via_termindex,
         "ft_bm25_gated_via_termindex": q_ft_bm25_gated_via_termindex,
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_bm25_and_via_termindex": q_ft_bm25_and_via_termindex,
@@ -719,6 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_topk": bm25,
         "ft_bm25_via_termindex": bm25,
         "ft_bm25f_via_termindex": bm25f,
+        "ft_bm25f_gated_via_termindex": bm25f_sql(
+            FIELDED_GATED_QUERIES, 10, FIELDED_BOOSTS
+        ),
         "ft_bm25_gated_via_termindex": bm25_sql(FT_GATED_QUERIES, 10),
         "ft_wand_k100": bm25_sql([(0, "spark join")], 100),
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),

@@ -634,73 +634,31 @@ def _bm25_impl(
     )
 
 
-def bm25f_topk(
-    spark: SparkSession,
-    layout_dir: str,
-    queries: list[tuple[int, str]],
-    boosts: dict[str, float] | None = None,
-    k: int = 10,
-    round_to: int | None = 4,
-    allow_stale: bool = False,
+def _scored_fielded(
+    rows: DataFrame,
+    qids_by_term: dict[str, list[int]],
+    fields: list[str],
+    boosts: dict[str, float],
+    avglen: dict[str, float],
+    n_docs: int,
+    cand_by_qid: dict[int, np.ndarray] | None = None,
+    restrict: set[tuple[int, str]] | None = None,
 ) -> DataFrame:
-    """(query_id, rank, docid, score): BM25F top-k served from a FIELDED
-    term-partitioned layout — the multi-field twin of :func:`bm25_topk`,
-    rank-identical to fielded.fielded_topk / fielded.bm25f_topk on a
-    current layout.
-
-    Requires a layout built from a ``build_fielded_index(...,
-    doclens=True)`` source: composite ``field\\x1fterm`` rows carry a
-    per-FIELD doclen stream (the normalization length BM25F applies to
-    each posting), and composites of one base term co-locate in ONE
-    bucket (_base_bucket_expr) — so the per-bucket scorer can sum
-    boost-weighted, length-normalized tf across fields BEFORE the
-    nonlinear ``tfw/(K1+tfw)`` saturation, and compute each term's
-    doc-level df (distinct docids across its fields) locally without a
-    shuffle. Stats (n_docs, per-field totals) are the layout's build-time
-    snapshot.
-
-    Scale shape: the scan touches only the query terms' buckets
-    (PartitionFilters) and row groups (min/max on the composite term
-    strings); scoring is vectorized per bucket; the shuffle carries
-    (query_id, docid, contrib) partial sums and the merge is the
-    group-limited top-k window. Reference analog: point lookups over
-    sorted per-key side indexes (`utils/index/MMapBBIndex.java:27-54`)
-    combined with the multi-field weighting of
-    `GazetteerOutWriter.java:455-550`."""
-    from ..analyzer import get_analyzer
+    """(query_id, docid, score): exact BM25F partial sums for the
+    subscribed (query, BASE-term) pairs, computed bucket-locally — all
+    composites of a base term co-locate (_base_bucket_expr), so the
+    cross-field tfw sum and the doc-level df (distinct docids across
+    fields → idf) need no extra shuffle or job. ``restrict`` marks
+    (qid, base term) pairs whose rows are EMITTED only for docids in
+    ``cand_by_qid[qid]`` (the MaxScore candidate gate): the decode and
+    the exact contrib still cover every posting — only the shuffle
+    traffic shrinks — so emitted scores are exact by construction."""
     from ..fielded import DEFAULT_BOOST
     from .spimi import FIELD_SEP
     from .wand import _idf
 
-    meta = _load_meta(layout_dir)
-    if not meta.get("fielded"):
-        raise ValueError("not a fielded layout — use bm25_topk")
-    if not meta.get("has_doclens"):
-        raise ValueError(
-            "fielded layout without per-field doclens — rebuild the source "
-            "index with build_fielded_index(..., doclens=True) to serve "
-            "ranked BM25F from the layout"
-        )
-    _check_stale(meta, allow_stale)
-    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
-    qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
-    all_terms = sorted({t for ts in qterms.values() for t in ts})
-    if not all_terms:
-        raise ValueError("no query terms")
-    fields = meta["fields"]  # sorted at build — deterministic float sums
-    n_docs = meta["n_docs"]
-    avglen = {f: meta["field_totals"].get(f, 0) / n_docs for f in fields}
-    boosts = dict(boosts or {})
-    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
-    buckets = _buckets_for(spark, all_terms, meta["n_buckets"])
-    rows = (
-        spark.read.parquet(f"{layout_dir}/terms")
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
-    )
-    qids_by_term: dict[str, list[int]] = {}
-    for qid, ts in qterms.items():
-        for t in ts:
-            qids_by_term.setdefault(t, []).append(qid)
+    cand_by_qid = cand_by_qid or {}
+    restrict = restrict or set()
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         split = pdf["term"].str.split(FIELD_SEP, n=1)
@@ -737,10 +695,20 @@ def bm25f_topk(
             # composites are here), so idf needs no extra job
             contrib = _idf(n_docs, len(uids)) * tfw / (K1 + tfw)
             for qid in qids:
+                u, c = uids, contrib
+                if (qid, t) in restrict:
+                    cand = cand_by_qid[qid]
+                    pos = np.searchsorted(cand, uids)
+                    hit = (pos < len(cand)) & (
+                        cand[np.minimum(pos, len(cand) - 1)] == uids
+                    )
+                    if not hit.any():
+                        continue
+                    u, c = uids[hit], contrib[hit]
                 frames.append(pd.DataFrame({
                     "query_id": np.int32(qid),
-                    "docid": uids,
-                    "contrib": contrib,
+                    "docid": u,
+                    "contrib": c,
                 }))
         return (pd.concat(frames, ignore_index=True) if frames
                 else pd.DataFrame({
@@ -748,13 +716,173 @@ def bm25f_topk(
                     "docid": pd.Series([], dtype="int64"),
                     "contrib": pd.Series([], dtype="float64")}))
 
-    scored = (
+    return (
         rows.select("bucket", "term", "postings", "doclens")
         .groupBy("bucket")
         .applyInPandas(score_bucket, "query_id int, docid long, contrib double")
         .groupBy("query_id", "docid")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+    expensive_df: int | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, score): BM25F top-k served from a FIELDED
+    term-partitioned layout — the multi-field twin of :func:`bm25_topk`,
+    rank-identical to fielded.fielded_topk / fielded.bm25f_topk on a
+    current layout.
+
+    Requires a layout built from a ``build_fielded_index(...,
+    doclens=True)`` source: composite ``field\\x1fterm`` rows carry a
+    per-FIELD doclen stream (the normalization length BM25F applies to
+    each posting), and composites of one base term co-locate in ONE
+    bucket (_base_bucket_expr) — so the per-bucket scorer can sum
+    boost-weighted, length-normalized tf across fields BEFORE the
+    nonlinear ``tfw/(K1+tfw)`` saturation, and compute each term's
+    doc-level df (distinct docids across its fields) locally without a
+    shuffle. Stats (n_docs, per-field totals) are the layout's build-time
+    snapshot.
+
+    Scale shape: the scan touches only the query terms' buckets
+    (PartitionFilters) and row groups (min/max on the composite term
+    strings); scoring is vectorized per bucket; the shuffle carries
+    (query_id, docid, contrib) partial sums and the merge is the
+    group-limited top-k window. Without gating that shuffle is bounded by
+    Σ over query terms of Σ_field df — stopword-class terms dominate at
+    corpus scale — so the MaxScore CANDIDATE GATE of :func:`bm25_topk`
+    engages per query here too, with the multi-field bounds:
+
+    - a term's contribution is idf·tfw/(K1+tfw) < idf, and doc-level df ≥
+      max over fields of the composite df (union ≥ any member), so
+      idf(n_docs, max_f df_f) upper-bounds every expensive term's
+      contribution with driver-side metadata only;
+    - a term's cost (decode + emission rows) is Σ_f df_f, which drives
+      the cheap/expensive split and the CANDIDATE_CAP check;
+    - cheap-only scoring establishes θ₀; when Σ_exp idf_ub < θ₀ − margin,
+      expensive bases emit ONLY for cheap-candidate docs. Emitted scores
+      are exact (the gate drops docs, never alters contribs), so results
+      are hash-identical to the ungated path — pinned by a
+      forced-threshold equality test.
+
+    Reference analog: point lookups over sorted per-key side indexes
+    (`utils/index/MMapBBIndex.java:27-54`) combined with the multi-field
+    weighting of `GazetteerOutWriter.java:455-550`."""
+    from ..analyzer import get_analyzer
+    from .spimi import FIELD_SEP
+    from .wand import _idf
+
+    meta = _load_meta(layout_dir)
+    if not meta.get("fielded"):
+        raise ValueError("not a fielded layout — use bm25_topk")
+    if not meta.get("has_doclens"):
+        raise ValueError(
+            "fielded layout without per-field doclens — rebuild the source "
+            "index with build_fielded_index(..., doclens=True) to serve "
+            "ranked BM25F from the layout"
+        )
+    _check_stale(meta, allow_stale)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    qterms = {int(qid): sorted(set(tokenize(text))) for qid, text in queries}
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    if not all_terms:
+        raise ValueError("no query terms")
+    fields = meta["fields"]  # sorted at build — deterministic float sums
+    n_docs = meta["n_docs"]
+    avglen = {f: meta["field_totals"].get(f, 0) / n_docs for f in fields}
+    boosts = dict(boosts or {})
+    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
+    buckets = _buckets_for(spark, all_terms, meta["n_buckets"])
+    rows = (
+        spark.read.parquet(f"{layout_dir}/terms")
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
+    )
+    if expensive_df is None:
+        expensive_df = max(EXPENSIVE_DF_FLOOR,
+                           int(EXPENSIVE_DF_FRACTION * n_docs))
+
+    # per-base metadata from the SAME pruned scan: cost = Σ_f df_f (decode
+    # + emission rows), df lower bound = max_f df_f (→ idf upper bound)
+    df_cost: dict[str, int] = {}
+    df_lb: dict[str, int] = {}
+    for r in rows.select("term", "df").collect():
+        base = r["term"].split(FIELD_SEP, 1)[-1]
+        df_cost[base] = df_cost.get(base, 0) + int(r["df"])
+        df_lb[base] = max(df_lb.get(base, 0), int(r["df"]))
+    plans = []
+    for qid, ts in qterms.items():
+        present = [t for t in ts if t in df_cost]
+        if present:
+            plans.append((int(qid), present))
+    if not plans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    margin = (2.0 * 10.0 ** (-round_to) if round_to is not None
+              else 0.0) + _EPS
+
+    maybe = []      # (qid, present, cheap, exp) — gate candidates
+    to_score = []   # (qid, present) — final-job subscriptions
+    for qid, present in plans:
+        cheap = [t for t in present if df_cost[t] <= expensive_df]
+        exp = [t for t in present if df_cost[t] > expensive_df]
+        if (not exp or not cheap
+                or sum(df_cost[t] for t in cheap) > CANDIDATE_CAP):
+            to_score.append((qid, present))
+        else:
+            maybe.append((qid, present, cheap, exp))
+
+    cand_by_qid: dict[int, np.ndarray] = {}
+    restrict: set[tuple[int, str]] = set()
+    if maybe:
+        # phase 1: cheap-only scoring for the gating queries — one job
+        cheap_sub: dict[str, list[int]] = {}
+        for qid, _, cheap, _ in maybe:
+            for t in cheap:
+                cheap_sub.setdefault(t, []).append(qid)
+        phase1 = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
+                                 n_docs).collect()
+        by_qid: dict[int, list] = {}
+        for r in phase1:
+            by_qid.setdefault(r["query_id"], []).append(
+                (r["docid"], r["score"])
+            )
+        for qid, present, cheap, exp in maybe:
+            got = by_qid.get(qid, [])
+            # contrib < idf (tfw/(K1+tfw) < 1); idf(max_f df_f) ≥ idf(df)
+            exp_bound = sum(_idf(n_docs, df_lb[t]) for t in exp)
+            if len(got) >= k:
+                theta0 = np.partition(
+                    np.array([s for _, s in got]), -k
+                )[-k]
+            else:
+                theta0 = -np.inf
+            if exp_bound < theta0 - margin:
+                cand_by_qid[qid] = np.sort(
+                    np.array([d for d, _ in got], dtype=np.int64)
+                )
+                restrict.update((qid, t) for t in exp)
+            else:  # bound can't exclude stopword-only docs → full scan
+                to_score.append((qid, present))
+        to_score.extend(
+            (qid, present) for qid, present, _, _ in maybe
+            if qid in cand_by_qid
+        )
+
+    qids_by_term: dict[str, list[int]] = {}
+    for qid, present in to_score:
+        for t in present:
+            qids_by_term.setdefault(t, []).append(qid)
+
+    scored = _scored_fielded(rows, qids_by_term, fields, boosts, avglen,
+                             n_docs, cand_by_qid, restrict)
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(

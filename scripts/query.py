@@ -25,6 +25,9 @@ Usage:
   ...                                     pruned point-query path)
   ...   --mode layout-and --term-layout DIR    conjunctive (every term) +
   ...                                     BM25 rank from the same layout
+  ...   --mode layout-bm25f --term-layout DIR --boosts body=1,src=2
+  ...                                     BM25F from a FIELDED term layout
+  ...                                     (doclens=True source)
 """
 
 from __future__ import annotations
@@ -39,6 +42,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parse_boosts(spec: str | None) -> dict[str, float]:
+    boosts: dict[str, float] = {}
+    if spec:
+        for kv in spec.split(","):
+            name, val = kv.split("=")
+            boosts[name] = float(val)
+    return boosts
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
@@ -49,7 +61,7 @@ def main(argv=None):
                                        "near", "near-n", "fielded",
                                        "fielded-phrase", "fielded-near",
                                        "fuzzy", "fuzzy-edit", "layout-bm25",
-                                       "layout-and"],
+                                       "layout-and", "layout-bm25f"],
                     default="or")
     ap.add_argument("--field", default=None,
                     help="fielded-phrase / fielded-near: the field to match in")
@@ -121,11 +133,7 @@ def main(argv=None):
     elif args.mode == "fielded":
         from gazetteer_spark import fielded
 
-        boosts = {}
-        if args.boosts:
-            for kv in args.boosts.split(","):
-                name, val = kv.split("=")
-                boosts[name] = float(val)
+        boosts = _parse_boosts(args.boosts)
         for r in fielded.fielded_topk(spark, args.index, queries,
                                       boosts=boosts, k=args.k).collect():
             out.setdefault(r["query_id"], []).append(
@@ -155,13 +163,18 @@ def main(argv=None):
                 ).collect()
                 out[qid] = [{"docid": r["docid"], "n_pairs": r["n_pairs"]}
                             for r in rows]
-    elif args.mode in ("layout-bm25", "layout-and"):
+    elif args.mode in ("layout-bm25", "layout-and", "layout-bm25f"):
         from gazetteer_spark.index import termindex
 
         if not args.term_layout:
             raise SystemExit(f"--mode {args.mode} needs --term-layout")
-        fn = (termindex.bm25_topk if args.mode == "layout-bm25"
-              else termindex.bm25_and_topk)
+        if args.mode == "layout-bm25f":
+            boosts = _parse_boosts(args.boosts)
+            fn = lambda s, d, q, k: termindex.bm25f_topk(  # noqa: E731
+                s, d, q, boosts=boosts, k=k)
+        else:
+            fn = (termindex.bm25_topk if args.mode == "layout-bm25"
+                  else termindex.bm25_and_topk)
         for r in fn(spark, args.term_layout, queries, k=args.k).collect():
             out.setdefault(r["query_id"], []).append(
                 {"rank": r["rank"], "docid": r["docid"], "score": r["score"]}

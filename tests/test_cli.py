@@ -152,3 +152,35 @@ def test_cli_term_layout_and_edit_fuzzy(spark, documents, cli_env, capsys):
         "--query", "windoww", "--max-edits", "1",
     ])
     assert got["mode"] == "fuzzy-edit" and got["results"]["0"]
+
+
+def test_cli_fielded_term_layout_bm25f(spark, documents, cli_env, capsys):
+    """Fielded v3 build (--fields + --doclens) → term layout → ranked
+    BM25F served from the layout via the CLI, rank-identical to the
+    doc-sharded fielded mode on the same corpus."""
+    work, src = cli_env
+    fidx = str(work / "fidx_v3")
+    out = _run(capsys, build_cli.main, [
+        "--source", src, "--out", fidx, "--n-shards", "4",
+        "--docid-col", "doc_id", "--fields", "body=text,src=source",
+        "--doclens",
+    ])
+    assert out["n_docs"] == 200
+
+    lay = str(work / "ftl")
+    out = _run(capsys, build_cli.main, [
+        "--term-layout-from", fidx, "--out", lay, "--n-buckets", "8",
+    ])
+    assert out["term_layout"] == lay
+
+    got = _run(capsys, query_cli.main, [
+        "--index", fidx, "--mode", "layout-bm25f", "--term-layout", lay,
+        "--query", "spark join src13", "--boosts", "body=1,src=2",
+        "--k", "5",
+    ])
+    assert got["mode"] == "layout-bm25f" and got["results"]["0"]
+    ref = _run(capsys, query_cli.main, [
+        "--index", fidx, "--query", "spark join src13", "--mode", "fielded",
+        "--boosts", "body=1,src=2", "--k", "5",
+    ])
+    assert got["results"] == ref["results"]

@@ -767,3 +767,106 @@ def test_fielded_layout_refresh_matches_rebuild(spark, documents,
              termindex.bm25f_topk(spark, lay1, [(0, "customer filter")],
                                   boosts=FL_BOOSTS, k=10).collect()}
     assert after and not (after & set(victims))
+
+
+def test_fielded_layout_gate_exact_and_engaged(spark, tmp_path_factory,
+                                               monkeypatch):
+    """The fielded MaxScore candidate gate (expensive BASE terms emit only
+    for cheap-candidate docs, idf bounded by idf(n_docs, max_f df_f)
+    driver-side) must be result-identical to the ungated path AND the
+    exact corpus-scan scorer, and actually ENGAGE — including when the
+    cheap side is a FIELD term (candidates from the tags field gate a
+    body-field stopword). Stopword-only / all-expensive queries fall back
+    inside the same batch."""
+    from gazetteer_spark import fielded
+
+    rows = []
+    for i in range(300):
+        extra = " needle shard" if i % 7 == 0 else ""
+        rows.append((i, f"the quick the lazy the dog w{i % 11}" + extra,
+                     f"t{i % 5}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    fls = {"body": "text", "tags": "tag"}
+    boosts = {"body": 1.0, "tags": 2.0}
+    fidx = str(tmp_path_factory.mktemp("fidx_gate"))
+    fielded.build_fielded_index(spark, docs, fidx, fls, n_shards=4,
+                                id_col="doc_id", doclens=True)
+    lay = str(tmp_path_factory.mktemp("flay_gate"))
+    termindex.build_term_layout(spark, fidx, lay, n_buckets=8)
+
+    queries = [(0, "needle the"), (1, "the"), (2, "the quick"),
+               (3, "t1 the")]
+    want = _rows_of(termindex.bm25f_topk(spark, lay, queries, boosts=boosts,
+                                         k=10))
+    assert want == _rows_of(fielded.bm25f_topk(
+        spark, docs, "doc_id", fls, queries, boosts=boosts, k=10))
+
+    calls = []
+    orig = termindex._scored_fielded
+
+    def spy(rows, sub, fields, boosts, avglen, n_docs, cand=None,
+            restrict=None):
+        calls.append((cand, restrict))
+        return orig(rows, sub, fields, boosts, avglen, n_docs, cand,
+                    restrict)
+
+    monkeypatch.setattr(termindex, "_scored_fielded", spy)
+    got = _rows_of(termindex.bm25f_topk(spark, lay, queries, boosts=boosts,
+                                        k=10, expensive_df=100))
+    assert got == want and got
+
+    cand, restrict = calls[-1]  # the final scoring job
+    assert (0, "the") in restrict          # stopword gated for query 0
+    assert (3, "the") in restrict          # field-cheap query gated too
+    assert all(q != 1 for q, _ in restrict)  # stopword-only q1: fallback
+    assert all(q != 2 for q, _ in restrict)  # all-expensive q2: fallback
+    n_needle = sum(1 for i in range(300) if i % 7 == 0)
+    assert len(cand[0]) == n_needle        # candidates = needle's docs
+    assert len(cand[3]) == 60              # candidates = t1's docs (tags)
+
+
+def test_fielded_gate_random_trials(spark, tmp_path_factory):
+    """Seeded-random 2-field corpora + thresholds: the gated fielded
+    scorer equals the ungated one on every trial (cross-field terms,
+    random boosts, random expensive_df cutoffs)."""
+    import random
+
+    from gazetteer_spark import fielded
+
+    rng = random.Random(2206)
+    vocab_rare = [f"r{i}" for i in range(5)]
+    vocab_mid = [f"m{i}" for i in range(3)]
+    for trial in range(2):
+        rows = []
+        for i in range(200):
+            words = ["stop"] * rng.randint(1, 4)
+            if rng.random() < 0.5:
+                words += [rng.choice(vocab_mid)] * rng.randint(1, 2)
+            if rng.random() < 0.15:
+                words.append(rng.choice(vocab_rare))
+            rng.shuffle(words)
+            tag = rng.choice(["stop", "m0", f"g{i % 6}"])
+            rows.append((i, " ".join(words), tag))
+        docs = spark.createDataFrame(rows,
+                                     "doc_id long, text string, tag string")
+        fls = {"body": "text", "tags": "tag"}
+        boosts = {"body": 1.0, "tags": round(rng.uniform(0.5, 3.0), 2)}
+        fidx = str(tmp_path_factory.mktemp(f"fidx_rg{trial}"))
+        fielded.build_fielded_index(spark, docs, fidx, fls, n_shards=2,
+                                    id_col="doc_id", doclens=True)
+        lay = str(tmp_path_factory.mktemp(f"flay_rg{trial}"))
+        termindex.build_term_layout(spark, fidx, lay, n_buckets=4)
+        queries = [
+            (0, f"{rng.choice(vocab_rare)} stop"),
+            (1, f"{rng.choice(vocab_rare)} {rng.choice(vocab_mid)} stop"),
+            (2, "stop"),
+            (3, f"g1 stop {rng.choice(vocab_mid)}"),
+        ]
+        k = rng.choice([3, 10])
+        cut = rng.choice([20, 60, 150])
+        got = _rows_of(termindex.bm25f_topk(spark, lay, queries,
+                                            boosts=boosts, k=k,
+                                            expensive_df=cut))
+        want = _rows_of(termindex.bm25f_topk(spark, lay, queries,
+                                             boosts=boosts, k=k))
+        assert got == want and got, (trial, k, cut)

@@ -794,28 +794,52 @@ def bm25f_topk(
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         raise ValueError("no query terms")
-    fields = meta["fields"]  # sorted at build — deterministic float sums
-    n_docs = meta["n_docs"]
-    avglen = {f: meta["field_totals"].get(f, 0) / n_docs for f in fields}
     boosts = dict(boosts or {})
-    comp = [f + FIELD_SEP + t for f in fields for t in all_terms]
+    comp = [f + FIELD_SEP + t for f in meta["fields"] for t in all_terms]
     buckets = _buckets_for(spark, all_terms, meta["n_buckets"])
     rows = (
         spark.read.parquet(f"{layout_dir}/terms")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
     )
+    # per-composite df from the SAME pruned scan
+    comp_df = {r["term"]: int(r["df"])
+               for r in rows.select("term", "df").collect()}
+    return _bm25f_impl(spark, rows, meta, comp_df, qterms, boosts, k,
+                       round_to, expensive_df)
+
+
+def _bm25f_impl(
+    spark: SparkSession,
+    rows: DataFrame,
+    meta: dict,
+    comp_df: dict[str, int],
+    qterms: dict[int, list[str]],
+    boosts: dict[str, float],
+    k: int,
+    round_to: int | None,
+    expensive_df: int | None,
+) -> DataFrame:
+    """Shared fielded scoring pipeline behind bm25f_topk and
+    FieldedLayoutReader.topk: candidate-gate planning over per-composite
+    dfs + scoring jobs + the group-limited merge."""
+    from .spimi import FIELD_SEP
+    from .wand import _idf
+
+    fields = meta["fields"]  # sorted at build — deterministic float sums
+    n_docs = meta["n_docs"]
+    avglen = {f: meta["field_totals"].get(f, 0) / n_docs for f in fields}
     if expensive_df is None:
         expensive_df = max(EXPENSIVE_DF_FLOOR,
                            int(EXPENSIVE_DF_FRACTION * n_docs))
 
-    # per-base metadata from the SAME pruned scan: cost = Σ_f df_f (decode
-    # + emission rows), df lower bound = max_f df_f (→ idf upper bound)
+    # per-base metadata: cost = Σ_f df_f (decode + emission rows), df
+    # lower bound = max_f df_f (→ idf upper bound)
     df_cost: dict[str, int] = {}
     df_lb: dict[str, int] = {}
-    for r in rows.select("term", "df").collect():
-        base = r["term"].split(FIELD_SEP, 1)[-1]
-        df_cost[base] = df_cost.get(base, 0) + int(r["df"])
-        df_lb[base] = max(df_lb.get(base, 0), int(r["df"]))
+    for comp_term, d in comp_df.items():
+        base = comp_term.split(FIELD_SEP, 1)[-1]
+        df_cost[base] = df_cost.get(base, 0) + d
+        df_lb[base] = max(df_lb.get(base, 0), d)
     plans = []
     for qid, ts in qterms.items():
         present = [t for t in ts if t in df_cost]
@@ -949,6 +973,73 @@ class TermLayoutReader:
         rows = self.table.filter(F.col("term").isin(present or all_terms))
         return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
                           k, round_to, expensive_df)
+
+    def close(self) -> None:
+        self.table.unpersist()
+
+
+class FieldedLayoutReader:
+    """Warm serving handle over a FIELDED term-partitioned layout: the
+    merged composite-term table pinned in executor memory and per-
+    composite df memoized driver-side, so a warm BM25F query runs ONE
+    scoring job (plus the cheap-only gating job when the candidate gate
+    engages) — the fielded twin of :class:`TermLayoutReader` and the
+    layout twin of fielded.FieldedReader.
+
+    Staleness vs the source index is checked once at open (the handle
+    serves a fixed snapshot by design; reopen after rebuilds)."""
+
+    def __init__(self, spark: SparkSession, layout_dir: str,
+                 allow_stale: bool = False):
+        self.spark = spark
+        self.layout_dir = layout_dir
+        self.meta = _load_meta(layout_dir)
+        if not self.meta.get("fielded"):
+            raise ValueError(
+                "not a fielded layout — use TermLayoutReader"
+            )
+        if not self.meta.get("has_doclens"):
+            raise ValueError(
+                "fielded layout without per-field doclens — rebuild the "
+                "source index with build_fielded_index(..., doclens=True) "
+                "to serve ranked BM25F from the layout"
+            )
+        _check_stale(self.meta, allow_stale)
+        self.table = spark.read.parquet(f"{layout_dir}/terms").persist()
+        self.table.count()  # materialize the cache
+        self._df_cache: dict[str, int | None] = {}  # None = known-absent
+
+    def _dfs_for(self, comps: list[str]) -> dict[str, int]:
+        missing = [c for c in comps if c not in self._df_cache]
+        if missing:
+            found = {r["term"]: int(r["df"]) for r in
+                     self.table.filter(F.col("term").isin(missing))
+                     .select("term", "df").collect()}
+            for c in missing:
+                self._df_cache[c] = found.get(c)
+        return {c: v for c in comps if (v := self._df_cache[c]) is not None}
+
+    def topk(self, queries: list[tuple[int, str]],
+             boosts: dict[str, float] | None = None, k: int = 10,
+             round_to: int | None = 4,
+             expensive_df: int | None = None) -> DataFrame:
+        from ..analyzer import get_analyzer
+        from .spimi import FIELD_SEP
+
+        tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
+        qterms = {int(qid): sorted(set(tokenize(text)))
+                  for qid, text in queries}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            raise ValueError("no query terms")
+        comp = [f + FIELD_SEP + t
+                for f in self.meta["fields"] for t in all_terms]
+        comp_df = self._dfs_for(comp)
+        # the persisted table replaces disk-side pruning; the composite
+        # filter still narrows the in-memory columnar scan
+        rows = self.table.filter(F.col("term").isin(sorted(comp_df) or comp))
+        return _bm25f_impl(self.spark, rows, self.meta, comp_df, qterms,
+                           dict(boosts or {}), k, round_to, expensive_df)
 
     def close(self) -> None:
         self.table.unpersist()

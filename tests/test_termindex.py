@@ -701,7 +701,28 @@ def test_fielded_layout_cross_field_tfw(spark, tmp_path_factory):
             "tags" + spimi.FIELD_SEP + "alpha"} <= comps
 
 
-def test_fielded_layout_guards(spark, documents, fielded_v3,
+def test_fielded_layout_reader_warm_matches_cold(spark, fielded_v3):
+    """FieldedLayoutReader (composite table pinned, df memoized) must be
+    result-identical to the cold bm25f_topk path across repeated and
+    partially-absent-term queries, including a gate-engaging stopword
+    query."""
+    _, flay = fielded_v3
+    reader = termindex.FieldedLayoutReader(spark, flay)
+    try:
+        batches = [
+            FL_QUERIES,
+            [(0, "spark join src13"), (5, "customer zz_absent filter")],
+        ]
+        for queries in batches:
+            got = _rows_of(reader.topk(queries, boosts=FL_BOOSTS, k=10))
+            want = _rows_of(termindex.bm25f_topk(spark, flay, queries,
+                                                 boosts=FL_BOOSTS, k=10))
+            assert got == want and got
+    finally:
+        reader.close()
+
+
+def test_fielded_layout_guards(spark, documents, fielded_v3, layout,
                                tmp_path_factory):
     """A fielded layout refuses bm25_topk / TermLayoutReader (composite
     rows need the BM25F scorer); a fielded layout built from a NON-doclens
@@ -714,6 +735,8 @@ def test_fielded_layout_guards(spark, documents, fielded_v3,
         termindex.bm25_topk(spark, flay, [(0, "the")])
     with pytest.raises(ValueError, match="bm25f_topk"):
         termindex.TermLayoutReader(spark, flay)
+    with pytest.raises(ValueError, match="TermLayoutReader"):
+        termindex.FieldedLayoutReader(spark, layout)
 
     d2 = str(tmp_path_factory.mktemp("fidx_v2tl"))
     fielded.build_fielded_index(spark, documents.filter(F.col("doc_id") < 200),

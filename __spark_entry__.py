@@ -158,7 +158,7 @@ def _layout_dir(spark: SparkSession, sf_dir: str) -> str:
 
         d = tempfile.mkdtemp(prefix="gz_tl_")
         termindex.build_term_layout(spark, _index_dir(spark, sf_dir), d,
-                                    n_buckets=16)
+                                    n_buckets=16, positions=True)
         _LAYOUT_CACHE[sf_dir] = d
     return _LAYOUT_CACHE[sf_dir]
 
@@ -226,6 +226,47 @@ def q_ft_phrase_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical to the full-scan shingle oracle (ft_phrase_match), while
     touching only segment files (plan-tested)."""
     return phrase.phrase_match(spark, _index_dir(spark, sf_dir), "key order")
+
+
+def q_ft_phrase_via_termlayout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase match served from the POSITIONAL TERM LAYOUT: the query
+    touches only its terms' hash buckets (not every doc shard), the rarest
+    term's postings gate every other term's block-selective positions
+    decode, and the candidate-bounded occurrence shuffle feeds a
+    vectorized packed-key verifier. Must hash-equal the doc-sharded path
+    and the full-scan shingle oracle."""
+    return termindex.phrase_match(
+        spark, _layout_dir(spark, sf_dir), [(0, "key order")]
+    ).select("docid", "n_occurrences")
+
+
+def q_ft_near_via_termlayout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (NEAR/3) PAIR COUNTS served from the positional term
+    layout — same semantics as ft_near_via_index."""
+    return termindex.near_match(
+        spark, _layout_dir(spark, sf_dir), [(0, "key", "order")], k=3
+    ).select("docid", "n_pairs")
+
+
+def q_ft_near3_via_termlayout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered 3-term NEAR/4 served from the positional term layout —
+    same proximity semantics as ft_near3_via_index, O(query terms)
+    buckets instead of all doc shards."""
+    return termindex.near_match_n(
+        spark, _layout_dir(spark, sf_dir), [(0, ["key", "order", "sort"])],
+        k=4,
+    ).select("docid", "n_anchors")
+
+
+def q_ft_phrase_topk_via_termlayout(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """RANKED phrase from the positional term layout: phrase candidates
+    verified from layout positions, exact BM25 over the phrase terms from
+    layout doclens, (score desc, docid asc) pinning — rank-identical to
+    the doc-sharded phrase_topk and the DuckDB oracle."""
+    return termindex.phrase_topk(
+        spark, _layout_dir(spark, sf_dir), [(0, "key order")], k=10
+    ).select("rank", "docid", "score")
 
 
 def q_ft_near_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand_and_topk": q_ft_wand_and_topk,
         "ft_bm25_and_via_termindex": q_ft_bm25_and_via_termindex,
         "ft_phrase_via_index": q_ft_phrase_via_index,
+        "ft_phrase_via_termlayout": q_ft_phrase_via_termlayout,
+        "ft_near_via_termlayout": q_ft_near_via_termlayout,
+        "ft_near3_via_termlayout": q_ft_near3_via_termlayout,
+        "ft_phrase_topk_via_termlayout": q_ft_phrase_topk_via_termlayout,
         "ft_near_via_index": q_ft_near_via_index,
         "ft_near3_via_index": q_ft_near3_via_index,
         "ft_near3_ordered_via_index": q_ft_near3_ordered_via_index,
@@ -668,6 +713,12 @@ def oracle_sql() -> dict[str, str]:
             " c AS (SELECT docid, i FROM p WHERE term = 'sort')"
         )
 
+    near_pairs = (
+        _positions_cte()
+        + " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_pairs"
+        " FROM a JOIN b ON a.docid = b.docid AND abs(a.i - b.i) <= 3"
+        " GROUP BY a.docid"
+    )
     near3 = (
         _positions_cte()
         + " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_anchors"
@@ -749,18 +800,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_and_topk": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_bm25_and_via_termindex": bm25_and_sql(FT_AND_QUERIES, 10),
         "ft_phrase_via_index": _oracle_phrase(),
-        "ft_near_via_index": (
-            "WITH d AS (SELECT doc_id AS docid, "
-            + _DUCK_TOKENS.format(col="text")
-            + " AS t FROM documents),"
-            " p AS (SELECT docid, t[g.i] AS term, g.i AS i FROM d,"
-            " LATERAL unnest(generate_series(1, len(t))) AS g(i)),"
-            " a AS (SELECT docid, i FROM p WHERE term = 'key'),"
-            " b AS (SELECT docid, i FROM p WHERE term = 'order')"
-            " SELECT a.docid AS docid, CAST(count(*) AS BIGINT) AS n_pairs"
-            " FROM a JOIN b ON a.docid = b.docid AND abs(a.i - b.i) <= 3"
-            " GROUP BY a.docid"
-        ),
+        "ft_phrase_via_termlayout": _oracle_phrase(),
+        "ft_near3_via_termlayout": near3,
+        "ft_phrase_topk_via_termlayout": phrase_topk_sql,
+        "ft_near_via_index": near_pairs,
+        "ft_near_via_termlayout": near_pairs,
         "ft_near3_via_index": near3,
         "ft_near3_ordered_via_index": near3_ordered,
         "ft_phrase_topk": phrase_topk_sql,

@@ -10,6 +10,8 @@ Runs the engine's headline operations at $SPARK_GRAFT_SF_DIR (default
 - tokens_agg:    analyzer+postings aggregation throughput
 - layout_build / layout_bm25_batch: term-partitioned layout build +
   the same batch served warm from it (TermLayoutReader, one job/pass)
+- pos_layout_build / layout_phrase_batch: POSITIONAL term layout build
+  + the phrase batch served from O(query terms) buckets
 
 Robustness to host CPU steal (the shared VM shows ±25% to 4× run-to-run
 swings — BENCH.md control tables): every metric is measured with
@@ -219,6 +221,25 @@ def main():
             ).collect()
 
         timings["phrase_batch"] = _measure(phrase_pass, passes=3)
+
+        # round-5 serving path: the same phrase batch from the POSITIONAL
+        # term layout — point queries touch O(query terms) buckets instead
+        # of all doc shards (rarest-term gate + candidate-bounded shuffle)
+        play = f"{pos_dir}/layout"
+        timings["pos_layout_build"] = _measure(
+            lambda: termindex.build_term_layout(spark, pos_keep, play,
+                                                n_buckets=int(cpus),
+                                                positions=True),
+            passes=1,
+        )
+        termindex.phrase_match(spark, play, [(0, "key order")]).collect()
+        timings["layout_phrase_batch"] = _measure(
+            lambda: termindex.phrase_match(
+                spark, play,
+                [(0, "key order"), (1, "sort by"), (2, "group by")],
+            ).collect(),
+            passes=3,
+        )
     finally:
         shutil.rmtree(pos_dir, ignore_errors=True)
 

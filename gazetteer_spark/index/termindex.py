@@ -57,6 +57,7 @@ from pyspark.sql import Window as W
 
 from .. import B, K1
 from .codec import (
+    MAXPOS,
     DelIndex,
     _varbyte_decode,
     _varbyte_encode,
@@ -66,11 +67,12 @@ from .codec import (
 
 TERM_LAYOUT_SCHEMA = (
     "bucket int, term string, df long, cf long, "
-    "postings binary, blockmeta binary, doclens binary"
+    "postings binary, blockmeta binary, doclens binary, positions binary"
 )
 
 STAGE1_SCHEMA = (
-    "kind string, term string, gen int, postings binary, doclens binary"
+    "kind string, term string, gen int, postings binary, doclens binary, "
+    "positions binary"
 )
 
 
@@ -98,11 +100,12 @@ def _resolve_doclens_shard(pdf: pd.DataFrame) -> pd.DataFrame:
 
     docs_rows = pdf[pdf["kind"] == "docs"]
     posts = pdf[pdf["kind"] == "post"]
-    cols = ["kind", "term", "gen", "postings", "doclens"]
+    cols = ["kind", "term", "gen", "postings", "doclens", "positions"]
     if posts.empty or docs_rows.empty:
         return pd.DataFrame(columns=cols).astype({"gen": "int32"})
     all_ids, all_lens = _doc_meta(docs_rows)
     has_gen = "gen" in pdf.columns
+    has_pos = "positions" in pdf.columns
     out = []
     for r in posts.itertuples():
         ids, _ = decode_postings(r.postings)
@@ -110,15 +113,29 @@ def _resolve_doclens_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         out.append((
             "post", r.term, int(r.gen) if has_gen else 0, r.postings,
             _varbyte_encode(dls.astype(np.uint64)),
+            r.positions if has_pos else b"",
         ))
     res = pd.DataFrame(out, columns=cols)
     return res.astype({"gen": "int32"})
 
 
-def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
+def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool,
+                  with_positions: bool = False) -> pd.DataFrame:
     """One bucket's segment rows → one merged row per term. Tombstones are
     generation-ordered (a del masks only older generations — see
-    codec.DelIndex), so re-added docids keep their newest postings."""
+    codec.DelIndex), so re-added docids keep their newest postings.
+
+    ``with_positions`` additionally merges each segment's positions stream
+    (decode → per-posting-run tombstone mask → docid-order gather →
+    re-encode): the merged blob stays BLOCK-aligned with the merged
+    postings, so the block-selective decode phrase serving relies on works
+    on layout rows exactly as on segment rows."""
+    from .codec import (
+        decode_positions,
+        encode_positions_grouped,
+        gather_runs,
+    )
+
     bucket = int(pdf["bucket"].iloc[0])
     dels = DelIndex.from_pdf(pdf)
 
@@ -130,26 +147,36 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
             ids, tfs = decode_postings(r.postings)
             dls = (_varbyte_decode(r.doclens).astype(np.int64)
                    if with_doclens else np.ones(len(ids), np.int64))
+            flat = (decode_positions(r.positions, tfs)
+                    if with_positions else np.zeros(0, np.int64))
             if dels:
                 keep = dels.keep_mask(int(r.gen), ids)
+                if with_positions:
+                    flat = flat[np.repeat(keep, tfs)]
                 ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-            parts.append((ids, tfs, dls))
+            parts.append((ids, tfs, dls, flat))
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
         dls = np.concatenate([p[2] for p in parts]).astype(np.int64)
+        flat = np.concatenate([p[3] for p in parts]).astype(np.int64)
         if len(parts) > 1:
             order = np.argsort(ids, kind="stable")  # survivors stay disjoint
+            if with_positions:
+                flat = gather_runs(flat, tfs, order)
             ids, tfs, dls = ids[order], tfs[order], dls[order]
         if len(ids) == 0:
             continue
         buf, meta = encode_postings(ids, tfs, dls)
         dl_buf = _varbyte_encode(dls.astype(np.uint64)) if with_doclens else b""
+        pos_buf = (encode_positions_grouped(
+            flat, tfs, np.array([0], np.int64), np.array([len(ids)], np.int64)
+        )[0] if with_positions else b"")
         out_rows.append((bucket, term, int(len(ids)), int(tfs.sum()),
-                         buf, meta, dl_buf))
+                         buf, meta, dl_buf, pos_buf))
     out = pd.DataFrame(
         out_rows,
         columns=["bucket", "term", "df", "cf",
-                 "postings", "blockmeta", "doclens"],
+                 "postings", "blockmeta", "doclens", "positions"],
     )
     if not out_rows:  # bucket held only dels rows / fully-tombstoned terms
         out = out.astype({"bucket": "int32", "df": "int64", "cf": "int64"})
@@ -159,12 +186,18 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool) -> pd.DataFrame:
 def _layout_input_rows(
     spark: SparkSession, seg: DataFrame, n_buckets: int, with_doclens: bool,
     source_doclens: bool = False, fielded: bool = False,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Segment rows → merge-input rows (bucket, kind, term, postings,
-    doclens, gen): the doclen-resolve map stage for post rows plus dels
-    rows replicated across every bucket (dels have term NULL — any term
-    may hold deleted docids). ``fielded`` buckets composite terms by their
-    BASE term (see _base_bucket_expr)."""
+    doclens, positions, gen): the doclen-resolve map stage for post rows
+    plus dels rows replicated across every bucket (dels have term NULL —
+    any term may hold deleted docids). ``fielded`` buckets composite terms
+    by their BASE term (see _base_bucket_expr). ``with_positions`` carries
+    the segments' positions stream into the merge; otherwise the column is
+    emptied BEFORE the shuffle so a positional source never pays the
+    positions bytes for a non-positional layout."""
+    pos_col = (F.col("positions") if with_positions
+               else F.lit(None).cast("binary")).alias("positions")
     if with_doclens and source_doclens:
         # layout-v3 source (build_index(..., doclens=True)): the posting
         # bytes already travel with their per-posting doclen stream, so
@@ -172,60 +205,84 @@ def _layout_input_rows(
         # posting bytes — is skipped entirely: ONE shuffle total (the
         # bucket groupBy), a straight narrow select before it.
         stage1 = seg.filter(F.col("kind") == "post").select(
-            "kind", "term", "gen", "postings", "doclens"
+            "kind", "term", "gen", "postings", "doclens", pos_col
         )
     elif with_doclens:
+        pre = seg.filter(F.col("kind").isin(["post", "docs"]))
+        if not with_positions:  # don't shuffle positions bytes we drop
+            pre = pre.withColumn("positions", F.lit(None).cast("binary"))
         stage1 = (
-            seg.filter(F.col("kind").isin(["post", "docs"]))
-            .groupBy("shard")
+            pre.groupBy("shard")
             .applyInPandas(_resolve_doclens_shard, STAGE1_SCHEMA)
         )
     else:  # fielded source: composite-term posts pass through, no doclens
         stage1 = seg.filter(F.col("kind") == "post").select(
             "kind", "term", "gen", "postings",
-            F.lit(None).cast("binary").alias("doclens"),
+            F.lit(None).cast("binary").alias("doclens"), pos_col,
         )
     bucket_of = _base_bucket_expr if fielded else term_bucket_expr
     posts = stage1.select(
         bucket_of(F.col("term"), n_buckets).alias("bucket"),
-        "kind", "term", "postings", "doclens", "gen",
+        "kind", "term", "postings", "doclens", "positions", "gen",
     )
     dels = seg.filter(F.col("kind") == "dels").select(
         "kind", "term", "postings",
-        F.lit(None).cast("binary").alias("doclens"), "gen",
+        F.lit(None).cast("binary").alias("doclens"),
+        F.lit(None).cast("binary").alias("positions"), "gen",
     )
     dels_all = dels.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
     return posts.unionByName(
-        dels_all.select("bucket", "kind", "term", "postings", "doclens", "gen")
+        dels_all.select("bucket", "kind", "term", "postings", "doclens",
+                        "positions", "gen")
     )
 
 
 def build_term_layout(
-    spark: SparkSession, index_dir: str, out_dir: str, n_buckets: int = 64
+    spark: SparkSession, index_dir: str, out_dir: str, n_buckets: int = 64,
+    positions: bool = False,
 ) -> None:
     """Materialize the term-partitioned layout from COMMITTED segments.
 
     Non-fielded sources additionally carry a term-side doclen stream
     (resolved shard-locally in a map stage before the bucket shuffle) plus
     corpus stats snapshotted into layout.json, enabling :func:`bm25_topk`
-    to serve ranked queries from this layout alone."""
+    to serve ranked queries from this layout alone.
+
+    ``positions=True`` (source must be a positional, non-fielded index)
+    additionally merges the per-term POSITIONS stream into the layout —
+    ~1.5-2× the layout bytes, opt-in — enabling :func:`phrase_match` /
+    :func:`near_match_n` to serve phrase/proximity point queries from
+    O(query terms) buckets instead of fanning out to every doc shard."""
     from .spimi import committed_generations, committed_segments, load_stats
 
     with open(f"{index_dir}/build.json") as f:
         params = json.load(f)
     fielded = params.get("fields") is not None
     source_doclens = bool(params.get("doclens"))
+    if positions and fielded:
+        raise ValueError(
+            "positional term layouts support non-fielded sources only "
+            "(fielded phrase queries serve from the doc-sharded fielded "
+            "index)"
+        )
+    if positions and not params.get("positions"):
+        raise ValueError(
+            "source index was built without positions — rebuild with "
+            "build_index(..., positions=True) to carry positions into "
+            "the term layout"
+        )
     # fielded sources carry rankable doclens only when built with
     # doclens=True (the per-FIELD stream, layout v3); non-fielded v2
     # sources resolve doclens in the shard-group map stage
     with_doclens = source_doclens if fielded else True
     seg = committed_segments(spark, index_dir)
     allrows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
-                                 source_doclens, fielded)
+                                 source_doclens, fielded, positions)
     merged = allrows.groupBy("bucket").applyInPandas(
-        lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
+        lambda pdf: _merge_bucket(pdf, with_doclens, positions),
+        TERM_LAYOUT_SCHEMA,
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/terms"
@@ -234,6 +291,7 @@ def build_term_layout(
             "analyzer": params.get("analyzer", "default"),
             "analyzer_version": params["analyzer_version"],
             "has_doclens": with_doclens,
+            "has_positions": positions,
             "fielded": fielded,
             # lineage snapshot for the staleness check: ALL committed
             # generations, INCLUDING dels-only ones — unlike the fuzzy
@@ -1149,6 +1207,496 @@ def bm25_and_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# phrase / proximity serving from a POSITIONAL term layout
+# ---------------------------------------------------------------------------
+#
+# The doc-sharded positional path (index/phrase.py) intersects a phrase's
+# terms SHARD-LOCALLY — every shard holds all of its docs' terms — so one
+# query fans out to every shard. In the term layout a term's postings live
+# in ONE bucket, but different terms of the same phrase live in DIFFERENT
+# buckets, so the intersection needs a distributed rendezvous:
+#
+#   1. pruned scan of the query terms' buckets (metadata job → df per term;
+#      strict AND: a query with an absent term matches nothing);
+#   2. rarest-term gate (exact under the conjunctive semantics): the rarest
+#      term's docids are collected (≤ gate_cap) and every term's positions
+#      decode ONLY the blocks holding those candidates — the same
+#      block-selective skip machinery phrase.py uses, driven by the
+#      layout's blockmeta;
+#   3. occurrence rows (query, slot, docid, pos) shuffle hash-partitioned
+#      by docid — bounded by candidates × phrase slots × tf, NOT by df —
+#      and a vectorized per-partition verifier runs the packed-key
+#      adjacency/proximity math of phrase.py on each docid's slice.
+#
+# At 10^12 docs a phrase point query therefore touches O(its terms')
+# buckets + a candidate-bounded shuffle; queries whose RAREST term exceeds
+# gate_cap (stopword-only phrases) fall back to full emission in the same
+# job — the honest bound, identical to what the doc-sharded path pays.
+
+
+def _check_positional_layout(meta: dict) -> None:
+    if meta.get("fielded"):
+        raise ValueError(
+            "fielded layouts do not carry positions — fielded phrase "
+            "queries serve from the doc-sharded fielded index"
+        )
+    if not meta.get("has_positions"):
+        raise ValueError(
+            "term layout was built without positions — rebuild with "
+            "build_term_layout(..., positions=True) (source index must "
+            "be positional) for phrase/proximity serving"
+        )
+
+
+def _gate_candidates(
+    rows: DataFrame, df_by_term: dict[str, int],
+    plans: list[tuple[int, list[str]]], gate_cap: int,
+) -> dict[int, np.ndarray | None]:
+    """Rarest-term candidate docids per query (exact under AND — a match
+    must appear in its rarest term's postings). ONE pruned job collects the
+    gating terms' compressed posting blobs (≤ gate_cap postings each,
+    decoded driver-side); queries whose rarest df exceeds the cap map to
+    None (full-emission fallback)."""
+    gate_term: dict[int, str] = {}
+    for qid, ts in plans:
+        rare = min(sorted(set(ts)), key=lambda t: (df_by_term[t], t))
+        if df_by_term[rare] <= gate_cap:
+            gate_term[qid] = rare
+    cand_by_qid: dict[int, np.ndarray | None] = {
+        qid: None for qid, _ in plans
+    }
+    if gate_term:
+        need = sorted(set(gate_term.values()))
+        by_term: dict[str, np.ndarray] = {}
+        for r in (rows.filter(F.col("term").isin(need))
+                  .select("term", "postings").collect()):
+            by_term[r["term"]] = decode_postings(r["postings"])[0]
+        for qid, rare in gate_term.items():
+            cand_by_qid[qid] = by_term.get(rare, np.zeros(0, np.int64))
+    return cand_by_qid
+
+
+def _occurrence_rows(
+    spark: SparkSession,
+    rows: DataFrame,
+    subs_by_term: dict[str, list[tuple[int, int]]],
+    cand_by_qid: dict[int, np.ndarray | None],
+    n_parts: int,
+) -> DataFrame:
+    """(query_id, part, slot, docid, pos): one row per candidate term
+    OCCURRENCE for every subscribed (query, slot) pair. Gated queries
+    decode only the posting/position blocks that can hold their candidates
+    (blockmeta-driven skip); a term with any ungated subscriber decodes
+    fully once and gated subscribers still filter to their candidates.
+    ``part`` hash-partitions docids so the verifier parallelizes over
+    ``n_parts`` × queries groups."""
+    from .codec import (
+        decode_block_meta,
+        decode_blocks,
+        decode_positions,
+        decode_positions_blocks,
+    )
+
+    def emit(iterator):
+        for pdf in iterator:
+            frames = []
+            for r in pdf.itertuples():
+                subs = subs_by_term.get(r.term)
+                if not subs:
+                    continue
+                full = any(cand_by_qid.get(q) is None for q, _ in subs)
+                if full:
+                    ids, tfs = decode_postings(r.postings)
+                    flat = decode_positions(r.positions, tfs)
+                else:
+                    blast, _, _, bends = decode_block_meta(r.blockmeta)
+                    cand_u = np.unique(np.concatenate(
+                        [cand_by_qid[q] for q, _ in subs]
+                    ))
+                    bi = np.searchsorted(blast, cand_u, side="left")
+                    bi = np.unique(bi[bi < len(blast)])
+                    if len(bi) == 0:
+                        continue
+                    ids, tfs = decode_blocks(r.postings, bends, bi)
+                    flat = decode_positions_blocks(r.positions, bi, tfs)
+                tfs = tfs.astype(np.int64)
+                for qid, slot in subs:
+                    cand = cand_by_qid.get(qid)
+                    if cand is None:
+                        s_ids, s_tfs, s_flat = ids, tfs, flat
+                    else:
+                        pos_i = np.searchsorted(cand, ids)
+                        hit = (pos_i < len(cand)) & (
+                            cand[np.minimum(pos_i, len(cand) - 1)] == ids
+                        )
+                        if not hit.any():
+                            continue
+                        s_ids, s_tfs = ids[hit], tfs[hit]
+                        s_flat = flat[np.repeat(hit, tfs)]
+                    frames.append(pd.DataFrame({
+                        "query_id": np.int32(qid),
+                        "slot": np.int32(slot),
+                        "docid": np.repeat(s_ids, s_tfs),
+                        "pos": s_flat,
+                    }))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame({
+                       "query_id": pd.Series([], dtype="int32"),
+                       "slot": pd.Series([], dtype="int32"),
+                       "docid": pd.Series([], dtype="int64"),
+                       "pos": pd.Series([], dtype="int64")}))
+
+    emitted = rows.select("term", "postings", "blockmeta", "positions") \
+        .mapInPandas(emit, "query_id int, slot int, docid long, pos long")
+    return emitted.withColumn(
+        "part", F.pmod(F.xxhash64("docid"), F.lit(n_parts)).cast("int")
+    )
+
+
+def _slot_keys(pdf: pd.DataFrame):
+    """Group slice → (uniq docids, per-doc ranks, slot array, pos array):
+    the packed-key ingredients of phrase.py's shard verifiers, rebuilt from
+    shuffled occurrence rows."""
+    docids = pdf["docid"].to_numpy(np.int64)
+    slots = pdf["slot"].to_numpy()
+    pos = pdf["pos"].to_numpy(np.int64)
+    uniq = np.unique(docids)
+    ranks = np.searchsorted(uniq, docids)
+    return uniq, ranks, slots, pos
+
+
+def _default_parts(spark: SparkSession) -> int:
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def phrase_match(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    gate_cap: int = CANDIDATE_CAP,
+    allow_stale: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """(query_id, docid, n_occurrences): exact token-phrase containment
+    with occurrence counts, served from a POSITIONAL term layout — the
+    layout twin of phrase.phrase_match_batch, row-identical to it on a
+    current layout (pinned). See the module-section comment for the scale
+    shape (pruned buckets + rarest-term gate + candidate-bounded docid
+    shuffle).
+
+    Reference analog: token-sequence containment as a point query
+    (`addresses/impl/NamesMatcherImpl.java:38-46`) over per-key side
+    indexes (`utils/index/MMapBBIndex.java:27-54`)."""
+    from ..analyzer import get_analyzer
+
+    meta = _load_meta(layout_dir)
+    _check_positional_layout(meta)
+    _check_stale(meta, allow_stale)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans_all = [(int(qid), tokenize(text)) for qid, text in queries]
+    if any(not ts for _, ts in plans_all):
+        raise ValueError("empty phrase after analysis")
+    all_terms = sorted({t for _, ts in plans_all for t in ts})
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    # strict AND: a query with any absent term matches nothing
+    plans = [(qid, ts) for qid, ts in plans_all
+             if all(t in df_by_term for t in ts)]
+    out_schema = "query_id int, docid long, n_occurrences long"
+    if not plans:
+        return spark.createDataFrame([], out_schema)
+    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    subs_by_term: dict[str, list[tuple[int, int]]] = {}
+    for qid, ts in plans:
+        for slot, t in enumerate(ts):
+            subs_by_term.setdefault(t, []).append((qid, slot))
+    n_slots = {qid: len(ts) for qid, ts in plans}
+    occ = _occurrence_rows(spark, rows, subs_by_term, cand_by_qid,
+                           n_parts or _default_parts(spark))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int32"),
+            "docid": pd.Series([], dtype="int64"),
+            "n_occurrences": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        uniq, ranks, slots, pos = _slot_keys(pdf)
+        matched = None
+        for s in range(n_slots[qid]):
+            m = slots == s
+            shifted = pos[m] - s
+            ok = shifted >= 0
+            keys = ranks[m][ok] * MAXPOS + shifted[ok]
+            matched = (keys if matched is None
+                       else np.intersect1d(matched, keys, assume_unique=True))
+            if len(matched) == 0:
+                return empty
+        rk, counts = np.unique(matched // MAXPOS, return_counts=True)
+        return pd.DataFrame({
+            "query_id": np.int32(qid),
+            "docid": uniq[rk],
+            "n_occurrences": counts.astype(np.int64)})
+
+    return (occ.groupBy("query_id", "part")
+            .applyInPandas(lambda pdf: verify(pdf), out_schema))
+
+
+def near_match_n(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 3,
+    ordered: bool = False,
+    gate_cap: int = CANDIDATE_CAP,
+    allow_stale: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """(query_id, docid, n_anchors): generalized N-term proximity served
+    from a POSITIONAL term layout — the layout twin of
+    phrase.near_match_n_batch, row-identical on a current layout.
+    Unordered: anchors (occurrences of the first term) with EVERY other
+    term within token distance ≤ k. Ordered: anchors starting a strictly-
+    increasing chain through the terms with each gap ≤ k. Same scale
+    shape as :func:`phrase_match` (roles are conjunctive either way)."""
+    from ..analyzer import get_analyzer
+
+    meta = _load_meta(layout_dir)
+    _check_positional_layout(meta)
+    _check_stale(meta, allow_stale)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans_all = []
+    for qid, terms in queries:
+        analyzed = [t for term in terms for t in tokenize(term)]
+        if len(analyzed) < 2:
+            raise ValueError("NEAR/n needs at least two analyzed terms")
+        plans_all.append((int(qid), analyzed))
+    all_terms = sorted({t for _, ts in plans_all for t in ts})
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    plans = [(qid, ts) for qid, ts in plans_all
+             if all(t in df_by_term for t in ts)]
+    out_schema = "query_id int, docid long, n_anchors long"
+    if not plans:
+        return spark.createDataFrame([], out_schema)
+    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    subs_by_term: dict[str, list[tuple[int, int]]] = {}
+    for qid, ts in plans:
+        for role, t in enumerate(ts):
+            subs_by_term.setdefault(t, []).append((qid, role))
+    n_roles = {qid: len(ts) for qid, ts in plans}
+    occ = _occurrence_rows(spark, rows, subs_by_term, cand_by_qid,
+                           n_parts or _default_parts(spark))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int32"),
+            "docid": pd.Series([], dtype="int64"),
+            "n_anchors": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        uniq, ranks, slots, pos = _slot_keys(pdf)
+        keys = {r: np.sort(ranks[slots == r] * MAXPOS + pos[slots == r])
+                for r in range(n_roles[qid])}
+        anchors = keys[0]
+        if len(anchors) == 0:
+            return empty
+        base = (anchors // MAXPOS) * MAXPOS
+        if not ordered:
+            ok = np.ones(len(anchors), dtype=bool)
+            for role in range(1, n_roles[qid]):
+                other = keys[role]
+                lo = np.maximum(anchors - k, base)
+                hi = np.minimum(anchors + k, base + MAXPOS - 1)
+                cnt = (np.searchsorted(other, hi, side="right")
+                       - np.searchsorted(other, lo, side="left"))
+                ok &= cnt > 0
+            good = anchors[ok]
+        else:
+            reach = keys[n_roles[qid] - 1]
+            for role in range(n_roles[qid] - 2, -1, -1):
+                cur = keys[role]
+                cur_base = (cur // MAXPOS) * MAXPOS
+                lo = cur + 1  # strictly increasing positions, same doc
+                hi = np.minimum(cur + k, cur_base + MAXPOS - 1)
+                cnt = (np.searchsorted(reach, hi, side="right")
+                       - np.searchsorted(reach, lo, side="left"))
+                reach = cur[cnt > 0]
+                if len(reach) == 0:
+                    return empty
+            good = reach
+        if len(good) == 0:
+            return empty
+        rk, counts = np.unique(good // MAXPOS, return_counts=True)
+        return pd.DataFrame({
+            "query_id": np.int32(qid),
+            "docid": uniq[rk],
+            "n_anchors": counts.astype(np.int64)})
+
+    return (occ.groupBy("query_id", "part")
+            .applyInPandas(lambda pdf: verify(pdf), out_schema))
+
+
+def near_match(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str, str]],
+    k: int = 3,
+    gate_cap: int = CANDIDATE_CAP,
+    allow_stale: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """(query_id, docid, n_pairs): two-term proximity PAIR COUNTS served
+    from a POSITIONAL term layout — the layout twin of phrase.near_match
+    (which counts occurrence PAIRS within token distance ≤ k, not
+    anchors). Each query is (qid, term_a, term_b); terms must analyze to
+    one distinct token each. Same scale shape as :func:`phrase_match`."""
+    from ..analyzer import get_analyzer
+
+    meta = _load_meta(layout_dir)
+    _check_positional_layout(meta)
+    _check_stale(meta, allow_stale)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans_all = []
+    for qid, term_a, term_b in queries:
+        ta = (tokenize(term_a) or [""])[0]
+        tb = (tokenize(term_b) or [""])[0]
+        if not ta or not tb or ta == tb:
+            raise ValueError(
+                "NEAR needs two distinct non-empty analyzed terms"
+            )
+        plans_all.append((int(qid), [ta, tb]))
+    all_terms = sorted({t for _, ts in plans_all for t in ts})
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    plans = [(qid, ts) for qid, ts in plans_all
+             if all(t in df_by_term for t in ts)]
+    out_schema = "query_id int, docid long, n_pairs long"
+    if not plans:
+        return spark.createDataFrame([], out_schema)
+    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    subs_by_term: dict[str, list[tuple[int, int]]] = {}
+    for qid, ts in plans:
+        for role, t in enumerate(ts):
+            subs_by_term.setdefault(t, []).append((qid, role))
+    occ = _occurrence_rows(spark, rows, subs_by_term, cand_by_qid,
+                           n_parts or _default_parts(spark))
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype="int32"),
+            "docid": pd.Series([], dtype="int64"),
+            "n_pairs": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        uniq, ranks, slots, pos = _slot_keys(pdf)
+        m_a = slots == 0
+        ranks_a, pos_a = ranks[m_a], pos[m_a]
+        keys_a = ranks_a * MAXPOS + pos_a
+        keys_b = np.sort(ranks[~m_a] * MAXPOS + pos[~m_a])
+        # per a-occurrence: b-occurrences in the same doc within ±k
+        # (window clamped inside the doc's key range — phrase.py math)
+        base = ranks_a * MAXPOS
+        lo = np.maximum(keys_a - k, base)
+        hi = np.minimum(keys_a + k, base + MAXPOS - 1)
+        counts = (np.searchsorted(keys_b, hi, side="right")
+                  - np.searchsorted(keys_b, lo, side="left"))
+        n_pairs = np.bincount(ranks_a, weights=counts, minlength=len(uniq))
+        nz = np.nonzero(n_pairs)[0]
+        if len(nz) == 0:
+            return empty
+        return pd.DataFrame({
+            "query_id": np.int32(qid),
+            "docid": uniq[nz],
+            "n_pairs": n_pairs[nz].astype(np.int64)})
+
+    return (occ.groupBy("query_id", "part")
+            .applyInPandas(lambda pdf: verify(pdf), out_schema))
+
+
+def phrase_topk(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    round_to: int | None = 4,
+    gate_cap: int = CANDIDATE_CAP,
+    allow_stale: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """(query_id, rank, docid, score): phrase-matching docs ranked by BM25
+    over the phrase's distinct terms, served from a POSITIONAL layout with
+    doclens — the layout twin of phrase.phrase_topk_batch, rank- and
+    score-identical on a current layout.
+
+    One extra scoring pass over the SAME pruned rows computes exact BM25
+    contributions for the candidate docs (gated queries restrict every
+    term's emission to the rarest term's candidates — exact under AND);
+    the (query, docid)-keyed join with the verified matches keeps scored
+    rows only for docs that truly contain the phrase. Both sides of that
+    join are candidate-bounded."""
+    from ..analyzer import get_analyzer
+    from .wand import _idf
+
+    meta = _load_meta(layout_dir)
+    _check_positional_layout(meta)
+    if not meta.get("has_doclens"):
+        raise ValueError("ranked phrase serving needs a doclen-carrying "
+                         "layout")
+    _check_stale(meta, allow_stale)
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans_all = [(int(qid), tokenize(text)) for qid, text in queries]
+    if any(not ts for _, ts in plans_all):
+        raise ValueError("empty phrase after analysis")
+    matched = phrase_match(spark, layout_dir, queries, gate_cap=gate_cap,
+                           allow_stale=True, n_parts=n_parts)
+
+    all_terms = sorted({t for _, ts in plans_all for t in ts})
+    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    df_by_term = {r["term"]: int(r["df"])
+                  for r in rows.select("term", "df").collect()}
+    idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
+    plans = [(qid, ts) for qid, ts in plans_all
+             if all(t in df_by_term for t in ts)]
+    if not plans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double"
+        )
+    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    qids_by_term: dict[str, list[int]] = {}
+    restrict: set[tuple[int, str]] = set()
+    for qid, ts in plans:
+        for t in sorted(set(ts)):
+            qids_by_term.setdefault(t, []).append(qid)
+            if cand_by_qid.get(qid) is not None:
+                restrict.add((qid, t))
+    scored = _scored_rows(
+        rows, qids_by_term, idf_by_term, avgdl,
+        {q: c for q, c in cand_by_qid.items() if c is not None}, restrict,
+    )
+    hits = scored.join(matched.select("query_id", "docid"),
+                       ["query_id", "docid"])
+    score = (F.round(F.col("score"), round_to) if round_to is not None
+             else F.col("score"))
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc()
+    )
+    return (
+        hits.select("query_id", "docid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "docid", "score")
+    )
+
+
 def refresh_term_layout(
     spark: SparkSession, index_dir: str, layout_dir: str, out_dir: str
 ) -> None:
@@ -1176,6 +1724,7 @@ def refresh_term_layout(
     meta = _load_meta(layout_dir)
     n_buckets = meta["n_buckets"]
     with_doclens = meta["has_doclens"]
+    with_positions = bool(meta.get("has_positions"))
     built = set(meta.get("source_generations") or [])
     current = committed_generations(index_dir)
     delta = sorted(set(current) - built)
@@ -1193,7 +1742,8 @@ def refresh_term_layout(
     )
     delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
                                     source_doclens,
-                                    bool(meta.get("fielded")))
+                                    bool(meta.get("fielded")),
+                                    with_positions)
     has_dels = not seg.filter(F.col("kind") == "dels").isEmpty()
     affected: list[int] | None = None
     if not has_dels:
@@ -1206,13 +1756,16 @@ def refresh_term_layout(
         F.col("bucket").cast("int").alias("bucket"),
         F.lit("post").alias("kind"),
         "term", "postings", "doclens",
+        (F.col("positions") if with_positions
+         else F.lit(None).cast("binary")).alias("positions"),
         F.lit(max_built).cast("int").alias("gen"),
     )
     allrows = existing.unionByName(delta_rows)
     if affected is not None:
         allrows = allrows.filter(F.col("bucket").isin(affected))
     merged = allrows.groupBy("bucket").applyInPandas(
-        lambda pdf: _merge_bucket(pdf, with_doclens), TERM_LAYOUT_SCHEMA
+        lambda pdf: _merge_bucket(pdf, with_doclens, with_positions),
+        TERM_LAYOUT_SCHEMA,
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{out_dir}/terms"

@@ -893,3 +893,160 @@ def test_fielded_gate_random_trials(spark, tmp_path_factory):
         want = _rows_of(termindex.bm25f_topk(spark, lay, queries,
                                              boosts=boosts, k=k))
         assert got == want and got, (trial, k, cut)
+
+
+# ---------------------------------------------------------------------------
+# POSITIONAL term layout: phrase / NEAR / ranked phrase from term buckets
+# ---------------------------------------------------------------------------
+
+from gazetteer_spark.index import phrase  # noqa: E402
+
+PH_QUERIES = [(0, "key order"), (1, "the key"), (2, "key order by"),
+              (3, "zz_absent key")]
+
+
+@pytest.fixture(scope="module")
+def positional_layout(spark, documents, tmp_path_factory):
+    """(source idx, layout) — positional + doclens (v3) source."""
+    idx = str(tmp_path_factory.mktemp("idx_postl"))
+    spimi.build_index(spark, documents, idx, n_shards=4, id_col="doc_id",
+                      content_col="text", positions=True, doclens=True)
+    lay = str(tmp_path_factory.mktemp("lay_postl"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=16,
+                                positions=True)
+    return idx, lay
+
+
+def _match_rows(df, count_col):
+    return {(r["query_id"], r["docid"], r[count_col])
+            for r in df.collect()}
+
+
+def test_layout_phrase_matches_docsharded(spark, positional_layout):
+    """phrase_match from the term layout must be row-identical to the
+    doc-sharded positional path (counts included), across present, partial
+    and absent-term phrases."""
+    idx, lay = positional_layout
+    got = _match_rows(
+        termindex.phrase_match(spark, lay, PH_QUERIES), "n_occurrences")
+    want = _match_rows(
+        phrase.phrase_match_batch(spark, idx, PH_QUERIES), "n_occurrences")
+    assert got == want and got
+    # absent-term phrase matches nothing
+    assert all(q != 3 for q, _, _ in got)
+
+
+def test_layout_phrase_gate_equals_fallback(spark, positional_layout):
+    """The rarest-term candidate gate must not change results: forcing
+    every query down the full-emission fallback (gate_cap=0) is
+    row-identical to the gated default."""
+    _, lay = positional_layout
+    queries = [(0, "key order"), (1, "the key")]
+    got = _match_rows(
+        termindex.phrase_match(spark, lay, queries), "n_occurrences")
+    want = _match_rows(
+        termindex.phrase_match(spark, lay, queries, gate_cap=0),
+        "n_occurrences")
+    assert got == want and got
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_layout_near_n_matches_docsharded(spark, positional_layout, ordered):
+    _, lay = positional_layout
+    idx = positional_layout[0]
+    queries = [(0, ["key", "order"]), (1, ["the", "key", "order"])]
+    got = _match_rows(
+        termindex.near_match_n(spark, lay, queries, k=3, ordered=ordered),
+        "n_anchors")
+    want = _match_rows(
+        phrase.near_match_n_batch(spark, idx, queries, k=3, ordered=ordered),
+        "n_anchors")
+    assert got == want and got
+
+
+def test_layout_phrase_topk_matches_docsharded(spark, positional_layout):
+    """Ranked phrase from the layout: rank- and score-identical to the
+    doc-sharded phrase_topk_batch."""
+    idx, lay = positional_layout
+    queries = [(0, "key order"), (1, "the key")]
+    got = _rows_of(termindex.phrase_topk(spark, lay, queries, k=10))
+    want = _rows_of(phrase.phrase_topk_batch(spark, idx, queries, k=10))
+    assert got == want and got
+
+
+def test_layout_phrase_prunes_buckets(spark, positional_layout):
+    """The phrase serving scan partition-prunes on bucket and pushes the
+    term filter into the parquet scan."""
+    _, lay = positional_layout
+    df = termindex.phrase_match(spark, lay, [(0, "key order")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "term" in plan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_layout_phrase_tombstones_and_v2_source(spark, documents,
+                                                tmp_path_factory):
+    """Positional layout from a NON-doclens (v2) positional source (the
+    shard-group resolve stage carries positions through) + deletes applied
+    at layout build: phrase results match the doc-sharded path after the
+    delete, and the stale pre-delete layout refuses to serve."""
+    idx = str(tmp_path_factory.mktemp("idx_posv2"))
+    spimi.build_index(spark, documents, idx, n_shards=2, id_col="doc_id",
+                      content_col="text", positions=True)
+    lay0 = str(tmp_path_factory.mktemp("lay_posv2a"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=8,
+                                positions=True)
+    before = _match_rows(
+        termindex.phrase_match(spark, lay0, [(0, "key order")]),
+        "n_occurrences")
+    assert before
+    victims = sorted({d for _, d, _ in before})[:2]
+    spimi.delete_documents(spark, victims, idx)
+    with pytest.raises(ValueError, match="STALE"):
+        termindex.phrase_match(spark, lay0, [(0, "key order")])
+    lay1 = str(tmp_path_factory.mktemp("lay_posv2b"))
+    termindex.build_term_layout(spark, idx, lay1, n_buckets=8,
+                                positions=True)
+    got = _match_rows(
+        termindex.phrase_match(spark, lay1, [(0, "key order")]),
+        "n_occurrences")
+    want = _match_rows(
+        phrase.phrase_match_batch(spark, idx, [(0, "key order")]),
+        "n_occurrences")
+    assert got == want
+    assert not ({d for _, d, _ in got} & set(victims))
+    assert got == before - {(q, d, n) for q, d, n in before
+                            if d in set(victims)}
+
+
+def test_positional_layout_guards(spark, documents, positional_layout,
+                                  layout, tmp_path_factory):
+    """positions=True refuses a non-positional source; a non-positional
+    layout refuses phrase serving; ranked serving still works on the
+    positional layout (positions are additive)."""
+    idx = str(tmp_path_factory.mktemp("idx_nopos"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 100), idx,
+                      n_shards=2, id_col="doc_id", content_col="text")
+    with pytest.raises(ValueError, match="positions=True"):
+        termindex.build_term_layout(
+            spark, idx, str(tmp_path_factory.mktemp("lay_nopos")),
+            n_buckets=4, positions=True)
+    with pytest.raises(ValueError, match="positions=True"):
+        termindex.phrase_match(spark, layout, [(0, "key order")])
+    _, lay = positional_layout
+    got = _rows_of(termindex.bm25_topk(spark, lay, [(0, "key order")], k=5))
+    assert got
+
+
+def test_layout_near_pairs_matches_docsharded(spark, positional_layout):
+    """Pair-count NEAR from the layout must equal phrase.near_match (which
+    counts occurrence PAIRS, not anchors)."""
+    idx, lay = positional_layout
+    got = _match_rows(
+        termindex.near_match(spark, lay, [(0, "key", "order")], k=3),
+        "n_pairs")
+    want = {(0, r["docid"], r["n_pairs"]) for r in
+            phrase.near_match(spark, idx, "key", "order", k=3).collect()}
+    assert got == want and got
+    with pytest.raises(ValueError, match="distinct"):
+        termindex.near_match(spark, lay, [(0, "key", "KEY")], k=2)

@@ -1050,3 +1050,49 @@ def test_layout_near_pairs_matches_docsharded(spark, positional_layout):
     assert got == want and got
     with pytest.raises(ValueError, match="distinct"):
         termindex.near_match(spark, lay, [(0, "key", "KEY")], k=2)
+
+
+def test_positional_layout_refresh_byte_identical(spark, documents,
+                                                  tmp_path_factory):
+    """refresh_term_layout on a POSITIONAL layout (adds + deletes delta)
+    must be byte-identical — positions stream included — to a
+    from-scratch rebuild, and phrase serving from the refreshed snapshot
+    must match the doc-sharded path at the new state."""
+    idx = str(tmp_path_factory.mktemp("idx_prefresh"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), idx,
+                      n_shards=2, id_col="doc_id", content_col="text",
+                      positions=True, doclens=True)
+    lay0 = str(tmp_path_factory.mktemp("lay_prefresh0"))
+    termindex.build_term_layout(spark, idx, lay0, n_buckets=8,
+                                positions=True)
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300),
+                        idx, id_col="doc_id", content_col="text")
+    before = _match_rows(
+        termindex.phrase_match(spark, lay0, [(0, "key order")],
+                               allow_stale=True), "n_occurrences")
+    victims = sorted({d for _, d, _ in before})[:2]
+    spimi.delete_documents(spark, victims, idx)
+
+    lay1 = str(tmp_path_factory.mktemp("lay_prefresh1"))
+    termindex.refresh_term_layout(spark, idx, lay0, lay1)
+    lay2 = str(tmp_path_factory.mktemp("lay_prefresh2"))
+    termindex.build_term_layout(spark, idx, lay2, n_buckets=8,
+                                positions=True)
+
+    def snapshot(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]),
+             bytes(r["positions"]))
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    assert snapshot(lay1) == snapshot(lay2) and snapshot(lay1)
+    got = _match_rows(
+        termindex.phrase_match(spark, lay1, [(0, "key order")]),
+        "n_occurrences")
+    want = _match_rows(
+        phrase.phrase_match_batch(spark, idx, [(0, "key order")]),
+        "n_occurrences")
+    assert got == want and got
+    assert not ({d for _, d, _ in got} & set(victims))

@@ -498,6 +498,92 @@ def q_ft_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# parsed-query front door (gazetteer_spark/query.py)
+# ---------------------------------------------------------------------------
+
+# fixed query strings shared by the Spark entries and their DuckDB oracles
+BOOL_EXPR_QUERY = '(customer AND filter AND NOT group) OR "key order"'
+FUZZY_MIX_QUERY = "grup~1 AND (customer OR filter)"
+FILTER_QUERY = "(customer OR filter) AND NOT group"
+SEARCH_QUERY = 'spark AND (join OR merge) AND NOT "key order"'
+
+
+def q_ft_bool_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary boolean tree (AND/OR/NOT + exact phrase) compiled to ONE
+    JVM boolean column over the analyzer's token array — corpus-scan side
+    of the query front door (query.match_scan)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_scan(_docs(spark, sf_dir), BOOL_EXPR_QUERY,
+                           id_col="doc_id", content_col="text")
+
+
+def q_ft_bool_expr_via_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boolean tree served from the term-partitioned layout:
+    every leaf emits (docid, bit) rows — term leaves from ONE bucket-pruned
+    scan, the phrase leaf from the positional verifier — then a single
+    groupBy(docid) bit_or builds a presence mask and the whole tree
+    evaluates as one expression over it (query.match_layout). Arbitrary
+    nesting costs one shuffle bounded by Σ df(leaf terms)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout(spark, _layout_dir(spark, sf_dir),
+                             BOOL_EXPR_QUERY)
+
+
+def q_ft_query_fuzzy_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed query mixing an edit-distance fuzzy leaf (gram-dictionary
+    expansion, `fuzzy.fuzzy_terms_edit`) with boolean structure, served
+    from the layout — the expansions share the fuzzy leaf's mask bit and
+    ride the same single pruned term scan."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout(spark, _layout_dir(spark, sf_dir),
+                             FUZZY_MIX_QUERY,
+                             fuzzy_dir=_fuzzy_dir(spark, sf_dir))
+
+
+def q_ft_bm25_filtered_via_termindex(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Filtered ranked retrieval: BM25 top-k from the term layout
+    restricted to a boolean filter's docids BEFORE the top-k cut
+    (`termindex.bm25_topk(filter_by=...)`) — the tenant/category-filter
+    search shape. The filter is itself layout-served."""
+    from gazetteer_spark import query as qmod
+
+    lay = _layout_dir(spark, sf_dir)
+    filt = qmod.match_layout(spark, lay, FILTER_QUERY)
+    return termindex.bm25_topk(spark, lay, FT_QUERIES, k=10,
+                               filter_by=filt)
+
+
+def q_ft_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call ranked front door (query.search): boolean tree filters
+    (phrase leaf included), BM25 over the positive term leaves ranks."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search(spark, _layout_dir(spark, sf_dir), SEARCH_QUERY,
+                       k=10)
+
+
+HL_QUERIES: list[tuple[int, str]] = [(0, "spark join merge"),
+                                     (1, "the window")]
+HL_WINDOW = 8
+
+
+def q_ft_highlight_via_termlayout(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """BM25 top-k + best snippet window per hit from the POSITIONAL term
+    layout: positions decode ONLY for blocks that can hold the top-k
+    docids (candidate-gated, blockmeta skip) — per-query cost is O(k ·
+    hit positions), corpus-size-independent (index/highlight.py)."""
+    from gazetteer_spark.index import highlight
+
+    return highlight.highlight_topk(spark, _layout_dir(spark, sf_dir),
+                                    HL_QUERIES, k=10, window=HL_WINDOW)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from gazetteer_spark.catalog import ops_queries
 
@@ -534,6 +620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_export_terms": q_ft_export_terms,
         "ft_boolean_and": q_ft_boolean_and,
         "ft_boolean_and_via_index": q_ft_boolean_and_via_index,
+        "ft_bool_expr": q_ft_bool_expr,
+        "ft_bool_expr_via_layout": q_ft_bool_expr_via_layout,
+        "ft_query_fuzzy_mix": q_ft_query_fuzzy_mix,
+        "ft_bm25_filtered_via_termindex": q_ft_bm25_filtered_via_termindex,
+        "ft_search_ranked": q_ft_search_ranked,
+        "ft_highlight_via_termlayout": q_ft_highlight_via_termlayout,
         **ops_queries(),
     }
 
@@ -767,6 +859,104 @@ def oracle_sql() -> dict[str, str]:
         " FROM scored) WHERE rank <= 10"
     )
 
+    # per-doc token array + 2-shingles: the boolean front door's oracle side
+    duck_d = ("WITH d AS (SELECT doc_id AS docid, "
+              + _DUCK_TOKENS.format(col="text") + " AS t FROM documents)")
+    sh2 = ("list_transform(generate_series(1, greatest(len(t) - 1, 0)),"
+           " i -> t[i] || ' ' || t[i+1])")
+    bool_pred = (
+        "((list_contains(t, 'customer') AND list_contains(t, 'filter')"
+        " AND NOT list_contains(t, 'group'))"
+        f" OR list_contains({sh2}, 'key order'))"
+    )
+    fuzzy_mix_pred = (
+        "(len(list_filter(t, x -> levenshtein(x, 'grup') <= 1)) > 0"
+        " AND (list_contains(t, 'customer') OR list_contains(t, 'filter')))"
+    )
+    filter_pred = (
+        "((list_contains(t, 'customer') OR list_contains(t, 'filter'))"
+        " AND NOT list_contains(t, 'group'))"
+    )
+    search_pred = (
+        "(list_contains(t, 'spark')"
+        " AND (list_contains(t, 'join') OR list_contains(t, 'merge'))"
+        f" AND NOT list_contains({sh2}, 'key order'))"
+    )
+
+    def bm25_filtered_sql(queries: list[tuple[int, str]], k: int,
+                          pred: str) -> str:
+        """bm25_sql with results restricted to docs satisfying ``pred``
+        (over the per-doc token array t) BEFORE the top-k cut."""
+        return (
+            _DUCK_POSTINGS + ", "
+            "d AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text") + " AS t FROM documents), "
+            f"filt AS (SELECT docid FROM d WHERE {pred}), "
+            "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
+            "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "tstat AS (SELECT term, count(*) AS df FROM postings "
+            "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
+            "  FROM tstat t, cs), "
+            "scored AS (SELECT q.query_id, p.docid, "
+            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+            "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
+            "  JOIN ds ON ds.docid = p.docid "
+            "  JOIN filt f ON f.docid = p.docid, cs GROUP BY q.query_id, p.docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+            f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
+        )
+
+    def highlight_sql(queries: list[tuple[int, str]], k: int,
+                      window: int) -> str:
+        """BM25 top-k + best width-``window`` snippet window per hit:
+        anchors at matched positions (0-based, matching the engine's
+        positional stream), count distinct query terms in
+        [p, p+window-1], ties → earliest start."""
+        return (
+            "WITH d AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text") + " AS t FROM documents), "
+            "occ AS (SELECT docid, s.i - 1 AS pos, t[s.i] AS term FROM d, "
+            "  LATERAL unnest(generate_series(1, len(t))) AS s(i)), "
+            "postings AS (SELECT docid, term, CAST(count(*) AS INT) AS tf "
+            "  FROM occ GROUP BY docid, term), "
+            "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
+            "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "tstat AS (SELECT term, count(*) AS df FROM postings "
+            "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
+            "  FROM tstat t, cs), "
+            "scored AS (SELECT q.query_id, p.docid, "
+            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+            "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
+            "  JOIN ds ON ds.docid = p.docid, cs GROUP BY q.query_id, p.docid), "
+            "topk AS (SELECT query_id, rank, docid, score FROM ("
+            "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+            f"  docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}), "
+            "qocc AS (SELECT q.query_id, o.docid, o.term, o.pos FROM occ o "
+            "  JOIN q ON o.term = q.term "
+            "  JOIN topk tk ON tk.query_id = q.query_id AND tk.docid = o.docid), "
+            "w AS (SELECT a.query_id, a.docid, a.pos AS ws, "
+            "  (SELECT count(DISTINCT o2.term) FROM qocc o2 "
+            "   WHERE o2.query_id = a.query_id AND o2.docid = a.docid "
+            f"   AND o2.pos BETWEEN a.pos AND a.pos + {window - 1}) AS nt "
+            "  FROM (SELECT DISTINCT query_id, docid, pos FROM qocc) a), "
+            "best AS (SELECT query_id, docid, ws, nt, row_number() OVER ("
+            "  PARTITION BY query_id, docid ORDER BY nt DESC, ws ASC) AS rn "
+            "  FROM w) "
+            "SELECT tk.query_id, tk.rank, tk.docid, tk.score, "
+            "  CAST(b.ws AS INT) AS win_start, CAST(b.nt AS INT) AS n_terms "
+            "FROM topk tk JOIN best b ON b.query_id = tk.query_id "
+            "  AND b.docid = tk.docid AND b.rn = 1"
+        )
+
     bm25 = bm25_sql(FT_QUERIES, 10)
     bm25f = bm25f_sql(FIELDED_QUERIES, 10, FIELDED_BOOSTS)
     return {
@@ -820,6 +1010,17 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean_and_via_index": _DUCK_POSTINGS
         + " SELECT docid FROM postings WHERE term IN ('customer','filter','group')"
         " GROUP BY docid HAVING count(DISTINCT term) = 3",
+        "ft_bool_expr": duck_d + f" SELECT docid FROM d WHERE {bool_pred}",
+        "ft_bool_expr_via_layout": duck_d
+        + f" SELECT docid FROM d WHERE {bool_pred}",
+        "ft_query_fuzzy_mix": duck_d
+        + f" SELECT docid FROM d WHERE {fuzzy_mix_pred}",
+        "ft_bm25_filtered_via_termindex": bm25_filtered_sql(
+            FT_QUERIES, 10, filter_pred),
+        "ft_search_ranked": bm25_filtered_sql(
+            [(0, "join merge spark")], 10, search_pred),
+        "ft_highlight_via_termlayout": highlight_sql(
+            HL_QUERIES, 10, HL_WINDOW),
         **ops_oracles(),
     }
 

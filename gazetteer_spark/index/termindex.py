@@ -517,6 +517,7 @@ def bm25_topk(
     round_to: int | None = 4,
     allow_stale: bool = False,
     expensive_df: int | None = None,
+    filter_by: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25 top-k served from the TERM-
     partitioned layout — the low-latency point-query path at corpus scale.
@@ -562,7 +563,16 @@ def bm25_topk(
 
     Ranking contract: (rounded score desc, docid asc), scores rounded to
     ``round_to`` — rank-identical to wand.topk / the exact scorer on a
-    current layout."""
+    current layout.
+
+    ``filter_by`` (a one-column docid DataFrame, e.g. from
+    `query.match_layout`) restricts results to its docids BEFORE the
+    top-k cut — filtered search, one semi-join on the already-shuffled
+    scored rows. The candidate gate stays sound under a filter because
+    phase-1 cheap scoring is filtered too: θ₀ is then the k-th best
+    partial score among FILTERED docs, so a filtered doc holding only
+    expensive terms is excluded by the same bound argument, and every
+    emitted survivor still receives its exact full score."""
     from ..analyzer import get_analyzer
 
     meta = _load_meta(layout_dir)
@@ -588,7 +598,7 @@ def bm25_topk(
     df_by_term = {r["term"]: int(r["df"])
                   for r in rows.select("term", "df").collect()}
     return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
-                      expensive_df)
+                      expensive_df, filter_by=filter_by)
 
 
 def _bm25_impl(
@@ -600,9 +610,11 @@ def _bm25_impl(
     k: int,
     round_to: int | None,
     expensive_df: int | None,
+    filter_by: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring pipeline behind bm25_topk and TermLayoutReader.topk:
-    candidate-gate planning + scoring jobs + the group-limited merge."""
+    candidate-gate planning + scoring jobs + the group-limited merge.
+    ``filter_by`` semantics: see bm25_topk."""
     from .wand import _idf
 
     n_docs, avgdl = meta["n_docs"], meta["avgdl"]
@@ -643,7 +655,10 @@ def _bm25_impl(
         for qid, _, cheap, _ in maybe:
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
-        phase1 = _scored_rows(rows, cheap_sub, idf_by_term, avgdl).collect()
+        phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl)
+        if filter_by is not None:
+            phase1_df = phase1_df.join(filter_by, "docid", "left_semi")
+        phase1 = phase1_df.collect()
         by_qid: dict[int, list] = {}
         for r in phase1:
             by_qid.setdefault(r["query_id"], []).append(
@@ -679,6 +694,8 @@ def _bm25_impl(
 
     scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
                           cand_by_qid, restrict)
+    if filter_by is not None:
+        scored = scored.join(filter_by, "docid", "left_semi")
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(

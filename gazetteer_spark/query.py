@@ -1,0 +1,602 @@
+"""Query front door: a lucene-lite string syntax → AST → two compilers.
+
+The reference exposes its matching surface through parsed query schemes
+(`addresses/impl/AddressesSchemesParserImpl.java:25-154`) and pluggable
+matchers (`addresses/impl/NamesMatcherImpl.java:18-46`). This module is
+that surface for the engine: one grammar covering every serving primitive
+the index family implements —
+
+    customer AND (filter OR group)      boolean operators, parentheses
+    spark join merge                    implicit AND on adjacency
+    NOT group, -group                   negation (AND-NOT semantics)
+    "key order"                         exact token phrase
+    "key order value"~3                 unordered NEAR within distance 3
+    grup~1                              edit-distance fuzzy (gram index)
+
+and two compilers with identical semantics:
+
+- :func:`match_layout` — serves the query from the TERM-PARTITIONED
+  layout. All term-class leaves (plain + fuzzy expansions) ride ONE
+  bucket/min-max-pruned scan; phrase and NEAR leaves batch through the
+  positional-layout verifiers (one call per shape). Every leaf emits
+  (docid, bit) rows; a single ``groupBy(docid).agg(bit_or)`` builds a
+  per-doc presence MASK, and the whole boolean tree evaluates as ONE JVM
+  column expression over that mask — arbitrary AND/OR/NOT nesting costs
+  one shuffle bounded by Σ df(leaf terms), with no joins and no
+  per-operator passes.
+- :func:`match_scan` — the corpus-scan twin: the same tree compiled to a
+  single boolean Column over the analyzer's token array (whole-stage
+  codegen; shingle containment for phrases, position-lambda EXISTS for
+  NEAR, ``levenshtein`` EXISTS for fuzzy). For unindexed data, and the
+  property-test twin of the layout path.
+
+Semantics notes (both compilers, test-pinned):
+
+- A bare word that analyzes to several tokens is an implicit AND of them;
+  a word that analyzes to nothing matches no documents.
+- Negation is AND-NOT: a query satisfiable by a document containing NONE
+  of its leaves (``NOT x``, but also ``NOT x OR y`` — its NOT branch
+  alone admits term-free docs; ``y AND NOT x`` is fine) is rejected with
+  ValueError — matching "everything except" requires a corpus scan,
+  which is a different (and at 10^12 docs, usually wrong) question. Same
+  contract as Lucene's pure-negative clause handling.
+- Fuzzy matches any document containing a DICTIONARY term within edit
+  distance ``k`` of the word (layout: gram-index expansion,
+  `fuzzy.fuzzy_terms_edit`; scan: any token within distance k — the
+  dictionary IS the corpus vocabulary, so the two agree on a current
+  index).
+- ``"a b c"~N`` is the engine's unordered NEAR: some occurrence of the
+  first term with every other term within token distance ≤ N
+  (`termindex.near_match_n` semantics); terms must be distinct.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import get_analyzer, shingles_expr
+
+# mask bits ride a signed long; bit 63 would flip the sign under bit_or
+MAX_LEAVES = 62
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Term:
+    """A single word (pre-analysis in parser output; one analyzed token
+    after normalization)."""
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """Quoted token sequence. slop=0: exact adjacency. slop>0: unordered
+    NEAR — all terms within token distance ≤ slop of an occurrence of the
+    first (``termindex.near_match_n`` semantics, distinct terms)."""
+    text: str
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """word~k: documents containing a vocabulary term within Levenshtein
+    distance ≤ max_edits of the (single-token) analyzed word."""
+    text: str
+    max_edits: int = 1
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+class _FalseNode:
+    """Matches nothing (a leaf whose text analyzed away)."""
+    __slots__ = ()
+    def __repr__(self):  # pragma: no cover - debug aid
+        return "FALSE"
+
+
+_FALSE = _FalseNode()
+
+# normalized leaves (analyzer applied; hashable → dedup to one bit each)
+
+
+@dataclass(frozen=True)
+class _PhraseLeaf:
+    terms: tuple  # ≥ 2 analyzed tokens, exact adjacency
+
+
+@dataclass(frozen=True)
+class _NearLeaf:
+    terms: tuple  # ≥ 2 distinct analyzed tokens
+    slop: int
+
+
+_LEAF_TYPES = (Term, Fuzzy, _PhraseLeaf, _NearLeaf)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\()
+      | (?P<rpar>\))
+      | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | (?P<minus>-)(?=\S)
+      | (?P<word>[^\s()"~]+)(?:~(?P<edits>\d+))?
+    )""",
+    re.VERBOSE,
+)
+
+
+def parse(query: str):
+    """Parse the lucene-lite grammar into an AST (see module docstring).
+
+    Precedence (loosest → tightest): OR, AND/adjacency, NOT/-.
+    ``AND``/``OR``/``NOT`` are operators only in uppercase — lowercase
+    ``and`` is a search term, as in Lucene's standard parser."""
+    tokens: list[tuple[str, object]] = []
+    i = 0
+    while i < len(query):
+        if query[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN_RE.match(query, i)
+        if not m:
+            raise ValueError(f"query syntax error at {query[i:]!r}")
+        i = m.end()
+        if m.group("lpar"):
+            tokens.append(("(", None))
+        elif m.group("rpar"):
+            tokens.append((")", None))
+        elif m.group("phrase") is not None:
+            tokens.append(
+                ("leaf", Phrase(m.group("phrase"),
+                                int(m.group("slop") or 0)))
+            )
+        elif m.group("minus"):
+            tokens.append(("NOT", None))
+        else:
+            w = m.group("word")
+            if w in ("AND", "OR", "NOT") and m.group("edits") is None:
+                tokens.append((w, None))
+            elif m.group("edits") is not None:
+                tokens.append(("leaf", Fuzzy(w, int(m.group("edits")))))
+            else:
+                tokens.append(("leaf", Term(w)))
+    pos = 0
+
+    def peek():
+        return tokens[pos][0] if pos < len(tokens) else None
+
+    def take():
+        nonlocal pos
+        tok = tokens[pos]
+        pos += 1
+        return tok
+
+    def parse_or():
+        out = [parse_and()]
+        while peek() == "OR":
+            take()
+            out.append(parse_and())
+        return out[0] if len(out) == 1 else Or(tuple(out))
+
+    def parse_and():
+        out = [parse_unary()]
+        while peek() in ("AND", "NOT", "leaf", "("):
+            if peek() == "AND":
+                take()
+            out.append(parse_unary())
+        return out[0] if len(out) == 1 else And(tuple(out))
+
+    def parse_unary():
+        kind = peek()
+        if kind == "NOT":
+            take()
+            return Not(parse_unary())
+        if kind == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError("unbalanced '(' in query")
+            take()
+            return node
+        if kind == "leaf":
+            return take()[1]
+        raise ValueError(
+            f"expected a term at token {pos} of {query!r}"
+        )
+
+    if not tokens:
+        raise ValueError("empty query")
+    node = parse_or()
+    if pos != len(tokens):
+        raise ValueError("unbalanced ')' in query")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# normalization
+# ---------------------------------------------------------------------------
+
+def _normalize(node, tokenize):
+    """Apply the analyzer to every leaf and fold constants: Term → one
+    analyzed token (several → And of them; none → FALSE), Phrase → exact
+    _PhraseLeaf / unordered _NearLeaf (single survivor token → Term),
+    Fuzzy → single analyzed token (else ValueError, mirroring
+    fuzzy_terms_edit)."""
+    if isinstance(node, Term):
+        toks = tokenize(node.text)
+        if not toks:
+            return _FALSE
+        if len(toks) == 1:
+            return Term(toks[0])
+        return And(tuple(Term(t) for t in toks))
+    if isinstance(node, Phrase):
+        toks = tokenize(node.text)
+        if not toks:
+            return _FALSE
+        if len(toks) == 1:
+            return Term(toks[0])
+        if node.slop > 0:
+            if len(set(toks)) != len(toks):
+                raise ValueError(
+                    f"NEAR terms must be distinct: {toks}"
+                )
+            return _NearLeaf(tuple(toks), node.slop)
+        return _PhraseLeaf(tuple(toks))
+    if isinstance(node, Fuzzy):
+        toks = tokenize(node.text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy takes a single-token word; analyze "
+                f"{node.text!r} → {toks}"
+            )
+        if node.max_edits < 1:
+            return Term(toks[0])
+        return Fuzzy(toks[0], node.max_edits)
+    if isinstance(node, (_PhraseLeaf, _NearLeaf)) or node is _FALSE:
+        return node  # already normalized (idempotent re-entry)
+    if isinstance(node, Not):
+        child = _normalize(node.child, tokenize)
+        return child.child if isinstance(child, Not) else Not(child)
+    if isinstance(node, (And, Or)):
+        kids = [_normalize(c, tokenize) for c in node.children]
+        if isinstance(node, And):
+            if any(c is _FALSE for c in kids):
+                return _FALSE
+            return kids[0] if len(kids) == 1 else And(tuple(kids))
+        kids = [c for c in kids if c is not _FALSE]
+        if not kids:
+            return _FALSE
+        return kids[0] if len(kids) == 1 else Or(tuple(kids))
+    raise TypeError(f"not a query node: {node!r}")
+
+
+def _collect_leaves(node, out: dict) -> None:
+    if isinstance(node, _LEAF_TYPES):
+        out.setdefault(node, len(out))
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _collect_leaves(c, out)
+    elif isinstance(node, Not):
+        _collect_leaves(node.child, out)
+
+
+def _eval_all_false(node) -> bool:
+    """Truth value of the tree when NO leaf matches — True means the query
+    would match a document containing none of its leaves (pure-negative:
+    rejected; see module docstring)."""
+    if isinstance(node, _LEAF_TYPES) or node is _FALSE:
+        return False
+    if isinstance(node, And):
+        return all(_eval_all_false(c) for c in node.children)
+    if isinstance(node, Or):
+        return any(_eval_all_false(c) for c in node.children)
+    return not _eval_all_false(node.child)
+
+
+def _check_tree(node) -> dict:
+    """Shared validation → {leaf: bit}."""
+    if _eval_all_false(node):
+        raise ValueError(
+            "pure-negative query (matches documents containing none of "
+            "its terms) — add at least one required positive clause"
+        )
+    bits: dict = {}
+    _collect_leaves(node, bits)
+    if len(bits) > MAX_LEAVES:
+        raise ValueError(
+            f"query has {len(bits)} leaves; the mask compiler supports "
+            f"≤ {MAX_LEAVES}"
+        )
+    return bits
+
+
+def _mask_pred(node, bits: dict) -> Column:
+    """The boolean tree as ONE JVM expression over the per-doc mask."""
+    if node is _FALSE:
+        return F.lit(False)
+    if isinstance(node, _LEAF_TYPES):
+        return F.col("mask").bitwiseAND(F.lit(1 << bits[node])) != 0
+    if isinstance(node, And):
+        return reduce(lambda a, b: a & b,
+                      (_mask_pred(c, bits) for c in node.children))
+    if isinstance(node, Or):
+        return reduce(lambda a, b: a | b,
+                      (_mask_pred(c, bits) for c in node.children))
+    return ~_mask_pred(node.child, bits)
+
+
+# ---------------------------------------------------------------------------
+# layout compiler
+# ---------------------------------------------------------------------------
+
+def _fuzzy_expansions(
+    spark: SparkSession, fuzzy_dir: str, leaves: list[Fuzzy]
+) -> dict[Fuzzy, list[str]]:
+    from . import fuzzy as fz
+
+    out = {}
+    for leaf in leaves:
+        terms = [
+            r["term"] for r in
+            fz.fuzzy_terms_edit(spark, fuzzy_dir, leaf.text,
+                                leaf.max_edits).collect()
+        ]
+        if len(terms) > fz.MAX_FUZZY_TERMS:
+            raise ValueError(
+                f"{leaf.text!r}~{leaf.max_edits} expands to "
+                f"{len(terms)} vocabulary terms (> MAX_FUZZY_TERMS)"
+            )
+        out[leaf] = terms
+    return out
+
+
+def match_layout(
+    spark: SparkSession,
+    layout_dir: str,
+    query,
+    fuzzy_dir: str | None = None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(docid): documents matching an arbitrary boolean query, served from
+    the term-partitioned layout. Scale shape (see module docstring): one
+    bucket-pruned term scan + one batched positional call per phrase/NEAR
+    shape + ONE groupBy(docid) bit_or — the tree itself is free.
+
+    ``query`` is a string (parsed by :func:`parse`) or an AST node.
+    Fuzzy leaves need ``fuzzy_dir`` (a `fuzzy.build_fuzzy_layout` dir over
+    the SAME source index)."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    node = _normalize(parse(query) if isinstance(query, str) else query,
+                      tokenize)
+    empty = spark.createDataFrame([], "docid long")
+    if node is _FALSE:
+        return empty
+    bits = _check_tree(node)
+
+    fuzzies = [lf for lf in bits if isinstance(lf, Fuzzy)]
+    if fuzzies and fuzzy_dir is None:
+        raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
+    expansions = (_fuzzy_expansions(spark, fuzzy_dir, fuzzies)
+                  if fuzzies else {})
+
+    # term-class leaves: ONE pruned scan; a term may serve several leaves
+    # (e.g. a plain leaf AND a fuzzy expansion) → OR of their bits
+    mask_by_term: dict[str, int] = {}
+    for leaf, bit in bits.items():
+        terms = ([leaf.text] if isinstance(leaf, Term)
+                 else expansions[leaf] if isinstance(leaf, Fuzzy)
+                 else [])
+        for t in terms:
+            mask_by_term[t] = mask_by_term.get(t, 0) | (1 << bit)
+
+    parts = []
+    if mask_by_term:
+        tp = termindex.term_postings(
+            spark, layout_dir, sorted(mask_by_term), allow_stale=allow_stale
+        )
+        tmap = spark.createDataFrame(
+            sorted(mask_by_term.items()), "term string, mask long"
+        )
+        parts.append(
+            tp.join(F.broadcast(tmap), "term").select("docid", "mask")
+        )
+
+    def _with_mask(df: DataFrame, by_qid: dict[int, int]) -> DataFrame:
+        qmap = spark.createDataFrame(
+            sorted(by_qid.items()), "query_id int, mask long"
+        )
+        return df.join(F.broadcast(qmap), "query_id").select("docid", "mask")
+
+    phrases = [(bits[lf], lf) for lf in bits
+               if isinstance(lf, _PhraseLeaf)]
+    if phrases:
+        got = termindex.phrase_match(
+            spark, layout_dir,
+            [(bit, " ".join(lf.terms)) for bit, lf in phrases],
+            allow_stale=allow_stale,
+        )
+        parts.append(_with_mask(got, {b: 1 << b for b, _ in phrases}))
+
+    nears = [(bits[lf], lf) for lf in bits if isinstance(lf, _NearLeaf)]
+    for slop in sorted({lf.slop for _, lf in nears}):
+        grp = [(bit, lf) for bit, lf in nears if lf.slop == slop]
+        got = termindex.near_match_n(
+            spark, layout_dir, [(bit, list(lf.terms)) for bit, lf in grp],
+            k=slop, allow_stale=allow_stale,
+        )
+        parts.append(_with_mask(got, {b: 1 << b for b, _ in grp}))
+
+    if not parts:
+        return empty
+    allbits = reduce(DataFrame.unionByName, parts)
+    masks = allbits.groupBy("docid").agg(F.expr("bit_or(mask)").alias("mask"))
+    return masks.filter(_mask_pred(node, bits)).select("docid")
+
+
+# ---------------------------------------------------------------------------
+# scan compiler
+# ---------------------------------------------------------------------------
+
+def _positions_of(toks: Column, term: str) -> Column:
+    """0-based positions of ``term`` in the token array, as a JVM column."""
+    return F.filter(
+        F.transform(toks, lambda t, i: F.when(t == F.lit(term), i)),
+        lambda p: p.isNotNull(),
+    )
+
+
+def _scan_pred(node, toks: Column) -> Column:
+    if node is _FALSE:
+        return F.lit(False)
+    if isinstance(node, Term):
+        return F.array_contains(toks, node.text)
+    if isinstance(node, _PhraseLeaf):
+        n = len(node.terms)
+        return F.array_contains(
+            shingles_expr(toks, n), " ".join(node.terms)
+        )
+    if isinstance(node, _NearLeaf):
+        rest = node.terms[1:]
+        return F.exists(
+            _positions_of(toks, node.terms[0]),
+            lambda p0: reduce(
+                lambda a, b: a & b,
+                (
+                    F.exists(
+                        _positions_of(toks, t),
+                        lambda pj: F.abs(pj - p0) <= node.slop,
+                    )
+                    for t in rest
+                ),
+            ),
+        )
+    if isinstance(node, Fuzzy):
+        return F.exists(
+            toks,
+            lambda t: F.levenshtein(t, F.lit(node.text)) <= node.max_edits,
+        )
+    if isinstance(node, And):
+        return reduce(lambda a, b: a & b,
+                      (_scan_pred(c, toks) for c in node.children))
+    if isinstance(node, Or):
+        return reduce(lambda a, b: a | b,
+                      (_scan_pred(c, toks) for c in node.children))
+    return ~_scan_pred(node.child, toks)
+
+
+def match_scan(
+    docs: DataFrame,
+    query,
+    id_col: str = "docid",
+    content_col: str = "content",
+    analyzer: str = "default",
+) -> DataFrame:
+    """(docid): the corpus-scan twin of :func:`match_layout` — the whole
+    tree as ONE boolean Column over the analyzer's token array (wholestage
+    codegen; no shuffle, no UDFs). Row-identical to the layout path on a
+    current index (property-tested)."""
+    an = get_analyzer(analyzer)
+    node = _normalize(parse(query) if isinstance(query, str) else query,
+                      an.py_tokenize)
+    spark = docs.sparkSession
+    if node is _FALSE:
+        return spark.createDataFrame([], "docid long")
+    _check_tree(node)
+    toks = an.tokens_expr(F.col(content_col))
+    return (
+        docs.select(F.col(id_col).alias("docid"), toks.alias("__toks"))
+        .filter(_scan_pred(node, F.col("__toks")))
+        .select("docid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranked front door
+# ---------------------------------------------------------------------------
+
+def _positive_terms(node, acc: set, spark=None, fuzzy_dir=None,
+                    expansions=None) -> None:
+    """Term-class leaves under an even number of negations — the scoring
+    subscription of :func:`search` (phrase/NEAR leaves filter but don't
+    score; a negated term can only EXCLUDE, so it never scores)."""
+    if isinstance(node, Term):
+        acc.add(node.text)
+    elif isinstance(node, Fuzzy) and expansions is not None:
+        acc.update(expansions.get(node, ()))
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _positive_terms(c, acc, spark, fuzzy_dir, expansions)
+    # Not: leaves below it excluded from scoring
+
+
+def search(
+    spark: SparkSession,
+    layout_dir: str,
+    query: str,
+    k: int = 10,
+    fuzzy_dir: str | None = None,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id=0, rank, docid, score): the one-call ranked front door —
+    filter by the boolean tree (:func:`match_layout`), rank the survivors
+    by BM25 over the query's positive term leaves (fuzzy leaves score
+    through their expansions; phrase/NEAR leaves filter only). A plain
+    free-text query (no operators) therefore ranks EXACTLY like
+    `termindex.bm25_topk` under an AND-filter — and `a OR b` relaxes the
+    filter without touching the scoring."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    node = _normalize(parse(query), tokenize)
+    out_schema = "query_id int, rank int, docid long, score double"
+    if node is _FALSE:
+        return spark.createDataFrame([], out_schema)
+    bits = _check_tree(node)
+    fuzzies = [lf for lf in bits if isinstance(lf, Fuzzy)]
+    if fuzzies and fuzzy_dir is None:
+        raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
+    expansions = (_fuzzy_expansions(spark, fuzzy_dir, fuzzies)
+                  if fuzzies else {})
+    scored: set = set()
+    _positive_terms(node, scored, spark, fuzzy_dir, expansions)
+    if not scored:
+        raise ValueError(
+            "no positive term leaves to rank by — use match_layout() for "
+            "unranked boolean retrieval"
+        )
+    filt = match_layout(spark, layout_dir, node, fuzzy_dir=fuzzy_dir,
+                        allow_stale=allow_stale)
+    return termindex.bm25_topk(
+        spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
+        round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+    )

@@ -1,0 +1,232 @@
+"""Query front door (gazetteer_spark/query.py): parser, mask compiler
+(layout serving), scan compiler, filtered BM25, ranked search()."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_spark import fuzzy as fz
+from gazetteer_spark import query as Q
+from gazetteer_spark.index import spimi, termindex
+
+
+# ---------------------------------------------------------------------------
+# parser (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_parse_precedence_and_implicit_and():
+    # OR binds loosest; adjacency is AND
+    ast = Q.parse("customer OR filter group")
+    assert ast == Q.Or((Q.Term("customer"),
+                        Q.And((Q.Term("filter"), Q.Term("group")))))
+    assert Q.parse("a b c") == Q.And((Q.Term("a"), Q.Term("b"), Q.Term("c")))
+    assert Q.parse("a AND b") == Q.parse("a b")
+
+
+def test_parse_parens_not_minus():
+    ast = Q.parse("(a OR b) AND NOT c")
+    assert ast == Q.And((Q.Or((Q.Term("a"), Q.Term("b"))),
+                         Q.Not(Q.Term("c"))))
+    assert Q.parse("a -b") == Q.And((Q.Term("a"), Q.Not(Q.Term("b"))))
+    assert Q.parse("NOT NOT a AND b") == Q.And(
+        (Q.Not(Q.Not(Q.Term("a"))), Q.Term("b")))
+
+
+def test_parse_phrase_slop_fuzzy():
+    assert Q.parse('"key order"') == Q.Phrase("key order", 0)
+    assert Q.parse('"key order value"~3') == Q.Phrase("key order value", 3)
+    assert Q.parse("grup~1") == Q.Fuzzy("grup", 1)
+    assert Q.parse("grup~2 AND x") == Q.And(
+        (Q.Fuzzy("grup", 2), Q.Term("x")))
+    # lowercase and/or/not are plain terms
+    assert Q.parse("a and b") == Q.And(
+        (Q.Term("a"), Q.Term("and"), Q.Term("b")))
+
+
+def test_parse_errors():
+    for bad in ["", "   ", "(a", "a)", "a AND", "OR a", "a OR)", "()"]:
+        with pytest.raises(ValueError):
+            Q.parse(bad)
+
+
+def test_normalize_rules():
+    tok = lambda s: [w for w in s.lower().split() if w.isalnum()]
+    # multi-token word → And; token-free word → FALSE (folds through Or)
+    assert Q._normalize(Q.Term("A B"), tok) == Q.And(
+        (Q.Term("a"), Q.Term("b")))
+    assert Q._normalize(Q.Or((Q.Term("!!"), Q.Term("a"))), tok) == Q.Term("a")
+    assert Q._normalize(Q.And((Q.Term("!!"), Q.Term("a"))), tok) is Q._FALSE
+    # single-survivor phrase → Term; double negation folds
+    assert Q._normalize(Q.Phrase("a !!"), tok) == Q.Term("a")
+    assert Q._normalize(Q.Not(Q.Not(Q.Term("a"))), tok) == Q.Term("a")
+    # normalization is idempotent on its own output
+    n = Q._normalize(Q.parse('"key order" OR a~1'), tok)
+    assert Q._normalize(n, tok) == n
+    with pytest.raises(ValueError, match="single-token"):
+        Q._normalize(Q.Fuzzy("a b"), tok)
+    with pytest.raises(ValueError, match="distinct"):
+        Q._normalize(Q.Phrase("a b a", slop=2), tok)
+
+
+def test_pure_negative_and_leaf_cap():
+    with pytest.raises(ValueError, match="pure-negative"):
+        Q._check_tree(Q.Not(Q.Term("a")))
+    # OR with a NOT branch still matches term-free docs → rejected too
+    with pytest.raises(ValueError, match="pure-negative"):
+        Q._check_tree(Q.Or((Q.Not(Q.Term("a")), Q.Term("b"))))
+    # NOT guarded by a positive conjunct is fine
+    Q._check_tree(Q.And((Q.Term("b"), Q.Not(Q.Term("a")))))
+    Q._check_tree(Q.Or((Q.Term("c"),
+                        Q.And((Q.Term("b"), Q.Not(Q.Term("a")))))))
+    wide = Q.Or(tuple(Q.Term(f"t{i}") for i in range(Q.MAX_LEAVES + 1)))
+    with pytest.raises(ValueError, match="leaves"):
+        Q._check_tree(wide)
+
+
+# ---------------------------------------------------------------------------
+# compilers (Spark)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def served(spark, documents, tmp_path_factory):
+    """(layout_dir, fuzzy_dir) over the full documents table."""
+    idx = str(tmp_path_factory.mktemp("idx_query"))
+    spimi.build_index(spark, documents, idx, n_shards=4, id_col="doc_id",
+                      content_col="text", positions=True, doclens=True)
+    lay = str(tmp_path_factory.mktemp("lay_query"))
+    termindex.build_term_layout(spark, idx, lay, n_buckets=16,
+                                positions=True)
+    fzd = str(tmp_path_factory.mktemp("fz_query"))
+    fz.build_fuzzy_layout(spark, idx, fzd)
+    return lay, fzd
+
+
+QUERY_TABLE = [
+    "customer AND filter",
+    "customer filter group",
+    "customer OR filter AND group",
+    "(customer OR filter) AND NOT group",
+    '"key order"',
+    '"key order" OR (customer AND -filter)',
+    '"key order value"~3 AND customer',
+    "zz_absent OR customer",
+    "NOT zz_absent AND customer",
+    "grup~1 AND (customer OR filter)",
+    '("key order" OR window) AND NOT (group AND sort)',
+]
+
+
+def _ids(df):
+    return {r["docid"] for r in df.collect()}
+
+
+def test_layout_matches_scan_table(spark, documents, served):
+    lay, fzd = served
+    for q in QUERY_TABLE:
+        got = _ids(Q.match_layout(spark, lay, q, fuzzy_dir=fzd))
+        want = _ids(Q.match_scan(documents, q, id_col="doc_id",
+                                 content_col="text"))
+        assert got == want, q
+    # sanity: the table exercises non-empty results
+    assert _ids(Q.match_scan(documents, QUERY_TABLE[0], id_col="doc_id",
+                             content_col="text"))
+
+
+def test_match_layout_one_shuffle_no_join_for_terms(spark, served):
+    """Pure term-leaf trees compile to scan → bit_or aggregate → filter:
+    no join of per-operator DataFrames, however the tree nests."""
+    lay, _ = served
+    df = Q.match_layout(
+        spark, lay, "(customer OR filter) AND NOT (group OR sort)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only join is the broadcast term→mask map onto the pruned scan
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") <= 2  # mask agg only
+
+
+def test_fuzzy_leaf_needs_dir_and_expands(spark, documents, served):
+    lay, fzd = served
+    with pytest.raises(ValueError, match="fuzzy_dir"):
+        Q.match_layout(spark, lay, "grup~1")  # no dir
+    got = _ids(Q.match_layout(spark, lay, "grup~1", fuzzy_dir=fzd))
+    want = _ids(Q.match_scan(documents, "grup~1", id_col="doc_id",
+                             content_col="text"))
+    assert got == want and got
+
+
+def test_false_and_empty_results(spark, documents, served):
+    lay, _ = served
+    assert Q.match_layout(spark, lay, "zz_absent").count() == 0
+    assert Q.match_layout(spark, lay, "zz_absent AND customer").count() == 0
+    assert Q.match_scan(documents, "zz_absent AND customer",
+                        id_col="doc_id", content_col="text").count() == 0
+
+
+def test_filtered_bm25_matches_bruteforce(spark, served):
+    lay, _ = served
+    queries = [(0, "spark join merge"), (1, "the window")]
+    filt = Q.match_layout(spark, lay, "(customer OR filter) AND NOT group")
+    allowed = _ids(filt)
+    got = termindex.bm25_topk(spark, lay, queries, k=10,
+                              filter_by=filt).collect()
+    full = termindex.bm25_topk(spark, lay, queries, k=10 ** 6).collect()
+    want = []
+    for qid in (0, 1):
+        rows = sorted(((r["docid"], r["score"]) for r in full
+                       if r["query_id"] == qid and r["docid"] in allowed),
+                      key=lambda t: (-t[1], t[0]))
+        want += [(qid, i + 1, d, s) for i, (d, s) in enumerate(rows[:10])]
+    assert sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                  for r in got) == sorted(want)
+    assert want  # non-degenerate
+
+
+def test_filtered_bm25_gated_still_exact(spark, served):
+    """Forced candidate gate + filter: θ₀ from FILTERED cheap docs —
+    results must equal the ungated filtered ranking."""
+    lay, _ = served
+    filt = Q.match_layout(spark, lay, "customer OR filter OR key")
+    q = [(0, "dup the"), (1, "dup window key")]
+    gated = termindex.bm25_topk(spark, lay, q, k=5, filter_by=filt,
+                                expensive_df=100).collect()
+    plain = termindex.bm25_topk(spark, lay, q, k=5, filter_by=filt).collect()
+    rows = lambda rs: sorted(
+        (r["query_id"], r["rank"], r["docid"], r["score"]) for r in rs)
+    assert rows(gated) == rows(plain) and gated
+
+
+def test_search_plain_equals_and_filtered_bm25(spark, served):
+    lay, _ = served
+    got = Q.search(spark, lay, "spark join merge", k=10).collect()
+    filt = Q.match_layout(spark, lay, "spark AND join AND merge")
+    want = termindex.bm25_topk(spark, lay, [(0, "join merge spark")], k=10,
+                               filter_by=filt).collect()
+    assert got == want and got
+
+
+def test_search_boolean_scores_positive_terms_only(spark, served):
+    """`a OR b` relaxes the filter but keeps BM25 over {a, b}; negated
+    terms never score."""
+    lay, fzd = served
+    got = Q.search(spark, lay, "spark OR merge AND NOT group", k=10).collect()
+    filt = Q.match_layout(spark, lay, "spark OR merge AND NOT group")
+    want = termindex.bm25_topk(spark, lay, [(0, "merge spark")], k=10,
+                               filter_by=filt).collect()
+    assert got == want and got
+    with pytest.raises(ValueError, match="positive term"):
+        Q.search(spark, lay, '"key order"')  # phrase-only: nothing to rank
+
+
+def test_search_fuzzy_scores_expansions(spark, served):
+    lay, fzd = served
+    got = Q.search(spark, lay, "grup~1 AND customer", k=10,
+                   fuzzy_dir=fzd).collect()
+    exp = sorted(r["term"] for r in
+                 fz.fuzzy_terms_edit(spark, fzd, "grup", 1).collect())
+    filt = Q.match_layout(spark, lay, "grup~1 AND customer", fuzzy_dir=fzd)
+    want = termindex.bm25_topk(
+        spark, lay, [(0, " ".join(sorted(set(exp + ["customer"]))))],
+        k=10, filter_by=filt).collect()
+    assert got == want and got

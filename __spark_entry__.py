@@ -567,6 +567,32 @@ def q_ft_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10)
 
 
+PREFIX_QUERY = "s* AND NOT (group OR sort)"
+# s* expands against the corpus vocabulary (prefix_terms dictionary probe)
+PREFIX_EXPANSION = "scan slow small sort spark stream"
+
+
+def q_ft_query_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix wildcard leaf (s*) inside a boolean tree, served from the
+    layout: the prefix expands via a range probe of the term-sorted
+    termstats dictionary (`fuzzy.prefix_terms` — no gram layout), the
+    expansions share the leaf's mask bit and ride the single pruned term
+    scan."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout(spark, _layout_dir(spark, sf_dir),
+                             PREFIX_QUERY)
+
+
+def q_ft_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked front door with a prefix leaf: the boolean tree (prefix
+    expansion included) filters, BM25 over the expansion terms ranks."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search(spark, _layout_dir(spark, sf_dir), PREFIX_QUERY,
+                       k=10)
+
+
 HL_QUERIES: list[tuple[int, str]] = [(0, "spark join merge"),
                                      (1, "the window")]
 HL_WINDOW = 8
@@ -625,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_fuzzy_mix": q_ft_query_fuzzy_mix,
         "ft_bm25_filtered_via_termindex": q_ft_bm25_filtered_via_termindex,
         "ft_search_ranked": q_ft_search_ranked,
+        "ft_query_prefix": q_ft_query_prefix,
+        "ft_search_prefix": q_ft_search_prefix,
         "ft_highlight_via_termlayout": q_ft_highlight_via_termlayout,
         **ops_queries(),
     }
@@ -882,6 +910,10 @@ def oracle_sql() -> dict[str, str]:
         " AND (list_contains(t, 'join') OR list_contains(t, 'merge'))"
         f" AND NOT list_contains({sh2}, 'key order'))"
     )
+    prefix_pred = (
+        "(len(list_filter(t, x -> starts_with(x, 's'))) > 0"
+        " AND NOT (list_contains(t, 'group') OR list_contains(t, 'sort')))"
+    )
 
     def bm25_filtered_sql(queries: list[tuple[int, str]], k: int,
                           pred: str) -> str:
@@ -1019,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
             FT_QUERIES, 10, filter_pred),
         "ft_search_ranked": bm25_filtered_sql(
             [(0, "join merge spark")], 10, search_pred),
+        "ft_query_prefix": duck_d
+        + f" SELECT docid FROM d WHERE {prefix_pred}",
+        "ft_search_prefix": bm25_filtered_sql(
+            [(0, PREFIX_EXPANSION)], 10, prefix_pred),
         "ft_highlight_via_termlayout": highlight_sql(
             HL_QUERIES, 10, HL_WINDOW),
         **ops_oracles(),

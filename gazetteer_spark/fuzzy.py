@@ -331,6 +331,57 @@ def _docs_of_terms_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
 MAX_FUZZY_TERMS = 4096
 
 
+def prefix_terms(
+    spark: SparkSession, index_dir: str, prefix: str,
+    analyzer: str | None = None, max_terms: int = MAX_FUZZY_TERMS,
+) -> DataFrame:
+    """(term, df): vocabulary terms starting with the analyzed prefix —
+    the dictionary seek behind wildcard queries (``spark*``).
+
+    Reads the index's global ``termstats`` table with a pushed-down
+    ``StartsWith`` filter; termstats is written term-sorted within each
+    partition, so parquet row-group min/max zone maps cut the range scan
+    to a few row groups per file — a dictionary-scale range probe, the
+    reference's sorted-key seek (`utils/index/MMapBBIndex.java:27-54`)
+    in parquet form. No gram layout needed. Fielded indexes store
+    composite ``field␟term`` stats; matches are the DISTINCT BASE terms
+    (a prefix matches regardless of field), df summed across fields (an
+    upper bound, informational only — consumers decode exact postings).
+
+    ``max_terms`` caps the expansion (ValueError beyond it) so a
+    too-short prefix fails loudly instead of fanning a vocabulary-sized
+    term list into downstream joins."""
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    an = get_analyzer(analyzer or params.get("analyzer", "default"))
+    toks = an.py_tokenize(prefix)
+    if len(toks) != 1:
+        raise ValueError(
+            f"prefix must analyze to one token; {prefix!r} → {toks}"
+        )
+    p = toks[0]
+    ts = spimi.load_termstats(spark, index_dir)
+    if params.get("fields"):
+        ts = (
+            ts.select(
+                F.split(F.col("term"), spimi.FIELD_SEP, 2).getItem(1)
+                .alias("term"),
+                "df",
+            )
+            .filter(F.col("term").startswith(p))
+            .groupBy("term").agg(F.sum("df").alias("df"))
+        )
+    else:
+        ts = ts.filter(F.col("term").startswith(p)).select("term", "df")
+    out = ts.limit(max_terms + 1).collect()
+    if len(out) > max_terms:
+        raise ValueError(
+            f"prefix {p!r} matches > {max_terms} vocabulary terms; "
+            "use a longer prefix"
+        )
+    return spark.createDataFrame(out, "term string, df long")
+
+
 def fuzzy_docs(
     spark: SparkSession, fuzzy_dir: str, index_dir: str, fragment: str,
     bidirectional: bool = False, allow_stale: bool = False,

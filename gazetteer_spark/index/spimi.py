@@ -770,7 +770,12 @@ def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
         .groupBy("term")
         .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").alias("cf"))
     )
-    ts.write.mode("overwrite").parquet(f"{out_dir}/termstats")
+    # sorted within each hash partition: parquet row-group min/max zone
+    # maps then prune dictionary RANGE scans (prefix lookup) to a few row
+    # groups per file instead of the whole vocabulary
+    ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
+        f"{out_dir}/termstats"
+    )
 
     # corpus stats from the committed manifest — driver-side metadata read
     import pyarrow.parquet as pq

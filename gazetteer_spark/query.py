@@ -12,6 +12,7 @@ the index family implements —
     "key order"                         exact token phrase
     "key order value"~3                 unordered NEAR within distance 3
     grup~1                              edit-distance fuzzy (gram index)
+    filt*                               prefix wildcard (dictionary seek)
 
 and two compilers with identical semantics:
 
@@ -48,6 +49,12 @@ Semantics notes (both compilers, test-pinned):
 - ``"a b c"~N`` is the engine's unordered NEAR: some occurrence of the
   first term with every other term within token distance ≤ N
   (`termindex.near_match_n` semantics); terms must be distinct.
+- ``word*`` (trailing star only) matches any document containing a
+  DICTIONARY term starting with the analyzed prefix. Layout serving
+  expands via a range probe of the source index's term-sorted termstats
+  (`fuzzy.prefix_terms`, MAX_FUZZY_TERMS-capped — needs no gram
+  layout); the scan twin tests tokens with ``startswith`` — identical
+  on a current index since the dictionary IS the corpus vocabulary.
 """
 
 from __future__ import annotations
@@ -94,6 +101,15 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """word*: documents containing any vocabulary term starting with the
+    (single-token) analyzed prefix. Layout serving expands against the
+    term dictionary (`fuzzy.prefix_terms` — sorted-termstats range probe,
+    MAX_FUZZY_TERMS-capped); the scan twin tests tokens directly."""
+    text: str
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 
@@ -131,7 +147,7 @@ class _NearLeaf:
     slop: int
 
 
-_LEAF_TYPES = (Term, Fuzzy, _PhraseLeaf, _NearLeaf)
+_LEAF_TYPES = (Term, Fuzzy, Prefix, _PhraseLeaf, _NearLeaf)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +198,21 @@ def parse(query: str):
             if w in ("AND", "OR", "NOT") and m.group("edits") is None:
                 tokens.append((w, None))
             elif m.group("edits") is not None:
+                if "*" in w:
+                    raise ValueError(f"cannot combine * and ~ in {w!r}")
                 tokens.append(("leaf", Fuzzy(w, int(m.group("edits")))))
+            elif w.endswith("*"):
+                if len(w) == 1 or "*" in w[:-1]:
+                    raise ValueError(
+                        f"wildcard {w!r}: only a single trailing * "
+                        "(prefix query) is supported"
+                    )
+                tokens.append(("leaf", Prefix(w[:-1])))
+            elif "*" in w:
+                raise ValueError(
+                    f"wildcard {w!r}: only a single trailing * "
+                    "(prefix query) is supported"
+                )
             else:
                 tokens.append(("leaf", Term(w)))
     pos = 0
@@ -277,6 +307,14 @@ def _normalize(node, tokenize):
         if node.max_edits < 1:
             return Term(toks[0])
         return Fuzzy(toks[0], node.max_edits)
+    if isinstance(node, Prefix):
+        toks = tokenize(node.text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix takes a single-token word; analyze "
+                f"{node.text!r} → {toks}"
+            )
+        return Prefix(toks[0])
     if isinstance(node, (_PhraseLeaf, _NearLeaf)) or node is _FALSE:
         return node  # already normalized (idempotent re-entry)
     if isinstance(node, Not):
@@ -354,24 +392,37 @@ def _mask_pred(node, bits: dict) -> Column:
 # layout compiler
 # ---------------------------------------------------------------------------
 
-def _fuzzy_expansions(
-    spark: SparkSession, fuzzy_dir: str, leaves: list[Fuzzy]
-) -> dict[Fuzzy, list[str]]:
+def _expand_leaves(
+    spark: SparkSession, meta: dict, fuzzy_dir: str | None, bits: dict
+) -> dict:
+    """{Fuzzy|Prefix leaf: [vocabulary terms]} — the dictionary-expansion
+    pass. Fuzzy rides the gram layout (needs ``fuzzy_dir``); Prefix is a
+    sorted-termstats range probe on the layout's source index (no extra
+    layout). Both are MAX_FUZZY_TERMS-capped."""
     from . import fuzzy as fz
 
     out = {}
-    for leaf in leaves:
-        terms = [
-            r["term"] for r in
-            fz.fuzzy_terms_edit(spark, fuzzy_dir, leaf.text,
-                                leaf.max_edits).collect()
-        ]
-        if len(terms) > fz.MAX_FUZZY_TERMS:
-            raise ValueError(
-                f"{leaf.text!r}~{leaf.max_edits} expands to "
-                f"{len(terms)} vocabulary terms (> MAX_FUZZY_TERMS)"
-            )
-        out[leaf] = terms
+    for leaf in bits:
+        if isinstance(leaf, Fuzzy):
+            if fuzzy_dir is None:
+                raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
+            terms = [
+                r["term"] for r in
+                fz.fuzzy_terms_edit(spark, fuzzy_dir, leaf.text,
+                                    leaf.max_edits).collect()
+            ]
+            if len(terms) > fz.MAX_FUZZY_TERMS:
+                raise ValueError(
+                    f"{leaf.text!r}~{leaf.max_edits} expands to "
+                    f"{len(terms)} vocabulary terms (> MAX_FUZZY_TERMS)"
+                )
+            out[leaf] = terms
+        elif isinstance(leaf, Prefix):
+            out[leaf] = [
+                r["term"] for r in
+                fz.prefix_terms(spark, meta["source_index"],
+                                leaf.text).collect()
+            ]
     return out
 
 
@@ -401,19 +452,14 @@ def match_layout(
         return empty
     bits = _check_tree(node)
 
-    fuzzies = [lf for lf in bits if isinstance(lf, Fuzzy)]
-    if fuzzies and fuzzy_dir is None:
-        raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
-    expansions = (_fuzzy_expansions(spark, fuzzy_dir, fuzzies)
-                  if fuzzies else {})
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
 
     # term-class leaves: ONE pruned scan; a term may serve several leaves
     # (e.g. a plain leaf AND a fuzzy expansion) → OR of their bits
     mask_by_term: dict[str, int] = {}
     for leaf, bit in bits.items():
         terms = ([leaf.text] if isinstance(leaf, Term)
-                 else expansions[leaf] if isinstance(leaf, Fuzzy)
-                 else [])
+                 else expansions.get(leaf, []))
         for t in terms:
             mask_by_term[t] = mask_by_term.get(t, 0) | (1 << bit)
 
@@ -503,6 +549,8 @@ def _scan_pred(node, toks: Column) -> Column:
             toks,
             lambda t: F.levenshtein(t, F.lit(node.text)) <= node.max_edits,
         )
+    if isinstance(node, Prefix):
+        return F.exists(toks, lambda t: t.startswith(node.text))
     if isinstance(node, And):
         return reduce(lambda a, b: a & b,
                       (_scan_pred(c, toks) for c in node.children))
@@ -549,7 +597,7 @@ def _positive_terms(node, acc: set, spark=None, fuzzy_dir=None,
     score; a negated term can only EXCLUDE, so it never scores)."""
     if isinstance(node, Term):
         acc.add(node.text)
-    elif isinstance(node, Fuzzy) and expansions is not None:
+    elif isinstance(node, (Fuzzy, Prefix)) and expansions is not None:
         acc.update(expansions.get(node, ()))
     elif isinstance(node, (And, Or)):
         for c in node.children:
@@ -582,11 +630,7 @@ def search(
     if node is _FALSE:
         return spark.createDataFrame([], out_schema)
     bits = _check_tree(node)
-    fuzzies = [lf for lf in bits if isinstance(lf, Fuzzy)]
-    if fuzzies and fuzzy_dir is None:
-        raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
-    expansions = (_fuzzy_expansions(spark, fuzzy_dir, fuzzies)
-                  if fuzzies else {})
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
     scored: set = set()
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
     if not scored:

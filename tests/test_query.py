@@ -50,6 +50,22 @@ def test_parse_errors():
             Q.parse(bad)
 
 
+def test_parse_prefix():
+    assert Q.parse("sp*") == Q.Prefix("sp")
+    assert Q.parse("sp* AND x") == Q.And((Q.Prefix("sp"), Q.Term("x")))
+    assert Q.parse("-sp*") == Q.Not(Q.Prefix("sp"))
+    for bad in ["*", "a*b", "*ab", "a**", "ab*~1"]:
+        with pytest.raises(ValueError):
+            Q.parse(bad)
+
+
+def test_normalize_prefix():
+    tok = lambda s: [w for w in s.lower().split() if w.isalnum()]
+    assert Q._normalize(Q.Prefix("Sp"), tok) == Q.Prefix("sp")
+    with pytest.raises(ValueError, match="single-token"):
+        Q._normalize(Q.Prefix("a b"), tok)
+
+
 def test_normalize_rules():
     tok = lambda s: [w for w in s.lower().split() if w.isalnum()]
     # multi-token word → And; token-free word → FALSE (folds through Or)
@@ -114,6 +130,9 @@ QUERY_TABLE = [
     "NOT zz_absent AND customer",
     "grup~1 AND (customer OR filter)",
     '("key order" OR window) AND NOT (group AND sort)',
+    "s* AND NOT (group OR sort)",
+    "f* OR zz*",
+    'sp* AND "key order"',
 ]
 
 
@@ -217,6 +236,35 @@ def test_search_boolean_scores_positive_terms_only(spark, served):
     assert got == want and got
     with pytest.raises(ValueError, match="positive term"):
         Q.search(spark, lay, '"key order"')  # phrase-only: nothing to rank
+
+
+def test_prefix_terms_probe_and_cap(spark, served):
+    lay, _ = served
+    idx = termindex._load_meta(lay)["source_index"]
+    got = {r["term"] for r in fz.prefix_terms(spark, idx, "s").collect()}
+    assert got and all(t.startswith("s") for t in got)
+    # df values match global termstats
+    ts = {r["term"]: r["df"] for r in spimi.load_termstats(spark, idx)
+          .collect() if r["term"].startswith("s")}
+    assert got == set(ts)
+    with pytest.raises(ValueError, match="longer prefix"):
+        fz.prefix_terms(spark, idx, "s", max_terms=len(got) - 1)
+    with pytest.raises(ValueError, match="one token"):
+        fz.prefix_terms(spark, idx, "a b")
+    assert fz.prefix_terms(spark, idx, "zzqq").count() == 0
+
+
+def test_search_prefix_scores_expansions(spark, served):
+    lay, _ = served
+    idx = termindex._load_meta(lay)["source_index"]
+    exp = sorted(r["term"] for r in
+                 fz.prefix_terms(spark, idx, "s").collect())
+    q = "s* AND NOT (group OR sort)"
+    got = Q.search(spark, lay, q, k=10).collect()
+    filt = Q.match_layout(spark, lay, q)
+    want = termindex.bm25_topk(spark, lay, [(0, " ".join(exp))], k=10,
+                               filter_by=filt).collect()
+    assert got == want and got
 
 
 def test_search_fuzzy_scores_expansions(spark, served):

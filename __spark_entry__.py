@@ -593,6 +593,66 @@ def q_ft_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10)
 
 
+# fielded front door: scoped + unscoped leaves over the 3-field corpus
+FIELDED_BOOL_QUERY = ('(src:src13 AND spark) OR '
+                      '(body:"key order" AND NOT lang:en)')
+FIELDED_FILTER_QUERY = "(customer OR filter) AND NOT src:src13"
+FIELDED_SEARCH_QUERY = "spark AND (src:src13 OR src:src8)"
+
+
+def q_ft_fielded_bool_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped boolean tree (src:term, body:"phrase", lang:term,
+    plus an unscoped any-field term) compiled to ONE boolean column over
+    per-field token arrays (query.match_scan_fielded)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_scan_fielded(_docs(spark, sf_dir),
+                                   FIELDED_BOOL_QUERY, FIELDED_FIELDS,
+                                   id_col="doc_id")
+
+
+def q_ft_fielded_bool_expr_via_layout(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The same field-scoped tree served from the FIELDED term layout:
+    term leaves become composite field␟term rows on the pruned scan (an
+    unscoped leaf's composites for every field share its mask bit and
+    co-locate in ONE bucket — base-term bucketing), the scoped phrase
+    leaf serves from the doc-sharded fielded index, one bit_or mask
+    (query.match_layout_fielded)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout_fielded(
+        spark, _fielded_layout_dir(spark, sf_dir), FIELDED_BOOL_QUERY
+    )
+
+
+def q_ft_bm25f_filtered_via_termindex(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Filtered fielded ranking: BM25F top-k from the fielded term layout
+    restricted to a field-scoped boolean filter's docids BEFORE the
+    top-k cut (`termindex.bm25f_topk(filter_by=...)` — gate-sound, same
+    contract as the plain filtered path)."""
+    from gazetteer_spark import query as qmod
+
+    lay = _fielded_layout_dir(spark, sf_dir)
+    filt = qmod.match_layout_fielded(spark, lay, FIELDED_FILTER_QUERY)
+    return termindex.bm25f_topk(spark, lay, FIELDED_QUERIES,
+                                boosts=FIELDED_BOOSTS, k=10,
+                                filter_by=filt)
+
+
+def q_ft_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call fielded ranked front door (query.search_fielded): the
+    scoped tree filters, full whole-document BM25F over the positive
+    base terms ranks (field scope narrows the filter, never the scoring
+    function)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search_fielded(spark, _fielded_layout_dir(spark, sf_dir),
+                               FIELDED_SEARCH_QUERY,
+                               boosts=FIELDED_BOOSTS, k=10)
+
+
 HL_QUERIES: list[tuple[int, str]] = [(0, "spark join merge"),
                                      (1, "the window")]
 HL_WINDOW = 8
@@ -608,6 +668,20 @@ def q_ft_highlight_via_termlayout(spark: SparkSession,
 
     return highlight.highlight_topk(spark, _layout_dir(spark, sf_dir),
                                     HL_QUERIES, k=10, window=HL_WINDOW)
+
+
+def q_ft_snippets_via_termlayout(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The result page: highlight windows + snippet TEXT. The hit list is
+    driver metadata, so the corpus read is a pushed-down `id IN (hit
+    docids)` membership filter — row-group pruned, never a scan — and
+    the snippet slice is one JVM expression over the token array."""
+    from gazetteer_spark.index import highlight
+
+    return highlight.snippet_text(spark, _layout_dir(spark, sf_dir),
+                                  _docs(spark, sf_dir), HL_QUERIES, k=10,
+                                  window=HL_WINDOW, id_col="doc_id",
+                                  content_col="text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -653,7 +727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_ranked": q_ft_search_ranked,
         "ft_query_prefix": q_ft_query_prefix,
         "ft_search_prefix": q_ft_search_prefix,
+        "ft_fielded_bool_expr": q_ft_fielded_bool_expr,
+        "ft_fielded_bool_expr_via_layout": q_ft_fielded_bool_expr_via_layout,
+        "ft_bm25f_filtered_via_termindex": q_ft_bm25f_filtered_via_termindex,
+        "ft_search_fielded": q_ft_search_fielded,
         "ft_highlight_via_termlayout": q_ft_highlight_via_termlayout,
+        "ft_snippets_via_termlayout": q_ft_snippets_via_termlayout,
         **ops_queries(),
     }
 
@@ -915,6 +994,81 @@ def oracle_sql() -> dict[str, str]:
         " AND NOT (list_contains(t, 'group') OR list_contains(t, 'sort')))"
     )
 
+    # fielded front door: per-field token arrays tb/ts/tl (body/src/lang)
+    duck_f = ("SELECT doc_id AS docid, "
+              + _DUCK_TOKENS.format(col="text") + " AS tb, "
+              + _DUCK_TOKENS.format(col="source") + " AS ts, "
+              + _DUCK_TOKENS.format(col="lang") + " AS tl FROM documents")
+
+    def sh2_of(col: str) -> str:
+        return (f"list_transform(generate_series(1, greatest(len({col})"
+                f" - 1, 0)), i -> {col}[i] || ' ' || {col}[i+1])")
+
+    def any_field(t: str) -> str:
+        return (f"(list_contains(tb, '{t}') OR list_contains(ts, '{t}')"
+                f" OR list_contains(tl, '{t}'))")
+
+    fielded_bool_pred = (
+        f"((list_contains(ts, 'src13') AND {any_field('spark')})"
+        f" OR (list_contains({sh2_of('tb')}, 'key order')"
+        " AND NOT list_contains(tl, 'en')))"
+    )
+    fielded_filter_pred = (
+        f"(({any_field('customer')} OR {any_field('filter')})"
+        " AND NOT list_contains(ts, 'src13'))"
+    )
+    fielded_search_pred = (
+        f"({any_field('spark')} AND (list_contains(ts, 'src13')"
+        " OR list_contains(ts, 'src8')))"
+    )
+
+    def bm25f_filtered_sql(queries: list[tuple[int, str]], k: int,
+                           boosts: dict[str, float], pred: str) -> str:
+        """bm25f_sql restricted to docs satisfying ``pred`` (over the
+        per-field token arrays tb/ts/tl) BEFORE the top-k cut."""
+        fp = " UNION ALL ".join(
+            f"SELECT doc_id AS docid, '{fn}' AS field, t.term AS term"
+            f" FROM documents, LATERAL unnest("
+            + _DUCK_TOKENS.format(col=col) + ") AS t(term)"
+            for fn, col in (("body", "text"), ("lang", "lang"),
+                            ("src", "source"))
+        )
+        bst = ", ".join(f"('{f}', {b})" for f, b in sorted(boosts.items()))
+        return (
+            f"WITH fp AS ({fp}), "
+            f"d AS ({duck_f}), "
+            f"filt AS (SELECT docid FROM d WHERE {pred}), "
+            "p AS (SELECT docid, field, term, CAST(count(*) AS INT) AS tf"
+            " FROM fp GROUP BY docid, field, term), "
+            "flen AS (SELECT docid, field, sum(tf) AS flen FROM p"
+            " GROUP BY docid, field), "
+            "nd AS (SELECT count(DISTINCT docid) AS n FROM p), "
+            "avgl AS (SELECT field, sum(flen) * 1.0 / (SELECT n FROM nd)"
+            " AS avglen FROM flen GROUP BY field), "
+            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            "dft AS (SELECT term, count(DISTINCT docid) AS df FROM p"
+            " WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
+            "idf AS (SELECT term, ln(1.0 + ((SELECT n FROM nd) - df + 0.5)"
+            " / (df + 0.5)) AS idf FROM dft), "
+            f"bst(field, boost) AS (VALUES {bst}), "
+            "w AS (SELECT q.query_id, p.docid, p.term,"
+            " sum(coalesce(b.boost, 1.0) * p.tf"
+            " / (1.0 - 0.75 + 0.75 * f.flen / a.avglen))"
+            " AS tfw FROM q JOIN p USING (term)"
+            " JOIN filt f2 ON f2.docid = p.docid"
+            " JOIN flen f ON f.docid = p.docid AND f.field = p.field"
+            " JOIN avgl a ON a.field = p.field"
+            " LEFT JOIN bst b ON b.field = p.field"
+            " GROUP BY q.query_id, p.docid, p.term), "
+            "scored AS (SELECT query_id, docid,"
+            " sum(i.idf * w.tfw / (1.2 + w.tfw)) AS s"
+            " FROM w JOIN idf i USING (term) GROUP BY query_id, docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            " SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id"
+            " ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank,"
+            f" docid, round(s, 4) AS score FROM scored) WHERE rank <= {k}"
+        )
+
     def bm25_filtered_sql(queries: list[tuple[int, str]], k: int,
                           pred: str) -> str:
         """bm25_sql with results restricted to docs satisfying ``pred``
@@ -944,11 +1098,19 @@ def oracle_sql() -> dict[str, str]:
         )
 
     def highlight_sql(queries: list[tuple[int, str]], k: int,
-                      window: int) -> str:
+                      window: int, with_text: bool = False) -> str:
         """BM25 top-k + best width-``window`` snippet window per hit:
         anchors at matched positions (0-based, matching the engine's
         positional stream), count distinct query terms in
-        [p, p+window-1], ties → earliest start."""
+        [p, p+window-1], ties → earliest start. ``with_text`` appends the
+        snippet string (1-based inclusive list slice = the engine's
+        slice(toks, ws+1, window))."""
+        snip_col = (
+            f", array_to_string(d2.t[b.ws + 1 : b.ws + {window}], ' ')"
+            " AS snippet" if with_text else ""
+        )
+        snip_join = (" JOIN d d2 ON d2.docid = tk.docid"
+                     if with_text else "")
         return (
             "WITH d AS (SELECT doc_id AS docid, "
             + _DUCK_TOKENS.format(col="text") + " AS t FROM documents), "
@@ -984,9 +1146,10 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY query_id, docid ORDER BY nt DESC, ws ASC) AS rn "
             "  FROM w) "
             "SELECT tk.query_id, tk.rank, tk.docid, tk.score, "
-            "  CAST(b.ws AS INT) AS win_start, CAST(b.nt AS INT) AS n_terms "
+            "  CAST(b.ws AS INT) AS win_start, CAST(b.nt AS INT) AS n_terms"
+            f"{snip_col} "
             "FROM topk tk JOIN best b ON b.query_id = tk.query_id "
-            "  AND b.docid = tk.docid AND b.rn = 1"
+            f"  AND b.docid = tk.docid AND b.rn = 1{snip_join}"
         )
 
     bm25 = bm25_sql(FT_QUERIES, 10)
@@ -1055,8 +1218,19 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT docid FROM d WHERE {prefix_pred}",
         "ft_search_prefix": bm25_filtered_sql(
             [(0, PREFIX_EXPANSION)], 10, prefix_pred),
+        "ft_fielded_bool_expr": f"WITH d AS ({duck_f})"
+        + f" SELECT docid FROM d WHERE {fielded_bool_pred}",
+        "ft_fielded_bool_expr_via_layout": f"WITH d AS ({duck_f})"
+        + f" SELECT docid FROM d WHERE {fielded_bool_pred}",
+        "ft_bm25f_filtered_via_termindex": bm25f_filtered_sql(
+            FIELDED_QUERIES, 10, FIELDED_BOOSTS, fielded_filter_pred),
+        "ft_search_fielded": bm25f_filtered_sql(
+            [(0, "spark src13 src8")], 10, FIELDED_BOOSTS,
+            fielded_search_pred),
         "ft_highlight_via_termlayout": highlight_sql(
             HL_QUERIES, 10, HL_WINDOW),
+        "ft_snippets_via_termlayout": highlight_sql(
+            HL_QUERIES, 10, HL_WINDOW, with_text=True),
         **ops_oracles(),
     }
 

@@ -240,6 +240,23 @@ def main():
             ).collect(),
             passes=3,
         )
+
+        # round-5 serving path: the parsed-query front door over the same
+        # positional layout — a boolean tree (mask compile, one bit_or
+        # shuffle) plus a one-call filtered ranked search
+        from gazetteer_spark import query as querymod
+
+        querymod.match_layout(spark, play, "customer AND filter").collect()
+
+        def frontdoor_pass():
+            querymod.match_layout(
+                spark, play,
+                '(customer AND filter AND NOT group) OR "key order"',
+            ).collect()
+            querymod.search(spark, play, "spark AND (join OR merge)",
+                            k=10).collect()
+
+        timings["frontdoor_batch"] = _measure(frontdoor_pass, passes=3)
     finally:
         shutil.rmtree(pos_dir, ignore_errors=True)
 

@@ -121,3 +121,49 @@ def highlight_topk(
     return (wins.join(F.broadcast(hit_df), ["query_id", "docid"])
             .select("query_id", "rank", "docid", "score",
                     "win_start", "n_terms"))
+
+
+def snippet_text(
+    spark: SparkSession,
+    layout_dir: str,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 8,
+    id_col: str = "docid",
+    content_col: str = "content",
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, rank, docid, score, win_start, n_terms, snippet): the
+    result page — :func:`highlight_topk` plus each hit's snippet TEXT,
+    re-tokenized from the corpus row.
+
+    Scale shape: the hit list (≤ |queries|·k rows) is driver-side
+    metadata, so the corpus read is ``id IN (hit docids)`` — a pushed-down
+    membership filter that prunes parquet row groups; the snippet slice
+    is one JVM expression over the analyzer's token array. The corpus is
+    touched for exactly the result-page docs, never scanned."""
+    meta = termindex._load_meta(layout_dir)
+    an = get_analyzer(meta["analyzer"])
+    hits = highlight_topk(spark, layout_dir, queries, k=k, window=window,
+                          round_to=round_to, allow_stale=allow_stale)
+    rows = hits.collect()
+    if not rows:
+        return spark.createDataFrame([], OUT_SCHEMA + ", snippet string")
+    ids = sorted({r["docid"] for r in rows})
+    hit_df = spark.createDataFrame(rows, OUT_SCHEMA)
+    toks = an.tokens_expr(F.col(content_col))
+    return (
+        docs.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col).cast("long").alias("docid"),
+                toks.alias("__toks"))
+        .join(F.broadcast(hit_df), "docid")
+        .select("query_id", "rank", "docid", "score", "win_start",
+                "n_terms",
+                F.concat_ws(
+                    " ",
+                    F.slice(F.col("__toks"), F.col("win_start") + F.lit(1),
+                            F.lit(window)),
+                ).alias("snippet"))
+    )

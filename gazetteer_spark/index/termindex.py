@@ -809,11 +809,14 @@ def bm25f_topk(
     round_to: int | None = 4,
     allow_stale: bool = False,
     expensive_df: int | None = None,
+    filter_by: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25F top-k served from a FIELDED
     term-partitioned layout — the multi-field twin of :func:`bm25_topk`,
     rank-identical to fielded.fielded_topk / fielded.bm25f_topk on a
-    current layout.
+    current layout. ``filter_by`` restricts to a docid DataFrame BEFORE
+    the top-k cut with the gate kept sound — same contract as
+    :func:`bm25_topk`.
 
     Requires a layout built from a ``build_fielded_index(...,
     doclens=True)`` source: composite ``field\\x1fterm`` rows carry a
@@ -880,7 +883,7 @@ def bm25f_topk(
     comp_df = {r["term"]: int(r["df"])
                for r in rows.select("term", "df").collect()}
     return _bm25f_impl(spark, rows, meta, comp_df, qterms, boosts, k,
-                       round_to, expensive_df)
+                       round_to, expensive_df, filter_by=filter_by)
 
 
 def _bm25f_impl(
@@ -893,10 +896,13 @@ def _bm25f_impl(
     k: int,
     round_to: int | None,
     expensive_df: int | None,
+    filter_by: DataFrame | None = None,
 ) -> DataFrame:
     """Shared fielded scoring pipeline behind bm25f_topk and
     FieldedLayoutReader.topk: candidate-gate planning over per-composite
-    dfs + scoring jobs + the group-limited merge."""
+    dfs + scoring jobs + the group-limited merge. ``filter_by``
+    semantics: see bm25_topk (phase-1 cheap scoring filtered too, so θ₀
+    is the k-th best partial among FILTERED docs — gate stays exact)."""
     from .spimi import FIELD_SEP
     from .wand import _idf
 
@@ -946,8 +952,11 @@ def _bm25f_impl(
         for qid, _, cheap, _ in maybe:
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
-        phase1 = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
-                                 n_docs).collect()
+        phase1_df = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
+                                    n_docs)
+        if filter_by is not None:
+            phase1_df = phase1_df.join(filter_by, "docid", "left_semi")
+        phase1 = phase1_df.collect()
         by_qid: dict[int, list] = {}
         for r in phase1:
             by_qid.setdefault(r["query_id"], []).append(
@@ -982,6 +991,8 @@ def _bm25f_impl(
 
     scored = _scored_fielded(rows, qids_by_term, fields, boosts, avglen,
                              n_docs, cand_by_qid, restrict)
+    if filter_by is not None:
+        scored = scored.join(filter_by, "docid", "left_semi")
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(

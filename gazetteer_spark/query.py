@@ -13,6 +13,7 @@ the index family implements —
     "key order value"~3                 unordered NEAR within distance 3
     grup~1                              edit-distance fuzzy (gram index)
     filt*                               prefix wildcard (dictionary seek)
+    src:spark, body:"key order"         field scoping (fielded compilers)
 
 and two compilers with identical semantics:
 
@@ -79,25 +80,33 @@ MAX_LEAVES = 62
 @dataclass(frozen=True)
 class Term:
     """A single word (pre-analysis in parser output; one analyzed token
-    after normalization)."""
+    after normalization). ``field``: None = any field (plain corpora have
+    exactly one); a name = that field only (``field:word`` syntax,
+    fielded compilers)."""
     text: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Phrase:
     """Quoted token sequence. slop=0: exact adjacency. slop>0: unordered
     NEAR — all terms within token distance ≤ slop of an occurrence of the
-    first (``termindex.near_match_n`` semantics, distinct terms)."""
+    first (``termindex.near_match_n`` semantics, distinct terms).
+    ``field``: see Term — fielded positions are field-local, so a phrase
+    never matches across a field boundary."""
     text: str
     slop: int = 0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class Fuzzy:
     """word~k: documents containing a vocabulary term within Levenshtein
-    distance ≤ max_edits of the (single-token) analyzed word."""
+    distance ≤ max_edits of the (single-token) analyzed word. ``field``:
+    see Term."""
     text: str
     max_edits: int = 1
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -105,8 +114,10 @@ class Prefix:
     """word*: documents containing any vocabulary term starting with the
     (single-token) analyzed prefix. Layout serving expands against the
     term dictionary (`fuzzy.prefix_terms` — sorted-termstats range probe,
-    MAX_FUZZY_TERMS-capped); the scan twin tests tokens directly."""
+    MAX_FUZZY_TERMS-capped); the scan twin tests tokens directly.
+    ``field``: see Term."""
     text: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -139,12 +150,14 @@ _FALSE = _FalseNode()
 @dataclass(frozen=True)
 class _PhraseLeaf:
     terms: tuple  # ≥ 2 analyzed tokens, exact adjacency
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class _NearLeaf:
     terms: tuple  # ≥ 2 distinct analyzed tokens
     slop: int
+    field: str | None = None
 
 
 _LEAF_TYPES = (Term, Fuzzy, Prefix, _PhraseLeaf, _NearLeaf)
@@ -158,7 +171,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()
       | (?P<rpar>\))
-      | "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | (?:(?P<pscope>[^\s()"~:]+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
       | (?P<minus>-)(?=\S)
       | (?P<word>[^\s()"~]+)(?:~(?P<edits>\d+))?
     )""",
@@ -189,7 +202,8 @@ def parse(query: str):
         elif m.group("phrase") is not None:
             tokens.append(
                 ("leaf", Phrase(m.group("phrase"),
-                                int(m.group("slop") or 0)))
+                                int(m.group("slop") or 0),
+                                field=m.group("pscope")))
             )
         elif m.group("minus"):
             tokens.append(("NOT", None))
@@ -197,24 +211,34 @@ def parse(query: str):
             w = m.group("word")
             if w in ("AND", "OR", "NOT") and m.group("edits") is None:
                 tokens.append((w, None))
-            elif m.group("edits") is not None:
+                continue
+            scope = None
+            if ":" in w:
+                scope, _, w = w.partition(":")
+                if not scope or not w or ":" in w:
+                    raise ValueError(
+                        f"bad field scope in {m.group('word')!r} — "
+                        "expected field:word"
+                    )
+            if m.group("edits") is not None:
                 if "*" in w:
                     raise ValueError(f"cannot combine * and ~ in {w!r}")
-                tokens.append(("leaf", Fuzzy(w, int(m.group("edits")))))
+                tokens.append(("leaf", Fuzzy(w, int(m.group("edits")),
+                                             field=scope)))
             elif w.endswith("*"):
                 if len(w) == 1 or "*" in w[:-1]:
                     raise ValueError(
                         f"wildcard {w!r}: only a single trailing * "
                         "(prefix query) is supported"
                     )
-                tokens.append(("leaf", Prefix(w[:-1])))
+                tokens.append(("leaf", Prefix(w[:-1], field=scope)))
             elif "*" in w:
                 raise ValueError(
                     f"wildcard {w!r}: only a single trailing * "
                     "(prefix query) is supported"
                 )
             else:
-                tokens.append(("leaf", Term(w)))
+                tokens.append(("leaf", Term(w, field=scope)))
     pos = 0
 
     def peek():
@@ -282,21 +306,21 @@ def _normalize(node, tokenize):
         if not toks:
             return _FALSE
         if len(toks) == 1:
-            return Term(toks[0])
-        return And(tuple(Term(t) for t in toks))
+            return Term(toks[0], field=node.field)
+        return And(tuple(Term(t, field=node.field) for t in toks))
     if isinstance(node, Phrase):
         toks = tokenize(node.text)
         if not toks:
             return _FALSE
         if len(toks) == 1:
-            return Term(toks[0])
+            return Term(toks[0], field=node.field)
         if node.slop > 0:
             if len(set(toks)) != len(toks):
                 raise ValueError(
                     f"NEAR terms must be distinct: {toks}"
                 )
-            return _NearLeaf(tuple(toks), node.slop)
-        return _PhraseLeaf(tuple(toks))
+            return _NearLeaf(tuple(toks), node.slop, field=node.field)
+        return _PhraseLeaf(tuple(toks), field=node.field)
     if isinstance(node, Fuzzy):
         toks = tokenize(node.text)
         if len(toks) != 1:
@@ -305,8 +329,8 @@ def _normalize(node, tokenize):
                 f"{node.text!r} → {toks}"
             )
         if node.max_edits < 1:
-            return Term(toks[0])
-        return Fuzzy(toks[0], node.max_edits)
+            return Term(toks[0], field=node.field)
+        return Fuzzy(toks[0], node.max_edits, field=node.field)
     if isinstance(node, Prefix):
         toks = tokenize(node.text)
         if len(toks) != 1:
@@ -314,7 +338,7 @@ def _normalize(node, tokenize):
                 f"prefix takes a single-token word; analyze "
                 f"{node.text!r} → {toks}"
             )
-        return Prefix(toks[0])
+        return Prefix(toks[0], field=node.field)
     if isinstance(node, (_PhraseLeaf, _NearLeaf)) or node is _FALSE:
         return node  # already normalized (idempotent re-entry)
     if isinstance(node, Not):
@@ -371,6 +395,16 @@ def _check_tree(node) -> dict:
             f"≤ {MAX_LEAVES}"
         )
     return bits
+
+
+def _require_unscoped(bits: dict) -> None:
+    for lf in bits:
+        if getattr(lf, "field", None) is not None:
+            raise ValueError(
+                f"field-scoped leaf {lf!r} — use the fielded compilers "
+                "(match_layout_fielded / match_scan_fielded / "
+                "search_fielded)"
+            )
 
 
 def _mask_pred(node, bits: dict) -> Column:
@@ -444,6 +478,8 @@ def match_layout(
     from .index import termindex
 
     meta = termindex._load_meta(layout_dir)
+    if meta.get("fielded"):
+        raise ValueError("fielded layout — use match_layout_fielded")
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     node = _normalize(parse(query) if isinstance(query, str) else query,
                       tokenize)
@@ -451,6 +487,7 @@ def match_layout(
     if node is _FALSE:
         return empty
     bits = _check_tree(node)
+    _require_unscoped(bits)
 
     expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
 
@@ -500,11 +537,120 @@ def match_layout(
         )
         parts.append(_with_mask(got, {b: 1 << b for b, _ in grp}))
 
+    return _mask_filter(parts, node, bits, empty)
+
+
+def _mask_filter(parts: list, node, bits: dict, empty: DataFrame) -> DataFrame:
+    """The shared mask tail: union the per-leaf (docid, mask) rows, ONE
+    groupBy(docid) bit_or, evaluate the whole tree as one expression."""
     if not parts:
         return empty
     allbits = reduce(DataFrame.unionByName, parts)
     masks = allbits.groupBy("docid").agg(F.expr("bit_or(mask)").alias("mask"))
     return masks.filter(_mask_pred(node, bits)).select("docid")
+
+
+# ---------------------------------------------------------------------------
+# fielded layout compiler
+# ---------------------------------------------------------------------------
+
+def match_layout_fielded(
+    spark: SparkSession,
+    layout_dir: str,
+    query,
+    fuzzy_dir: str | None = None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(docid): boolean retrieval over a FIELDED term-partitioned layout —
+    the multi-field twin of :func:`match_layout`, with ``field:`` scoping:
+
+    - ``src:spark`` — term present in THAT field; ``spark`` (unscoped) —
+      present in ANY field (the composites for every field share the
+      leaf's mask bit; composites of one base term co-locate in one
+      bucket, so the unscoped form prunes exactly like the scoped one).
+    - ``body:"key order"`` — phrase within a field (fielded positions are
+      field-local; an unscoped phrase is the OR of the per-field
+      phrases). Phrase/NEAR leaves serve from the doc-sharded fielded
+      index (`meta["source_index"]`) — fielded layouts carry no
+      positions — batched one call per shape; term leaves stay on the
+      layout's pruned composite scan.
+    - Fuzzy/prefix leaves expand over the BASE-term dictionary (shared
+      with the plain path), then scope like Term.
+
+    The mask tail is identical to the plain compiler: one
+    groupBy(docid) bit_or, whole tree as one expression."""
+    from . import fielded as fmod
+    from .index import termindex
+    from .index.spimi import FIELD_SEP
+
+    meta = termindex._load_meta(layout_dir)
+    if not meta.get("fielded"):
+        raise ValueError("not a fielded layout — use match_layout")
+    termindex._check_stale(meta, allow_stale)
+    fields = meta["fields"]
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    node = _normalize(parse(query) if isinstance(query, str) else query,
+                      tokenize)
+    empty = spark.createDataFrame([], "docid long")
+    if node is _FALSE:
+        return empty
+    bits = _check_tree(node)
+    for lf in bits:
+        f = getattr(lf, "field", None)
+        if f is not None and f not in fields:
+            raise ValueError(f"unknown field {f!r} (layout has {fields})")
+
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+
+    # term-class leaves → composite terms on the layout's pruned scan
+    mask_by_comp: dict[str, int] = {}
+    for leaf, bit in bits.items():
+        base = ([leaf.text] if isinstance(leaf, Term)
+                else expansions.get(leaf, []))
+        flds = [leaf.field] if getattr(leaf, "field", None) else fields
+        for t in base:
+            for f in flds:
+                c = f + FIELD_SEP + t
+                mask_by_comp[c] = mask_by_comp.get(c, 0) | (1 << bit)
+
+    parts = []
+    if mask_by_comp:
+        tp = termindex.term_postings(
+            spark, layout_dir, sorted(mask_by_comp), allow_stale=allow_stale
+        )
+        tmap = spark.createDataFrame(
+            sorted(mask_by_comp.items()), "term string, mask long"
+        )
+        parts.append(
+            tp.join(F.broadcast(tmap), "term").select("docid", "mask")
+        )
+
+    phrases = [(bits[lf], lf) for lf in bits if isinstance(lf, _PhraseLeaf)]
+    if phrases:
+        batch = [(bit, f, " ".join(lf.terms)) for bit, lf in phrases
+                 for f in ([lf.field] if lf.field else fields)]
+        got = fmod.fielded_phrase_match_batch(
+            spark, meta["source_index"], batch
+        )
+        qmap = spark.createDataFrame(
+            sorted({b: 1 << b for b, _ in phrases}.items()),
+            "query_id int, mask long",
+        )
+        parts.append(
+            got.join(F.broadcast(qmap), "query_id").select("docid", "mask")
+        )
+
+    nears = [(bits[lf], lf) for lf in bits if isinstance(lf, _NearLeaf)]
+    for bit, lf in nears:
+        for f in ([lf.field] if lf.field else fields):
+            got = fmod.fielded_near_match_n(
+                spark, meta["source_index"], f, list(lf.terms), k=lf.slop
+            )
+            parts.append(got.select(
+                "docid", F.lit(1 << bit).cast("long").alias("mask")
+            ))
+
+    return _mask_filter(parts, node, bits, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -519,9 +665,8 @@ def _positions_of(toks: Column, term: str) -> Column:
     )
 
 
-def _scan_pred(node, toks: Column) -> Column:
-    if node is _FALSE:
-        return F.lit(False)
+def _leaf_scan_pred(node, toks: Column) -> Column:
+    """One leaf's predicate over ONE token-array column."""
     if isinstance(node, Term):
         return F.array_contains(toks, node.text)
     if isinstance(node, _PhraseLeaf):
@@ -549,15 +694,30 @@ def _scan_pred(node, toks: Column) -> Column:
             toks,
             lambda t: F.levenshtein(t, F.lit(node.text)) <= node.max_edits,
         )
-    if isinstance(node, Prefix):
-        return F.exists(toks, lambda t: t.startswith(node.text))
+    return F.exists(toks, lambda t: t.startswith(node.text))  # Prefix
+
+
+def _scan_pred(node, toks_by_field) -> Column:
+    """The tree as one boolean Column. ``toks_by_field``: a single Column
+    (plain corpus — leaves are unscoped) or {field: Column} (fielded —
+    an unscoped leaf is the OR over every field's array)."""
+    if node is _FALSE:
+        return F.lit(False)
+    if isinstance(node, _LEAF_TYPES):
+        if not isinstance(toks_by_field, dict):
+            return _leaf_scan_pred(node, toks_by_field)
+        flds = ([node.field] if getattr(node, "field", None)
+                else sorted(toks_by_field))
+        return reduce(lambda a, b: a | b,
+                      (_leaf_scan_pred(node, toks_by_field[f])
+                       for f in flds))
     if isinstance(node, And):
         return reduce(lambda a, b: a & b,
-                      (_scan_pred(c, toks) for c in node.children))
+                      (_scan_pred(c, toks_by_field) for c in node.children))
     if isinstance(node, Or):
         return reduce(lambda a, b: a | b,
-                      (_scan_pred(c, toks) for c in node.children))
-    return ~_scan_pred(node.child, toks)
+                      (_scan_pred(c, toks_by_field) for c in node.children))
+    return ~_scan_pred(node.child, toks_by_field)
 
 
 def match_scan(
@@ -577,11 +737,50 @@ def match_scan(
     spark = docs.sparkSession
     if node is _FALSE:
         return spark.createDataFrame([], "docid long")
-    _check_tree(node)
+    bits = _check_tree(node)
+    _require_unscoped(bits)
     toks = an.tokens_expr(F.col(content_col))
     return (
         docs.select(F.col(id_col).alias("docid"), toks.alias("__toks"))
         .filter(_scan_pred(node, F.col("__toks")))
+        .select("docid")
+    )
+
+
+def match_scan_fielded(
+    docs: DataFrame,
+    query,
+    fields: dict[str, str],
+    id_col: str = "docid",
+    analyzer: str = "default",
+) -> DataFrame:
+    """(docid): the corpus-scan twin of :func:`match_layout_fielded`.
+    ``fields`` maps field name → source column (the
+    `fielded.build_fielded_index` shape). Each field's column analyzes to
+    its own token array; a scoped leaf tests its field's array, an
+    unscoped leaf is the OR over every field — the whole tree still
+    compiles to ONE boolean Column (wholestage codegen, no shuffle)."""
+    an = get_analyzer(analyzer)
+    node = _normalize(parse(query) if isinstance(query, str) else query,
+                      an.py_tokenize)
+    spark = docs.sparkSession
+    if node is _FALSE:
+        return spark.createDataFrame([], "docid long")
+    bits = _check_tree(node)
+    for lf in bits:
+        f = getattr(lf, "field", None)
+        if f is not None and f not in fields:
+            raise ValueError(
+                f"unknown field {f!r} (scan has {sorted(fields)})"
+            )
+    sel = [F.col(id_col).alias("docid")] + [
+        an.tokens_expr(F.col(col)).alias(f"__toks_{f}")
+        for f, col in fields.items()
+    ]
+    toks_by_field = {f: F.col(f"__toks_{f}") for f in fields}
+    return (
+        docs.select(*sel)
+        .filter(_scan_pred(node, toks_by_field))
         .select("docid")
     )
 
@@ -624,12 +823,15 @@ def search(
     from .index import termindex
 
     meta = termindex._load_meta(layout_dir)
+    if meta.get("fielded"):
+        raise ValueError("fielded layout — use search_fielded")
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     node = _normalize(parse(query), tokenize)
     out_schema = "query_id int, rank int, docid long, score double"
     if node is _FALSE:
         return spark.createDataFrame([], out_schema)
     bits = _check_tree(node)
+    _require_unscoped(bits)
     expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
     scored: set = set()
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
@@ -643,4 +845,51 @@ def search(
     return termindex.bm25_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
         round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+    )
+
+
+def search_fielded(
+    spark: SparkSession,
+    layout_dir: str,
+    query: str,
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    fuzzy_dir: str | None = None,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id=0, rank, docid, score): the fielded ranked front door —
+    filter by the boolean tree (:func:`match_layout_fielded`, field
+    scoping honored), rank the survivors with FULL whole-document BM25F
+    over the positive BASE-term leaves (`termindex.bm25f_topk` with
+    ``boosts``). A field scope narrows the FILTER only: ``src:spark``
+    keeps docs whose src field holds the term, but survivors are still
+    ranked by the term's boost-weighted contribution across ALL fields —
+    one scoring function however the query is scoped, mirroring the
+    plain search()'s AND-filter equivalence."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    if not meta.get("fielded"):
+        raise ValueError("not a fielded layout — use search")
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    node = _normalize(parse(query), tokenize)
+    out_schema = "query_id int, rank int, docid long, score double"
+    if node is _FALSE:
+        return spark.createDataFrame([], out_schema)
+    bits = _check_tree(node)
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+    scored: set = set()
+    _positive_terms(node, scored, spark, fuzzy_dir, expansions)
+    if not scored:
+        raise ValueError(
+            "no positive term leaves to rank by — use "
+            "match_layout_fielded() for unranked boolean retrieval"
+        )
+    filt = match_layout_fielded(spark, layout_dir, node,
+                                fuzzy_dir=fuzzy_dir,
+                                allow_stale=allow_stale)
+    return termindex.bm25f_topk(
+        spark, layout_dir, [(0, " ".join(sorted(scored)))], boosts=boosts,
+        k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
     )

@@ -74,6 +74,24 @@ def test_highlight_window_one_and_ties(spark, documents, served):
     assert all(nt == 1 for _, nt in got.values())
 
 
+def test_snippet_text_matches_bruteforce(spark, documents, served):
+    _, lay = served
+    got = {(r["query_id"], r["docid"]): (r["win_start"], r["snippet"])
+           for r in highlight.snippet_text(
+               spark, lay, documents.filter(F.col("doc_id") < 350),
+               QUERIES[:3], k=5, window=W, id_col="doc_id",
+               content_col="text").collect()}
+    texts = {r["doc_id"]: r["text"] for r in
+             documents.filter(F.col("doc_id") < 350).collect()}
+    want = {(q, d): (ws, " ".join(py_tokenize(texts[d])[ws:ws + W]))
+            for q, _, d, _, ws, _ in
+            _brute(spark, documents, lay, QUERIES[:3], 5, W)}
+    assert got == want and got
+    # every snippet contains at least one query term
+    qts = {q: set(py_tokenize(t)) for q, t in QUERIES[:3]}
+    assert all(set(s.split()) & qts[q] for (q, _), (_, s) in got.items())
+
+
 def test_highlight_requires_positions_and_freshness(spark, documents,
                                                     served, tmp_path_factory):
     idx, lay = served

@@ -593,6 +593,36 @@ def q_ft_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10)
 
 
+BATCH_BOOL_QUERIES = [(0, BOOL_EXPR_QUERY), (1, FILTER_QUERY),
+                      (2, SEARCH_QUERY)]
+BATCH_SEARCH_QUERIES = [(0, SEARCH_QUERY), (1, FILTER_QUERY),
+                        (2, PREFIX_QUERY)]
+
+
+def q_ft_bool_expr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N boolean trees in ONE job family (query.match_layout_batch):
+    every query's term leaves ride the SAME pruned scan via a broadcast
+    (term, query_id, mask) map, phrase leaves share one positional call
+    (synthetic leaf ids), one groupBy(query_id, docid) bit_or, and all
+    trees evaluate in a single OR-of-guarded-trees expression."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout_batch(spark, _layout_dir(spark, sf_dir),
+                                   BATCH_BOOL_QUERIES,
+                                   fuzzy_dir=_fuzzy_dir(spark, sf_dir))
+
+
+def q_ft_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N ranked front-door queries in ONE scoring job: the batch mask
+    compile yields a PER-QUERY (query_id, docid) filter, and
+    bm25_topk(filter_by=...) semi-joins on both keys — each query ranked
+    against its own boolean filter (query.search_batch)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search_batch(spark, _layout_dir(spark, sf_dir),
+                             BATCH_SEARCH_QUERIES, k=10)
+
+
 # fielded front door: scoped + unscoped leaves over the 3-field corpus
 FIELDED_BOOL_QUERY = ('(src:src13 AND spark) OR '
                       '(body:"key order" AND NOT lang:en)')
@@ -727,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_ranked": q_ft_search_ranked,
         "ft_query_prefix": q_ft_query_prefix,
         "ft_search_prefix": q_ft_search_prefix,
+        "ft_bool_expr_batch": q_ft_bool_expr_batch,
+        "ft_search_batch": q_ft_search_batch,
         "ft_fielded_bool_expr": q_ft_fielded_bool_expr,
         "ft_fielded_bool_expr_via_layout": q_ft_fielded_bool_expr_via_layout,
         "ft_bm25f_filtered_via_termindex": q_ft_bm25f_filtered_via_termindex,
@@ -1218,6 +1250,21 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT docid FROM d WHERE {prefix_pred}",
         "ft_search_prefix": bm25_filtered_sql(
             [(0, PREFIX_EXPANSION)], 10, prefix_pred),
+        "ft_bool_expr_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, docid FROM "
+            f"({duck_d} SELECT docid FROM d WHERE {pred})"
+            for qid, pred in [(0, bool_pred), (1, filter_pred),
+                              (2, search_pred)]
+        ),
+        "ft_search_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, rank, docid, score FROM "
+            f"({bm25_filtered_sql([(0, terms)], 10, pred)})"
+            for qid, terms, pred in [
+                (0, "join merge spark", search_pred),
+                (1, "customer filter", filter_pred),
+                (2, PREFIX_EXPANSION, prefix_pred),
+            ]
+        ),
         "ft_fielded_bool_expr": f"WITH d AS ({duck_f})"
         + f" SELECT docid FROM d WHERE {fielded_bool_pred}",
         "ft_fielded_bool_expr_via_layout": f"WITH d AS ({duck_f})"

@@ -257,6 +257,20 @@ def main():
                             k=10).collect()
 
         timings["frontdoor_batch"] = _measure(frontdoor_pass, passes=3)
+
+        # warm batched front door: 3 trees ONE filter job family + ONE
+        # scoring job off the reader's pinned terms table
+        frontdoor_qs = [
+            (0, '(customer AND filter AND NOT group) OR "key order"'),
+            (1, "spark AND (join OR merge)"),
+            (2, "window AND NOT group"),
+        ]
+        frd = termindex.TermLayoutReader(spark, play)
+        frd.search(frontdoor_qs[:1], k=10).collect()  # warm
+        timings["frontdoor_warm"] = _measure(
+            lambda: frd.search(frontdoor_qs, k=10).collect(), passes=4
+        )
+        frd.close()
     finally:
         shutil.rmtree(pos_dir, ignore_errors=True)
 

@@ -388,9 +388,14 @@ def term_postings(
     Refuses a stale snapshot unless ``allow_stale`` (see _check_stale)."""
     meta = _load_meta(layout_dir)
     _check_stale(meta, allow_stale)
-    rows = _pruned_rows(spark, layout_dir, meta, terms).select(
-        "term", "postings"
-    )
+    rows = _pruned_rows(spark, layout_dir, meta, terms)
+    return _decode_posting_rows(rows)
+
+
+def _decode_posting_rows(rows: DataFrame) -> DataFrame:
+    """(term, docid, tf) from layout rows (pruned scan or a reader's
+    pinned table), decoded Arrow-batched."""
+    rows = rows.select("term", "postings")
 
     def decode(iterator):
         for pdf in iterator:
@@ -601,6 +606,15 @@ def bm25_topk(
                       expensive_df, filter_by=filter_by)
 
 
+def _apply_filter(df: DataFrame, filter_by: DataFrame) -> DataFrame:
+    """Semi-join a filter onto scored rows. One docid column = one shared
+    filter for every query; a (query_id, docid) filter (e.g. from
+    `query.match_layout_batch`) restricts each query independently."""
+    keys = (["query_id", "docid"] if "query_id" in filter_by.columns
+            else ["docid"])
+    return df.join(filter_by, keys, "left_semi")
+
+
 def _bm25_impl(
     spark: SparkSession,
     rows: DataFrame,
@@ -657,7 +671,7 @@ def _bm25_impl(
                 cheap_sub.setdefault(t, []).append(qid)
         phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl)
         if filter_by is not None:
-            phase1_df = phase1_df.join(filter_by, "docid", "left_semi")
+            phase1_df = _apply_filter(phase1_df, filter_by)
         phase1 = phase1_df.collect()
         by_qid: dict[int, list] = {}
         for r in phase1:
@@ -695,7 +709,7 @@ def _bm25_impl(
     scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
                           cand_by_qid, restrict)
     if filter_by is not None:
-        scored = scored.join(filter_by, "docid", "left_semi")
+        scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(
@@ -955,7 +969,7 @@ def _bm25f_impl(
         phase1_df = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
                                     n_docs)
         if filter_by is not None:
-            phase1_df = phase1_df.join(filter_by, "docid", "left_semi")
+            phase1_df = _apply_filter(phase1_df, filter_by)
         phase1 = phase1_df.collect()
         by_qid: dict[int, list] = {}
         for r in phase1:
@@ -992,7 +1006,7 @@ def _bm25f_impl(
     scored = _scored_fielded(rows, qids_by_term, fields, boosts, avglen,
                              n_docs, cand_by_qid, restrict)
     if filter_by is not None:
-        scored = scored.join(filter_by, "docid", "left_semi")
+        scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None
              else F.col("score"))
     win = W.partitionBy("query_id").orderBy(
@@ -1059,6 +1073,44 @@ class TermLayoutReader:
         rows = self.table.filter(F.col("term").isin(present or all_terms))
         return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
                           k, round_to, expensive_df)
+
+    def match(self, queries: list[tuple[int, object]],
+              fuzzy_dir: str | None = None) -> DataFrame:
+        """(query_id, docid): warm `query.match_layout_batch` — term-class
+        leaves decode from the PINNED terms table instead of a fresh
+        pruned scan (positional leaves still read their blocks from
+        disk; positions are not pinned by design — they dwarf postings)."""
+        from ..query import _match_batch_impl
+
+        return _match_batch_impl(self.spark, self.meta, self.layout_dir,
+                                 queries, fuzzy_dir, True,
+                                 table=self.table)
+
+    def search(self, queries: list[tuple[int, str]], k: int = 10,
+               fuzzy_dir: str | None = None, round_to: int | None = 4,
+               expensive_df: int | None = None) -> DataFrame:
+        """(query_id, rank, docid, score): warm `query.search_batch` —
+        the per-query boolean filters AND the BM25 scoring rows both come
+        from the pinned table; a warm batch is one filter job family +
+        one scoring job."""
+        from ..analyzer import get_analyzer
+        from ..query import _scored_query_terms
+
+        tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
+        plans, scored_by_qid = _scored_query_terms(
+            self.spark, self.meta, fuzzy_dir, queries, tokenize)
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "query_id int, rank int, docid long, score double")
+        filt = self.match(plans, fuzzy_dir=fuzzy_dir)
+        qterms = {qid: sorted(set(text.split()))
+                  for qid, text in scored_by_qid.items()}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        df_by_term = self._dfs_for(all_terms)
+        rows = self.table.filter(
+            F.col("term").isin(sorted(df_by_term) or all_terms))
+        return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
+                          k, round_to, expensive_df, filter_by=filt)
 
     def close(self) -> None:
         self.table.unpersist()

@@ -480,64 +480,150 @@ def match_layout(
     meta = termindex._load_meta(layout_dir)
     if meta.get("fielded"):
         raise ValueError("fielded layout — use match_layout_fielded")
+    return match_layout_batch(
+        spark, layout_dir, [(0, query)], fuzzy_dir=fuzzy_dir,
+        allow_stale=allow_stale,
+    ).select("docid")
+
+
+def match_layout_batch(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, object]],
+    fuzzy_dir: str | None = None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, docid): N boolean queries served in ONE job family —
+    every query's term-class leaves ride the SAME pruned layout scan
+    (rows become (term, query_id, mask) via one broadcast map), all
+    phrase leaves batch through one positional call (synthetic leaf ids),
+    one groupBy(query_id, docid) bit_or, and every tree evaluates in a
+    single OR-of-(query_id = q AND tree_q) expression. The result-serving
+    fan-in shape: cost is bounded by Σ over queries of Σ df(leaf terms),
+    with per-query work sharing the scans instead of multiplying them.
+
+    The result pairs with ``bm25_topk(filter_by=...)``: a (query_id,
+    docid) filter restricts each ranked query independently."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    if meta.get("fielded"):
+        raise ValueError("fielded layout — use match_layout_fielded")
+    termindex._check_stale(meta, allow_stale)
+    return _match_batch_impl(spark, meta, layout_dir, queries, fuzzy_dir,
+                             allow_stale, table=None)
+
+
+def _match_batch_impl(
+    spark: SparkSession,
+    meta: dict,
+    layout_dir: str,
+    queries: list[tuple[int, object]],
+    fuzzy_dir: str | None,
+    allow_stale: bool,
+    table: DataFrame | None,
+) -> DataFrame:
+    """Shared batch mask compiler behind match_layout[_batch] and
+    TermLayoutReader.match — ``table`` switches the term-leaf source from
+    a fresh pruned scan to a reader's pinned terms table."""
+    from .index import termindex
+
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
-    node = _normalize(parse(query) if isinstance(query, str) else query,
-                      tokenize)
-    empty = spark.createDataFrame([], "docid long")
-    if node is _FALSE:
+    plans = []  # (qid, node, bits)
+    seen_qids: set[int] = set()
+    for qid, q in queries:
+        qid = int(qid)
+        if qid in seen_qids:
+            raise ValueError(f"duplicate query_id {qid}")
+        seen_qids.add(qid)
+        node = _normalize(parse(q) if isinstance(q, str) else q, tokenize)
+        if node is _FALSE:
+            continue
+        bits = _check_tree(node)
+        _require_unscoped(bits)
+        plans.append((qid, node, bits))
+    empty = spark.createDataFrame([], "query_id int, docid long")
+    if not plans:
         return empty
-    bits = _check_tree(node)
-    _require_unscoped(bits)
 
-    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
-
-    # term-class leaves: ONE pruned scan; a term may serve several leaves
-    # (e.g. a plain leaf AND a fuzzy expansion) → OR of their bits
-    mask_by_term: dict[str, int] = {}
-    for leaf, bit in bits.items():
-        terms = ([leaf.text] if isinstance(leaf, Term)
-                 else expansions.get(leaf, []))
-        for t in terms:
-            mask_by_term[t] = mask_by_term.get(t, 0) | (1 << bit)
+    # term-class leaves across ALL queries: ONE scan + one broadcast map;
+    # a term may serve several leaves/queries → one (term, qid, mask) row
+    # per query with the OR of its bits
+    tmap_rows: dict[tuple[str, int], int] = {}
+    for qid, node, bits in plans:
+        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+        for leaf, bit in bits.items():
+            terms = ([leaf.text] if isinstance(leaf, Term)
+                     else expansions.get(leaf, []))
+            for t in terms:
+                key = (t, qid)
+                tmap_rows[key] = tmap_rows.get(key, 0) | (1 << bit)
 
     parts = []
-    if mask_by_term:
-        tp = termindex.term_postings(
-            spark, layout_dir, sorted(mask_by_term), allow_stale=allow_stale
-        )
+    if tmap_rows:
+        all_terms = sorted({t for t, _ in tmap_rows})
+        if table is None:
+            tp = termindex.term_postings(spark, layout_dir, all_terms,
+                                         allow_stale=allow_stale)
+        else:
+            tp = termindex._decode_posting_rows(
+                table.filter(F.col("term").isin(all_terms))
+            )
         tmap = spark.createDataFrame(
-            sorted(mask_by_term.items()), "term string, mask long"
+            sorted((t, q, m) for (t, q), m in tmap_rows.items()),
+            "term string, query_id int, mask long",
         )
         parts.append(
-            tp.join(F.broadcast(tmap), "term").select("docid", "mask")
+            tp.join(F.broadcast(tmap), "term")
+            .select("query_id", "docid", "mask")
         )
 
-    def _with_mask(df: DataFrame, by_qid: dict[int, int]) -> DataFrame:
-        qmap = spark.createDataFrame(
-            sorted(by_qid.items()), "query_id int, mask long"
-        )
-        return df.join(F.broadcast(qmap), "query_id").select("docid", "mask")
+    # positional leaves: synthetic ids so one phrase_match / near call
+    # serves every query in the batch
+    sid_map: list[tuple[int, int]] = []  # sid → (qid, mask)
+    phrase_batch: list[tuple[int, str]] = []
+    near_by_slop: dict[int, list[tuple[int, list[str]]]] = {}
+    for qid, node, bits in plans:
+        for lf, bit in bits.items():
+            if isinstance(lf, _PhraseLeaf):
+                sid_map.append((qid, 1 << bit))
+                phrase_batch.append((len(sid_map) - 1, " ".join(lf.terms)))
+            elif isinstance(lf, _NearLeaf):
+                sid_map.append((qid, 1 << bit))
+                near_by_slop.setdefault(lf.slop, []).append(
+                    (len(sid_map) - 1, list(lf.terms))
+                )
 
-    phrases = [(bits[lf], lf) for lf in bits
-               if isinstance(lf, _PhraseLeaf)]
-    if phrases:
-        got = termindex.phrase_match(
-            spark, layout_dir,
-            [(bit, " ".join(lf.terms)) for bit, lf in phrases],
-            allow_stale=allow_stale,
+    def _sid_part(got: DataFrame) -> DataFrame:
+        smap = spark.createDataFrame(
+            [(i, q, m) for i, (q, m) in enumerate(sid_map)],
+            "sid int, query_id int, mask long",
         )
-        parts.append(_with_mask(got, {b: 1 << b for b, _ in phrases}))
+        return (got.withColumnRenamed("query_id", "sid")
+                .join(F.broadcast(smap), "sid")
+                .select("query_id", "docid", "mask"))
 
-    nears = [(bits[lf], lf) for lf in bits if isinstance(lf, _NearLeaf)]
-    for slop in sorted({lf.slop for _, lf in nears}):
-        grp = [(bit, lf) for bit, lf in nears if lf.slop == slop]
-        got = termindex.near_match_n(
-            spark, layout_dir, [(bit, list(lf.terms)) for bit, lf in grp],
-            k=slop, allow_stale=allow_stale,
-        )
-        parts.append(_with_mask(got, {b: 1 << b for b, _ in grp}))
+    if phrase_batch:
+        got = termindex.phrase_match(spark, layout_dir, phrase_batch,
+                                     allow_stale=allow_stale)
+        parts.append(_sid_part(got))
+    for slop, grp in sorted(near_by_slop.items()):
+        got = termindex.near_match_n(spark, layout_dir, grp, k=slop,
+                                     allow_stale=allow_stale)
+        parts.append(_sid_part(got))
 
-    return _mask_filter(parts, node, bits, empty)
+    if not parts:
+        return empty
+    allbits = reduce(DataFrame.unionByName, parts)
+    masks = allbits.groupBy("query_id", "docid").agg(
+        F.expr("bit_or(mask)").alias("mask")
+    )
+    pred = reduce(
+        lambda a, b: a | b,
+        ((F.col("query_id") == qid) & _mask_pred(node, bits)
+         for qid, node, bits in plans),
+    )
+    return masks.filter(pred).select("query_id", "docid")
 
 
 def _mask_filter(parts: list, node, bits: dict, empty: DataFrame) -> DataFrame:
@@ -844,6 +930,67 @@ def search(
                         allow_stale=allow_stale)
     return termindex.bm25_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
+        round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+    )
+
+
+def _scored_query_terms(
+    spark: SparkSession, meta: dict, fuzzy_dir: str | None,
+    queries: list[tuple[int, str]], tokenize,
+) -> tuple[list, dict[int, str]]:
+    """Per-query (plans, scoring text): normalize each query, collect its
+    positive term leaves (+ dictionary expansions). Raises if any query
+    has nothing to rank by. Returns (plans for the filter compile,
+    {qid: scoring text})."""
+    plans: list[tuple[int, object]] = []
+    scored_by_qid: dict[int, str] = {}
+    for qid, q in queries:
+        node = _normalize(parse(q) if isinstance(q, str) else q, tokenize)
+        if node is _FALSE:
+            continue
+        bits = _check_tree(node)
+        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+        scored: set = set()
+        _positive_terms(node, scored, spark, fuzzy_dir, expansions)
+        if not scored:
+            raise ValueError(
+                f"query {qid} has no positive term leaves to rank by — "
+                "use match_layout_batch() for unranked retrieval"
+            )
+        plans.append((int(qid), node))
+        scored_by_qid[int(qid)] = " ".join(sorted(scored))
+    return plans, scored_by_qid
+
+
+def search_batch(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    fuzzy_dir: str | None = None,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, rank, docid, score): N ranked front-door queries in ONE
+    job family — the batch compile of :func:`match_layout_batch` builds a
+    per-query (query_id, docid) filter, and ONE `bm25_topk` call scores
+    every query against its own filter (`filter_by` semi-joins on BOTH
+    keys). Per-query semantics identical to :func:`search`."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    if meta.get("fielded"):
+        raise ValueError("fielded layout — use search_fielded")
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans, scored_by_qid = _scored_query_terms(spark, meta, fuzzy_dir,
+                                               queries, tokenize)
+    if not plans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double")
+    filt = match_layout_batch(spark, layout_dir, plans,
+                              fuzzy_dir=fuzzy_dir, allow_stale=allow_stale)
+    return termindex.bm25_topk(
+        spark, layout_dir, sorted(scored_by_qid.items()), k=k,
         round_to=round_to, allow_stale=allow_stale, filter_by=filt,
     )
 

@@ -267,6 +267,70 @@ def test_search_prefix_scores_expansions(spark, served):
     assert got == want and got
 
 
+def test_match_layout_batch_plan_one_shuffle(spark, served):
+    """A term-only BATCH compiles exactly like a single query: pruned
+    scan → broadcast (term, query_id, mask) map → ONE bit_or aggregate —
+    no sort-merge join, no per-query scan multiplication."""
+    lay, _ = served
+    df = Q.match_layout_batch(spark, lay, [
+        (0, "(customer OR filter) AND NOT group"),
+        (1, "window AND sort"),
+        (2, "spark OR merge"),
+    ])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_match_layout_batch_equals_singles(spark, served):
+    lay, fzd = served
+    qs = list(enumerate(QUERY_TABLE))
+    batch = {(r["query_id"], r["docid"]) for r in
+             Q.match_layout_batch(spark, lay, qs, fuzzy_dir=fzd).collect()}
+    singles = {(qid, r["docid"]) for qid, q in qs
+               for r in Q.match_layout(spark, lay, q,
+                                       fuzzy_dir=fzd).collect()}
+    assert batch == singles and batch
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        Q.match_layout_batch(spark, lay, [(0, "a"), (0, "b")])
+
+
+def test_search_batch_equals_singles(spark, served):
+    lay, fzd = served
+    qs = [(0, "spark AND (join OR merge)"), (1, "customer OR filter"),
+          (2, 's* AND NOT group'), (3, 'grup~1 AND customer')]
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in Q.search_batch(spark, lay, qs, k=10,
+                                         fuzzy_dir=fzd).collect())
+    want = sorted((qid, r["rank"], r["docid"], r["score"])
+                  for qid, q in qs
+                  for r in Q.search(spark, lay, q, k=10,
+                                    fuzzy_dir=fzd).collect())
+    assert got == want and got
+
+
+def test_reader_match_and_search(spark, served):
+    lay, fzd = served
+    qs = [(0, "customer AND filter"), (1, '"key order" OR window')]
+    sq = [(0, "spark AND (join OR merge)"), (1, "customer OR filter")]
+    rd = termindex.TermLayoutReader(spark, lay)
+    try:
+        got_m = {(r["query_id"], r["docid"]) for r in
+                 rd.match(qs, fuzzy_dir=fzd).collect()}
+        want_m = {(r["query_id"], r["docid"]) for r in
+                  Q.match_layout_batch(spark, lay, qs,
+                                       fuzzy_dir=fzd).collect()}
+        assert got_m == want_m and got_m
+        got_s = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                       for r in rd.search(sq, k=10).collect())
+        want_s = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                        for r in Q.search_batch(spark, lay, sq,
+                                                k=10).collect())
+        assert got_s == want_s and got_s
+    finally:
+        rd.close()
+
+
 def test_search_fuzzy_scores_expansions(spark, served):
     lay, fzd = served
     got = Q.search(spark, lay, "grup~1 AND customer", k=10,

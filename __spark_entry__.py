@@ -593,6 +593,58 @@ def q_ft_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=10)
 
 
+def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: vocabulary terms within 2 edits of a misspelling,
+    ranked (distance, df desc, term) — gram-count candidate bound over
+    the dictionary, exact JVM levenshtein, TakeOrdered top-n
+    (fuzzy.suggest_terms)."""
+    from gazetteer_spark import fuzzy
+
+    return fuzzy.suggest_terms(spark, _fuzzy_dir(spark, sf_dir),
+                               "windoww", n=5, max_edits=2)
+
+
+BOOSTED_QUERY = "spark^2 AND (join OR merge^0.5)"
+MLT_DOC_ID = 42
+MLT_MAX_TERMS = 8
+
+
+def q_ft_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-facet-value hit counts over a boolean query's
+    matches — one layout-served match, one semi-join (facet columns
+    pruned at the corpus scan), facet pairs explode map-side into a
+    single partial-combined aggregation (query.facet_counts)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.facet_counts(spark, _layout_dir(spark, sf_dir),
+                             _docs(spark, sf_dir), FILTER_QUERY,
+                             ["lang", "source"], id_col="doc_id")
+
+
+def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: the seed doc's top-tf·idf terms (pushed-down
+    single-row read + termstats dictionary probe — driver metadata only)
+    become ONE ranked layout query; the seed is excluded and survivors
+    re-ranked (query.more_like_this)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.more_like_this(spark, _layout_dir(spark, sf_dir),
+                               _docs(spark, sf_dir), MLT_DOC_ID, k=10,
+                               max_terms=MLT_MAX_TERMS, id_col="doc_id",
+                               content_col="text")
+
+
+def q_ft_search_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term boosts (^w) in the ranked front door: each boosted term's
+    BM25 contribution is multiplied by its weight in BOTH candidate-gate
+    phases and the final score (weighted idf upper bounds keep the gate
+    exact); the boolean filter is unchanged by boosts."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search(spark, _layout_dir(spark, sf_dir), BOOSTED_QUERY,
+                       k=10)
+
+
 BATCH_BOOL_QUERIES = [(0, BOOL_EXPR_QUERY), (1, FILTER_QUERY),
                       (2, SEARCH_QUERY)]
 BATCH_SEARCH_QUERIES = [(0, SEARCH_QUERY), (1, FILTER_QUERY),
@@ -757,6 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_search_ranked": q_ft_search_ranked,
         "ft_query_prefix": q_ft_query_prefix,
         "ft_search_prefix": q_ft_search_prefix,
+        "ft_search_boosted": q_ft_search_boosted,
+        "ft_facets": q_ft_facets,
+        "ft_more_like_this": q_ft_more_like_this,
+        "ft_suggest": q_ft_suggest,
         "ft_bool_expr_batch": q_ft_bool_expr_batch,
         "ft_search_batch": q_ft_search_batch,
         "ft_fielded_bool_expr": q_ft_fielded_bool_expr,
@@ -1102,9 +1158,18 @@ def oracle_sql() -> dict[str, str]:
         )
 
     def bm25_filtered_sql(queries: list[tuple[int, str]], k: int,
-                          pred: str) -> str:
+                          pred: str,
+                          weights: dict[str, float] | None = None) -> str:
         """bm25_sql with results restricted to docs satisfying ``pred``
-        (over the per-doc token array t) BEFORE the top-k cut."""
+        (over the per-doc token array t) BEFORE the top-k cut.
+        ``weights``: per-term boost multipliers on the BM25 contribution
+        (term^w grammar; missing = 1.0 — exact under IEEE, 1.0*x == x)."""
+        w = weights or {}
+        qvals = ", ".join(
+            f"({qid}, '{t}', {float(w.get(t, 1.0))!r})"
+            for qid, text in queries
+            for t in sorted(set(py_tokenize(text)))
+        )
         return (
             _DUCK_POSTINGS + ", "
             "d AS (SELECT doc_id AS docid, "
@@ -1112,13 +1177,13 @@ def oracle_sql() -> dict[str, str]:
             f"filt AS (SELECT docid FROM d WHERE {pred}), "
             "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen FROM postings GROUP BY docid), "
             "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
-            f"q(query_id, term) AS (VALUES {_query_values_sql(queries)}), "
+            f"q(query_id, term, w) AS (VALUES {qvals}), "
             "tstat AS (SELECT term, count(*) AS df FROM postings "
             "  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term), "
             "idf AS (SELECT t.term, ln(1.0 + (cs.n_docs - t.df + 0.5)/(t.df + 0.5)) AS idf "
             "  FROM tstat t, cs), "
             "scored AS (SELECT q.query_id, p.docid, "
-            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "  sum(q.w * i.idf * (p.tf * (1.2 + 1.0)) / "
             "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
             "  FROM q JOIN idf i ON q.term = i.term JOIN postings p ON p.term = q.term "
             "  JOIN ds ON ds.docid = p.docid "
@@ -1250,6 +1315,55 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT docid FROM d WHERE {prefix_pred}",
         "ft_search_prefix": bm25_filtered_sql(
             [(0, PREFIX_EXPANSION)], 10, prefix_pred),
+        "ft_facets": (
+            "WITH d AS (SELECT doc_id AS docid, "
+            + _DUCK_TOKENS.format(col="text")
+            + " AS t, lang, source FROM documents) "
+            f"SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value, "
+            f"count(*) AS n FROM d WHERE {filter_pred} GROUP BY lang "
+            f"UNION ALL SELECT 'source' AS facet, CAST(source AS VARCHAR) "
+            f"AS value, count(*) AS n FROM d WHERE {filter_pred} "
+            "GROUP BY source"
+        ),
+        "ft_more_like_this": (
+            _DUCK_POSTINGS + ", "
+            "ds AS (SELECT docid, CAST(sum(tf) AS INT) AS doclen "
+            "  FROM postings GROUP BY docid), "
+            "cs AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM ds), "
+            "dft AS (SELECT term, count(*) AS df FROM postings GROUP BY term), "
+            f"seed AS (SELECT term, tf FROM postings WHERE docid = {MLT_DOC_ID}), "
+            "q AS (SELECT 0 AS query_id, s.term FROM seed s "
+            "  JOIN dft ON dft.term = s.term, cs "
+            "  ORDER BY round(s.tf * ln(1.0 + (cs.n_docs - dft.df + 0.5)"
+            f"/(dft.df + 0.5)), 6) DESC, s.term ASC LIMIT {MLT_MAX_TERMS}), "
+            "idf AS (SELECT d2.term, ln(1.0 + (cs.n_docs - d2.df + 0.5)"
+            "/(d2.df + 0.5)) AS idf FROM dft d2, cs "
+            "  WHERE d2.term IN (SELECT term FROM q)), "
+            "scored AS (SELECT q.query_id, p.docid, "
+            "  sum(i.idf * (p.tf * (1.2 + 1.0)) / "
+            "      (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * ds.doclen / cs.avgdl))) AS s "
+            "  FROM q JOIN idf i ON q.term = i.term "
+            "  JOIN postings p ON p.term = q.term "
+            "  JOIN ds ON ds.docid = p.docid, cs "
+            f"  WHERE p.docid != {MLT_DOC_ID} GROUP BY q.query_id, p.docid) "
+            "SELECT query_id, rank, docid, score FROM ("
+            "  SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "    ORDER BY round(s, 4) DESC, docid ASC) AS INT) AS rank, "
+            "  docid, round(s, 4) AS score FROM scored) WHERE rank <= 10"
+        ),
+        "ft_suggest": (
+            _DUCK_POSTINGS + ", "
+            "vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df "
+            "  FROM postings GROUP BY term) "
+            "SELECT term, df, CAST(levenshtein(term, 'windoww') AS INT) "
+            "AS dist FROM vocab WHERE levenshtein(term, 'windoww') <= 2 "
+            "ORDER BY dist ASC, df DESC, term ASC LIMIT 5"
+        ),
+        "ft_search_boosted": bm25_filtered_sql(
+            [(0, "join merge spark")], 10,
+            "(list_contains(t, 'spark') AND (list_contains(t, 'join')"
+            " OR list_contains(t, 'merge')))",
+            weights={"spark": 2.0, "merge": 0.5}),
         "ft_bool_expr_batch": " UNION ALL ".join(
             f"SELECT {qid} AS query_id, docid FROM "
             f"({duck_d} SELECT docid FROM d WHERE {pred})"

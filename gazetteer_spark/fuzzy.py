@@ -382,6 +382,35 @@ def prefix_terms(
     return spark.createDataFrame(out, "term string, df long")
 
 
+def suggest_terms(
+    spark: SparkSession, fuzzy_dir: str, word: str, n: int = 5,
+    max_edits: int = 2,
+) -> DataFrame:
+    """(term, df, dist): did-you-mean suggestions — vocabulary terms
+    within Levenshtein distance ≤ ``max_edits`` of the (single-token)
+    analyzed word, ranked (distance asc, df desc, term asc), top ``n``.
+
+    Rides :func:`fuzzy_terms_edit`'s gram-count candidate bound, so the
+    dictionary is probed, not scanned (short-word fallback documented
+    there); the survivor set is ≤ vocabulary-scale and the top-n is a
+    TakeOrdered, never a global sort."""
+    with open(f"{fuzzy_dir}/layout.json") as f:
+        meta = json.load(f)
+    w = get_analyzer(meta["base_analyzer"]).py_tokenize(word)
+    if len(w) != 1:
+        raise ValueError(f"suggest takes a single-token word; {word!r} → {w}")
+    cands = fuzzy_terms_edit(spark, fuzzy_dir, word, max_edits)
+    return (
+        cands.select(
+            "term", "df",
+            F.levenshtein(F.col("term"), F.lit(w[0])).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(n)
+    )
+
+
 def fuzzy_docs(
     spark: SparkSession, fuzzy_dir: str, index_dir: str, fragment: str,
     bidirectional: bool = False, allow_stale: bool = False,

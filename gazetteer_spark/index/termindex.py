@@ -454,15 +454,19 @@ def _scored_rows(
     cand_by_qid: dict[int, np.ndarray] | None = None,
     restrict: set[tuple[int, str]] | None = None,
     with_count: bool = False,
+    weights: dict[tuple[int, str], float] | None = None,
 ) -> DataFrame:
     """(query_id, docid, score[, nt]): exact BM25 sums for the subscribed
     (query, term) pairs. ``restrict`` marks (qid, term) pairs whose
     postings are emitted ONLY for docids in ``cand_by_qid[qid]`` (the
     MaxScore candidate gate); unrestricted pairs emit everything.
     ``with_count`` additionally returns the number of contributing terms
-    per (query, doc) — the conjunctive-retrieval predicate."""
+    per (query, doc) — the conjunctive-retrieval predicate. ``weights``:
+    per-(query, term) multiplier on the BM25 contribution (term boosts;
+    missing = 1.0)."""
     cand_by_qid = cand_by_qid or {}
     restrict = restrict or set()
+    weights = weights or {}
 
     def score_fn(iterator):
         for pdf in iterator:
@@ -478,6 +482,8 @@ def _scored_rows(
                     tf + K1 * (1.0 - B + B * dls / avgdl)
                 )
                 for qid in qids:
+                    w = weights.get((qid, r.term), 1.0)
+                    qcontrib = contrib * w if w != 1.0 else contrib
                     if (qid, r.term) in restrict:
                         cand = cand_by_qid[qid]
                         pos = np.searchsorted(cand, ids)
@@ -489,13 +495,13 @@ def _scored_rows(
                         frames.append(pd.DataFrame({
                             "query_id": np.int32(qid),
                             "docid": ids[hit],
-                            "contrib": contrib[hit],
+                            "contrib": qcontrib[hit],
                         }))
                     else:
                         frames.append(pd.DataFrame({
                             "query_id": np.int32(qid),
                             "docid": ids,
-                            "contrib": contrib,
+                            "contrib": qcontrib,
                         }))
             yield (pd.concat(frames, ignore_index=True) if frames
                    else pd.DataFrame({
@@ -523,6 +529,7 @@ def bm25_topk(
     allow_stale: bool = False,
     expensive_df: int | None = None,
     filter_by: DataFrame | None = None,
+    qweights: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25 top-k served from the TERM-
     partitioned layout — the low-latency point-query path at corpus scale.
@@ -602,8 +609,23 @@ def bm25_topk(
     # df per query term: tiny metadata collect against the SAME pruned scan
     df_by_term = {r["term"]: int(r["df"])
                   for r in rows.select("term", "df").collect()}
+    _check_qweights(qweights)
     return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
-                      expensive_df, filter_by=filter_by)
+                      expensive_df, filter_by=filter_by, qweights=qweights)
+
+
+def _check_qweights(qweights) -> None:
+    """Boost weights must be strictly positive — the MaxScore gate's
+    upper-bound argument (and BM25's monotonicity) assume non-negative
+    contributions, and a zero weight should be expressed by dropping the
+    term from the scoring subscription instead."""
+    for qid, tw in (qweights or {}).items():
+        for t, w in tw.items():
+            if not (float(w) > 0.0):
+                raise ValueError(
+                    f"term weight must be > 0: query {qid} term {t!r} "
+                    f"has {w}"
+                )
 
 
 def _apply_filter(df: DataFrame, filter_by: DataFrame) -> DataFrame:
@@ -625,11 +647,20 @@ def _bm25_impl(
     round_to: int | None,
     expensive_df: int | None,
     filter_by: DataFrame | None = None,
+    qweights: dict[int, dict[str, float]] | None = None,
 ) -> DataFrame:
     """Shared scoring pipeline behind bm25_topk and TermLayoutReader.topk:
     candidate-gate planning + scoring jobs + the group-limited merge.
-    ``filter_by`` semantics: see bm25_topk."""
+    ``filter_by`` semantics: see bm25_topk. ``qweights``: per-query term
+    boosts ({qid: {term: w}}, missing = 1.0) — each term's contribution
+    is multiplied by its weight in BOTH gating phases and the final
+    score, so the candidate gate's bound argument holds verbatim with
+    weighted idf upper bounds."""
     from .wand import _idf
+
+    wts = {(int(qid), t): float(w)
+           for qid, tw in (qweights or {}).items() for t, w in tw.items()
+           if float(w) != 1.0}
 
     n_docs, avgdl = meta["n_docs"], meta["avgdl"]
     if expensive_df is None:
@@ -669,7 +700,8 @@ def _bm25_impl(
         for qid, _, cheap, _ in maybe:
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
-        phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl)
+        phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl,
+                                 weights=wts)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
         phase1 = phase1_df.collect()
@@ -680,7 +712,8 @@ def _bm25_impl(
             )
         for qid, present, cheap, exp in maybe:
             got = by_qid.get(qid, [])
-            exp_bound = sum(idf_by_term[t] * (K1 + 1.0) for t in exp)
+            exp_bound = sum(wts.get((qid, t), 1.0)
+                            * idf_by_term[t] * (K1 + 1.0) for t in exp)
             if len(got) >= k:
                 theta0 = np.partition(
                     np.array([s for _, s in got]), -k
@@ -707,7 +740,7 @@ def _bm25_impl(
             qids_by_term.setdefault(t, []).append(qid)
 
     scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
-                          cand_by_qid, restrict)
+                          cand_by_qid, restrict, weights=wts)
     if filter_by is not None:
         scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None
@@ -1097,7 +1130,7 @@ class TermLayoutReader:
         from ..query import _scored_query_terms
 
         tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
-        plans, scored_by_qid = _scored_query_terms(
+        plans, scored_by_qid, weights = _scored_query_terms(
             self.spark, self.meta, fuzzy_dir, queries, tokenize)
         if not plans:
             return self.spark.createDataFrame(
@@ -1110,7 +1143,8 @@ class TermLayoutReader:
         rows = self.table.filter(
             F.col("term").isin(sorted(df_by_term) or all_terms))
         return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
-                          k, round_to, expensive_df, filter_by=filt)
+                          k, round_to, expensive_df, filter_by=filt,
+                          qweights=weights or None)
 
     def close(self) -> None:
         self.table.unpersist()

@@ -85,6 +85,7 @@ class Term:
     fielded compilers)."""
     text: str
     field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -107,6 +108,7 @@ class Fuzzy:
     text: str
     max_edits: int = 1
     field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -118,6 +120,7 @@ class Prefix:
     ``field``: see Term."""
     text: str
     field: str | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -171,9 +174,11 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\()
       | (?P<rpar>\))
-      | (?:(?P<pscope>[^\s()"~:]+):)?"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+      | (?:(?P<pscope>[^\s()"~:^]+):)?"(?P<phrase>[^"]*)"
+          (?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
       | (?P<minus>-)(?=\S)
-      | (?P<word>[^\s()"~]+)(?:~(?P<edits>\d+))?
+      | (?P<word>[^\s()"~^]+)(?:~(?P<edits>\d+))?
+          (?:\^(?P<boost>\d+(?:\.\d+)?))?
     )""",
     re.VERBOSE,
 )
@@ -200,6 +205,11 @@ def parse(query: str):
         elif m.group("rpar"):
             tokens.append((")", None))
         elif m.group("phrase") is not None:
+            if m.group("pboost") is not None:
+                raise ValueError(
+                    "boost (^w) applies to term-class leaves — phrase "
+                    "leaves filter, they do not score"
+                )
             tokens.append(
                 ("leaf", Phrase(m.group("phrase"),
                                 int(m.group("slop") or 0),
@@ -209,7 +219,8 @@ def parse(query: str):
             tokens.append(("NOT", None))
         else:
             w = m.group("word")
-            if w in ("AND", "OR", "NOT") and m.group("edits") is None:
+            if (w in ("AND", "OR", "NOT") and m.group("edits") is None
+                    and m.group("boost") is None):
                 tokens.append((w, None))
                 continue
             scope = None
@@ -220,25 +231,29 @@ def parse(query: str):
                         f"bad field scope in {m.group('word')!r} — "
                         "expected field:word"
                     )
+            boost = float(m.group("boost") or 1.0)
+            if not boost > 0.0:
+                raise ValueError(f"boost must be > 0 in {m.group(0)!r}")
             if m.group("edits") is not None:
                 if "*" in w:
                     raise ValueError(f"cannot combine * and ~ in {w!r}")
                 tokens.append(("leaf", Fuzzy(w, int(m.group("edits")),
-                                             field=scope)))
+                                             field=scope, boost=boost)))
             elif w.endswith("*"):
                 if len(w) == 1 or "*" in w[:-1]:
                     raise ValueError(
                         f"wildcard {w!r}: only a single trailing * "
                         "(prefix query) is supported"
                     )
-                tokens.append(("leaf", Prefix(w[:-1], field=scope)))
+                tokens.append(("leaf", Prefix(w[:-1], field=scope,
+                                              boost=boost)))
             elif "*" in w:
                 raise ValueError(
                     f"wildcard {w!r}: only a single trailing * "
                     "(prefix query) is supported"
                 )
             else:
-                tokens.append(("leaf", Term(w, field=scope)))
+                tokens.append(("leaf", Term(w, field=scope, boost=boost)))
     pos = 0
 
     def peek():
@@ -306,14 +321,15 @@ def _normalize(node, tokenize):
         if not toks:
             return _FALSE
         if len(toks) == 1:
-            return Term(toks[0], field=node.field)
-        return And(tuple(Term(t, field=node.field) for t in toks))
+            return Term(toks[0], field=node.field, boost=node.boost)
+        return And(tuple(Term(t, field=node.field, boost=node.boost)
+                         for t in toks))
     if isinstance(node, Phrase):
         toks = tokenize(node.text)
         if not toks:
             return _FALSE
         if len(toks) == 1:
-            return Term(toks[0], field=node.field)
+            return Term(toks[0], field=node.field)  # phrases carry no boost
         if node.slop > 0:
             if len(set(toks)) != len(toks):
                 raise ValueError(
@@ -329,8 +345,9 @@ def _normalize(node, tokenize):
                 f"{node.text!r} → {toks}"
             )
         if node.max_edits < 1:
-            return Term(toks[0], field=node.field)
-        return Fuzzy(toks[0], node.max_edits, field=node.field)
+            return Term(toks[0], field=node.field, boost=node.boost)
+        return Fuzzy(toks[0], node.max_edits, field=node.field,
+                     boost=node.boost)
     if isinstance(node, Prefix):
         toks = tokenize(node.text)
         if len(toks) != 1:
@@ -338,7 +355,7 @@ def _normalize(node, tokenize):
                 f"prefix takes a single-token word; analyze "
                 f"{node.text!r} → {toks}"
             )
-        return Prefix(toks[0], field=node.field)
+        return Prefix(toks[0], field=node.field, boost=node.boost)
     if isinstance(node, (_PhraseLeaf, _NearLeaf)) or node is _FALSE:
         return node  # already normalized (idempotent re-entry)
     if isinstance(node, Not):
@@ -875,15 +892,18 @@ def match_scan_fielded(
 # ranked front door
 # ---------------------------------------------------------------------------
 
-def _positive_terms(node, acc: set, spark=None, fuzzy_dir=None,
+def _positive_terms(node, acc: dict, spark=None, fuzzy_dir=None,
                     expansions=None) -> None:
     """Term-class leaves under an even number of negations — the scoring
-    subscription of :func:`search` (phrase/NEAR leaves filter but don't
-    score; a negated term can only EXCLUDE, so it never scores)."""
+    subscription of :func:`search` as {term: weight} (phrase/NEAR leaves
+    filter but don't score; a negated term can only EXCLUDE, so it never
+    scores). A term reached through several leaves scores with the MAX
+    of their boosts; dictionary expansions inherit their leaf's boost."""
     if isinstance(node, Term):
-        acc.add(node.text)
+        acc[node.text] = max(acc.get(node.text, 0.0), node.boost)
     elif isinstance(node, (Fuzzy, Prefix)) and expansions is not None:
-        acc.update(expansions.get(node, ()))
+        for t in expansions.get(node, ()):
+            acc[t] = max(acc.get(t, 0.0), node.boost)
     elif isinstance(node, (And, Or)):
         for c in node.children:
             _positive_terms(c, acc, spark, fuzzy_dir, expansions)
@@ -919,7 +939,7 @@ def search(
     bits = _check_tree(node)
     _require_unscoped(bits)
     expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
-    scored: set = set()
+    scored: dict = {}
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
     if not scored:
         raise ValueError(
@@ -928,29 +948,134 @@ def search(
         )
     filt = match_layout(spark, layout_dir, node, fuzzy_dir=fuzzy_dir,
                         allow_stale=allow_stale)
+    boosted = {t: w for t, w in scored.items() if w != 1.0}
     return termindex.bm25_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
         round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        qweights={0: boosted} if boosted else None,
     )
+
+
+def facet_counts(
+    spark: SparkSession,
+    layout_dir: str,
+    docs: DataFrame,
+    query,
+    facets: list[str],
+    id_col: str = "docid",
+    fuzzy_dir: str | None = None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(facet, value, n): hit counts per facet value over the documents
+    matching a boolean query — the result-page facet panel.
+
+    Scale shape: ONE layout-served match (:func:`match_layout`), one
+    semi-join onto the corpus (shuffle bounded by the match size, facet
+    columns pruned at the scan), then the facet pairs explode map-side
+    and aggregate with partial combine — one pass however many facet
+    columns are requested. Facet values render as strings (null stays
+    null)."""
+    if not facets:
+        raise ValueError("no facet columns")
+    m = match_layout(spark, layout_dir, query, fuzzy_dir=fuzzy_dir,
+                     allow_stale=allow_stale)
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(f).alias("facet"),
+                 F.col(f).cast("string").alias("value"))
+        for f in facets
+    ])).alias("p")
+    return (
+        docs.select(F.col(id_col).alias("docid"), *facets)
+        .join(m, "docid", "left_semi")
+        .select(pairs)
+        .select("p.facet", "p.value")
+        .groupBy("facet", "value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    layout_dir: str,
+    docs: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 10,
+    id_col: str = "docid",
+    content_col: str = "content",
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id=0, rank, docid, score): documents most similar to
+    ``doc_id`` — its top-``max_terms`` terms by tf·idf become a BM25
+    query; the source doc is excluded and survivors re-ranked.
+
+    Term selection (oracle-pinned): rank the doc's distinct terms by
+    round(tf · idf, 6) desc, term asc (the rounding absorbs ln() ulp
+    skew across engines); idf from the index's global termstats. Scale
+    shape: the seed doc reads via a pushed-down id filter (one row), its
+    term stats via the termstats dictionary probe — both driver-side
+    metadata — then ONE ranked layout query serves the result."""
+    import math
+
+    from .index import spimi, termindex
+
+    meta = termindex._load_meta(layout_dir)
+    an = get_analyzer(meta["analyzer"])
+    rows = (docs.filter(F.col(id_col) == doc_id)
+            .select(F.col(content_col).alias("c")).collect())
+    if not rows:
+        raise ValueError(f"doc {doc_id} not found in {id_col}")
+    toks = an.py_tokenize(rows[0]["c"])
+    if not toks:
+        raise ValueError(f"doc {doc_id} analyzes to no tokens")
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    ts = spimi.load_termstats(spark, meta["source_index"])
+    dfs = {r["term"]: int(r["df"]) for r in
+           ts.filter(F.col("term").isin(sorted(tf))).collect()}
+    n_docs = meta["n_docs"]
+    ranked = sorted(
+        ((round(tf[t] * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)), 6),
+          t) for t, d in dfs.items()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    seed = [t for _, t in ranked[:max_terms]]
+    if not seed:
+        raise ValueError(f"doc {doc_id} shares no terms with the index")
+    from pyspark.sql import Window as W
+
+    res = termindex.bm25_topk(
+        spark, layout_dir, [(0, " ".join(seed))], k=k + 1,
+        round_to=round_to, allow_stale=allow_stale,
+    ).filter(F.col("docid") != doc_id)
+    win = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("docid").asc())
+    return (res.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "docid", "score"))
 
 
 def _scored_query_terms(
     spark: SparkSession, meta: dict, fuzzy_dir: str | None,
     queries: list[tuple[int, str]], tokenize,
-) -> tuple[list, dict[int, str]]:
-    """Per-query (plans, scoring text): normalize each query, collect its
-    positive term leaves (+ dictionary expansions). Raises if any query
-    has nothing to rank by. Returns (plans for the filter compile,
-    {qid: scoring text})."""
+) -> tuple[list, dict[int, str], dict[int, dict[str, float]]]:
+    """Per-query (plans, scoring text, boosts): normalize each query,
+    collect its positive term leaves (+ dictionary expansions) with
+    their boosts. Raises if any query has nothing to rank by. Returns
+    (plans for the filter compile, {qid: scoring text}, {qid: {term: w}}
+    for the non-1.0 boosts)."""
     plans: list[tuple[int, object]] = []
     scored_by_qid: dict[int, str] = {}
+    weights_by_qid: dict[int, dict[str, float]] = {}
     for qid, q in queries:
         node = _normalize(parse(q) if isinstance(q, str) else q, tokenize)
         if node is _FALSE:
             continue
         bits = _check_tree(node)
         expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
-        scored: set = set()
+        scored: dict = {}
         _positive_terms(node, scored, spark, fuzzy_dir, expansions)
         if not scored:
             raise ValueError(
@@ -959,7 +1084,10 @@ def _scored_query_terms(
             )
         plans.append((int(qid), node))
         scored_by_qid[int(qid)] = " ".join(sorted(scored))
-    return plans, scored_by_qid
+        boosted = {t: w for t, w in scored.items() if w != 1.0}
+        if boosted:
+            weights_by_qid[int(qid)] = boosted
+    return plans, scored_by_qid, weights_by_qid
 
 
 def search_batch(
@@ -982,8 +1110,8 @@ def search_batch(
     if meta.get("fielded"):
         raise ValueError("fielded layout — use search_fielded")
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
-    plans, scored_by_qid = _scored_query_terms(spark, meta, fuzzy_dir,
-                                               queries, tokenize)
+    plans, scored_by_qid, weights = _scored_query_terms(
+        spark, meta, fuzzy_dir, queries, tokenize)
     if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double")
@@ -992,6 +1120,7 @@ def search_batch(
     return termindex.bm25_topk(
         spark, layout_dir, sorted(scored_by_qid.items()), k=k,
         round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        qweights=weights or None,
     )
 
 
@@ -1025,8 +1154,13 @@ def search_fielded(
     if node is _FALSE:
         return spark.createDataFrame([], out_schema)
     bits = _check_tree(node)
+    if any(getattr(lf, "boost", 1.0) != 1.0 for lf in bits):
+        raise ValueError(
+            "term boosts (^w) are not supported in fielded search — "
+            "BM25F's per-FIELD boosts rank; scope the leaf instead"
+        )
     expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
-    scored: set = set()
+    scored: dict = {}
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
     if not scored:
         raise ValueError(

@@ -100,6 +100,37 @@ def test_fuzzy_docs_respects_tombstones(spark, documents, layout,
     assert victim not in got
 
 
+def test_suggest_terms_bruteforce(spark, layout):
+    """Did-you-mean equals a dictionary brute force: terms within
+    max_edits ranked (dist, df desc, term), top n."""
+    idx, fz = layout
+    vocab = {r["term"]: r["df"] for r in
+             spark.read.parquet(f"{idx}/termstats").collect()}
+
+    def dist(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    for word, me, n in [("windoww", 2, 5), ("grup", 1, 3)]:
+        got = [(r["term"], r["df"], r["dist"]) for r in
+               fuzzy.suggest_terms(spark, fz, word, n=n,
+                                   max_edits=me).collect()]
+        cands = sorted(
+            ((dist(t, word), -df, t) for t, df in vocab.items()
+             if dist(t, word) <= me))
+        want = [(t, -ndf, d) for d, ndf, t in cands[:n]]
+        assert got == want and got, word
+    with pytest.raises(ValueError, match="single-token"):
+        fuzzy.suggest_terms(spark, fz, "a b")
+
+
 def test_fuzzy_gram_scan_pruned(spark, layout):
     """The gram-index scan is pruned to the fragment's grams (In(term, …)
     reaches the parquet scan) — a fragment touches its grams' posting

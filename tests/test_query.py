@@ -267,6 +267,62 @@ def test_search_prefix_scores_expansions(spark, served):
     assert got == want and got
 
 
+def test_parse_boosts():
+    assert Q.parse("spark^2") == Q.Term("spark", boost=2.0)
+    assert Q.parse("spark^0.5 AND join") == Q.And(
+        (Q.Term("spark", boost=0.5), Q.Term("join")))
+    assert Q.parse("grup~1^2") == Q.Fuzzy("grup", 1, boost=2.0)
+    assert Q.parse("sp*^1.5") == Q.Prefix("sp", boost=1.5)
+    assert Q.parse("src:spark^2") == Q.Term("spark", field="src",
+                                            boost=2.0)
+    for bad in ['"key order"^2', "spark^0", "spark^", "^2"]:
+        with pytest.raises(ValueError):
+            Q.parse(bad)
+
+
+def test_boosted_search_matches_bruteforce(spark, served):
+    """search('a^2 AND (b OR c^0.5)') == weighted sum of the per-term
+    unrounded contributions, filtered, rounded, re-ranked."""
+    lay, _ = served
+    q = "spark^2 AND (join OR merge^0.5)"
+    got = [(r["rank"], r["docid"], r["score"])
+           for r in Q.search(spark, lay, q, k=10).collect()]
+    weights = {"spark": 2.0, "join": 1.0, "merge": 0.5}
+    per_term = {}
+    for i, t in enumerate(sorted(weights)):
+        for r in termindex.bm25_topk(spark, lay, [(i, t)], k=10 ** 6,
+                                     round_to=None).collect():
+            per_term.setdefault(r["docid"], {})[t] = r["score"]
+    allowed = _ids(Q.match_layout(spark, lay,
+                                  "spark AND (join OR merge)"))
+    scored = sorted(
+        ((round(sum(weights[t] * s for t, s in ts.items()), 4), d)
+         for d, ts in per_term.items() if d in allowed),
+        key=lambda p: (-p[0], p[1]))
+    want = [(i + 1, d, s) for i, (s, d) in enumerate(scored[:10])]
+    assert got == want and got
+    # and the boost genuinely reorders vs the unboosted ranking
+    plain = [(r["rank"], r["docid"], r["score"]) for r in
+             Q.search(spark, lay, "spark AND (join OR merge)",
+                      k=10).collect()]
+    assert [d for _, d, _ in got] != [d for _, d, _ in plain]
+
+
+def test_boosted_gated_still_exact(spark, served):
+    lay, _ = served
+    qw = {0: {"dup": 3.0}, 1: {"the": 0.25}}
+    qs = [(0, "dup the"), (1, "dup window the")]
+    gated = termindex.bm25_topk(spark, lay, qs, k=5, qweights=qw,
+                                expensive_df=100).collect()
+    plain = termindex.bm25_topk(spark, lay, qs, k=5, qweights=qw).collect()
+    rows = lambda rs: sorted(
+        (r["query_id"], r["rank"], r["docid"], r["score"]) for r in rs)
+    assert rows(gated) == rows(plain) and gated
+    with pytest.raises(ValueError, match="> 0"):
+        termindex.bm25_topk(spark, lay, qs, k=5,
+                            qweights={0: {"dup": 0.0}})
+
+
 def test_match_layout_batch_plan_one_shuffle(spark, served):
     """A term-only BATCH compiles exactly like a single query: pruned
     scan → broadcast (term, query_id, mask) map → ONE bit_or aggregate —
@@ -329,6 +385,49 @@ def test_reader_match_and_search(spark, served):
         assert got_s == want_s and got_s
     finally:
         rd.close()
+
+
+def test_facet_counts_matches_bruteforce(spark, documents, served):
+    lay, _ = served
+    q = "(customer OR filter) AND NOT group"
+    got = {(r["facet"], r["value"]): r["n"] for r in
+           Q.facet_counts(spark, lay, documents, q, ["lang", "source"],
+                          id_col="doc_id").collect()}
+    matched = _ids(Q.match_scan(documents, q, id_col="doc_id",
+                                content_col="text"))
+    rows = documents.filter(F.col("doc_id").isin(sorted(matched))) \
+        .select("doc_id", "lang", "source").collect()
+    want: dict = {}
+    for r in rows:
+        for f in ("lang", "source"):
+            key = (f, str(r[f]))
+            want[key] = want.get(key, 0) + 1
+    assert got == want and got
+    with pytest.raises(ValueError, match="facet"):
+        Q.facet_counts(spark, lay, documents, q, [], id_col="doc_id")
+
+
+def test_more_like_this(spark, documents, served):
+    lay, _ = served
+    got = Q.more_like_this(spark, lay, documents, 42, k=5, max_terms=6,
+                           id_col="doc_id", content_col="text").collect()
+    assert len(got) == 5
+    assert all(r["docid"] != 42 for r in got)
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # deterministic
+    again = Q.more_like_this(spark, lay, documents, 42, k=5, max_terms=6,
+                             id_col="doc_id", content_col="text").collect()
+    assert got == again
+    # the top hit shares vocabulary with the seed doc
+    from gazetteer_spark.analyzer import py_tokenize
+    texts = {r["doc_id"]: r["text"] for r in
+             documents.filter(F.col("doc_id").isin([42, got[0]["docid"]]))
+             .collect()}
+    assert set(py_tokenize(texts[42])) & set(py_tokenize(
+        texts[got[0]["docid"]]))
+    with pytest.raises(ValueError, match="not found"):
+        Q.more_like_this(spark, lay, documents, -1, id_col="doc_id",
+                         content_col="text")
 
 
 def test_search_fuzzy_scores_expansions(spark, served):

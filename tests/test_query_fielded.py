@@ -177,3 +177,5 @@ def test_search_fielded_equals_filtered_bm25f(spark, served):
     assert got == want and got
     with pytest.raises(ValueError, match="positive term"):
         Q.search_fielded(spark, lay, 'body:"key order"')
+    with pytest.raises(ValueError, match="boosts"):
+        Q.search_fielded(spark, lay, "spark^2 AND src:src13")

@@ -195,9 +195,9 @@ def test_bm25_layout_candidate_gate_exact_and_engaged(spark, tmp_path_factory,
     calls = []
     orig = termindex._scored_rows
 
-    def spy(rows, sub, idf, avgdl, cand=None, restrict=None):
+    def spy(rows, sub, idf, avgdl, cand=None, restrict=None, **kw):
         calls.append((cand, restrict))
-        return orig(rows, sub, idf, avgdl, cand, restrict)
+        return orig(rows, sub, idf, avgdl, cand, restrict, **kw)
 
     monkeypatch.setattr(termindex, "_scored_rows", spy)
     got = [

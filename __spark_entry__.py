@@ -735,6 +735,33 @@ def q_ft_search_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                boosts=FIELDED_BOOSTS, k=10)
 
 
+def q_ft_fielded_bool_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N field-scoped boolean trees in ONE job family
+    (query.match_layout_fielded_batch): all queries' composites share one
+    pruned layout scan via a broadcast (term, query_id, mask) map, all
+    phrase leaves share one fielded positional call, one
+    groupBy(query_id, docid) bit_or."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.match_layout_fielded_batch(
+        spark, _fielded_layout_dir(spark, sf_dir),
+        [(0, FIELDED_BOOL_QUERY), (1, FIELDED_FILTER_QUERY)],
+    )
+
+
+def q_ft_search_fielded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N fielded ranked front-door queries in ONE scoring job: batch
+    filter compile + bm25f_topk with a per-query (query_id, docid)
+    filter (query.search_fielded_batch)."""
+    from gazetteer_spark import query as qmod
+
+    return qmod.search_fielded_batch(
+        spark, _fielded_layout_dir(spark, sf_dir),
+        [(0, FIELDED_SEARCH_QUERY), (1, FIELDED_FILTER_QUERY)],
+        boosts=FIELDED_BOOSTS, k=10,
+    )
+
+
 HL_QUERIES: list[tuple[int, str]] = [(0, "spark join merge"),
                                      (1, "the window")]
 HL_WINDOW = 8
@@ -838,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_fielded_bool_expr": q_ft_fielded_bool_expr,
         "ft_fielded_bool_expr_via_layout": q_ft_fielded_bool_expr_via_layout,
+        "ft_fielded_bool_batch": q_ft_fielded_bool_batch,
+        "ft_search_fielded_batch": q_ft_search_fielded_batch,
         "ft_snippets_via_termlayout": q_ft_snippets_via_termlayout,
     }
     return {**priority_ft, **ops_core, **rest_ft, **ops_rel}
@@ -1406,6 +1435,20 @@ def oracle_sql() -> dict[str, str]:
         "ft_search_fielded": bm25f_filtered_sql(
             [(0, "spark src13 src8")], 10, FIELDED_BOOSTS,
             fielded_search_pred),
+        "ft_fielded_bool_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, docid FROM "
+            f"(WITH d AS ({duck_f}) SELECT docid FROM d WHERE {pred})"
+            for qid, pred in [(0, fielded_bool_pred),
+                              (1, fielded_filter_pred)]
+        ),
+        "ft_search_fielded_batch": " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, rank, docid, score FROM "
+            f"({bm25f_filtered_sql([(0, terms)], 10, FIELDED_BOOSTS, pred)})"
+            for qid, terms, pred in [
+                (0, "spark src13 src8", fielded_search_pred),
+                (1, "customer filter", fielded_filter_pred),
+            ]
+        ),
         "ft_highlight_via_termlayout": highlight_sql(
             HL_QUERIES, 10, HL_WINDOW),
         "ft_snippets_via_termlayout": highlight_sql(

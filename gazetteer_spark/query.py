@@ -682,6 +682,28 @@ def match_layout_fielded(
 
     The mask tail is identical to the plain compiler: one
     groupBy(docid) bit_or, whole tree as one expression."""
+    return match_layout_fielded_batch(
+        spark, layout_dir, [(0, query)], fuzzy_dir=fuzzy_dir,
+        allow_stale=allow_stale,
+    ).select("docid")
+
+
+def match_layout_fielded_batch(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, object]],
+    fuzzy_dir: str | None = None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, docid): N field-scoped boolean trees in ONE job family —
+    the fielded twin of :func:`match_layout_batch`. Every query's
+    term-class composites ride the SAME pruned layout scan via one
+    broadcast (term, query_id, mask) map; ALL phrase leaves across the
+    batch share one `fielded_phrase_match_batch` call (synthetic leaf
+    ids); NEAR leaves run per (leaf, field); one
+    groupBy(query_id, docid) bit_or; OR-of-guarded-trees filter. Pairs
+    with ``bm25f_topk(filter_by=...)`` for per-query filtered fielded
+    ranking."""
     from . import fielded as fmod
     from .index import termindex
     from .index.spimi import FIELD_SEP
@@ -692,68 +714,106 @@ def match_layout_fielded(
     termindex._check_stale(meta, allow_stale)
     fields = meta["fields"]
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
-    node = _normalize(parse(query) if isinstance(query, str) else query,
-                      tokenize)
-    empty = spark.createDataFrame([], "docid long")
-    if node is _FALSE:
+    plans = []  # (qid, node, bits)
+    seen_qids: set[int] = set()
+    for qid, q in queries:
+        qid = int(qid)
+        if qid in seen_qids:
+            raise ValueError(f"duplicate query_id {qid}")
+        seen_qids.add(qid)
+        node = _normalize(parse(q) if isinstance(q, str) else q, tokenize)
+        if node is _FALSE:
+            continue
+        bits = _check_tree(node)
+        for lf in bits:
+            f = getattr(lf, "field", None)
+            if f is not None and f not in fields:
+                raise ValueError(
+                    f"unknown field {f!r} (layout has {fields})")
+        plans.append((qid, node, bits))
+    empty = spark.createDataFrame([], "query_id int, docid long")
+    if not plans:
         return empty
-    bits = _check_tree(node)
-    for lf in bits:
-        f = getattr(lf, "field", None)
-        if f is not None and f not in fields:
-            raise ValueError(f"unknown field {f!r} (layout has {fields})")
 
-    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
-
-    # term-class leaves → composite terms on the layout's pruned scan
-    mask_by_comp: dict[str, int] = {}
-    for leaf, bit in bits.items():
-        base = ([leaf.text] if isinstance(leaf, Term)
-                else expansions.get(leaf, []))
-        flds = [leaf.field] if getattr(leaf, "field", None) else fields
-        for t in base:
-            for f in flds:
-                c = f + FIELD_SEP + t
-                mask_by_comp[c] = mask_by_comp.get(c, 0) | (1 << bit)
+    # term-class leaves → composite terms; one row per (composite, qid)
+    tmap_rows: dict[tuple[str, int], int] = {}
+    for qid, node, bits in plans:
+        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+        for leaf, bit in bits.items():
+            base = ([leaf.text] if isinstance(leaf, Term)
+                    else expansions.get(leaf, []))
+            flds = [leaf.field] if getattr(leaf, "field", None) else fields
+            for t in base:
+                for f in flds:
+                    key = (f + FIELD_SEP + t, qid)
+                    tmap_rows[key] = tmap_rows.get(key, 0) | (1 << bit)
 
     parts = []
-    if mask_by_comp:
+    if tmap_rows:
         tp = termindex.term_postings(
-            spark, layout_dir, sorted(mask_by_comp), allow_stale=allow_stale
+            spark, layout_dir, sorted({c for c, _ in tmap_rows}),
+            allow_stale=allow_stale,
         )
         tmap = spark.createDataFrame(
-            sorted(mask_by_comp.items()), "term string, mask long"
+            sorted((c, q, m) for (c, q), m in tmap_rows.items()),
+            "term string, query_id int, mask long",
         )
         parts.append(
-            tp.join(F.broadcast(tmap), "term").select("docid", "mask")
+            tp.join(F.broadcast(tmap), "term")
+            .select("query_id", "docid", "mask")
         )
 
-    phrases = [(bits[lf], lf) for lf in bits if isinstance(lf, _PhraseLeaf)]
-    if phrases:
-        batch = [(bit, f, " ".join(lf.terms)) for bit, lf in phrases
-                 for f in ([lf.field] if lf.field else fields)]
+    # phrase leaves across the whole batch: ONE fielded positional call
+    sid_map: list[tuple[int, int]] = []  # sid → (qid, mask)
+    phrase_batch: list[tuple[int, str, str]] = []
+    for qid, node, bits in plans:
+        for lf, bit in bits.items():
+            if isinstance(lf, _PhraseLeaf):
+                sid_map.append((qid, 1 << bit))
+                sid = len(sid_map) - 1
+                for f in ([lf.field] if lf.field else fields):
+                    phrase_batch.append((sid, f, " ".join(lf.terms)))
+    if phrase_batch:
         got = fmod.fielded_phrase_match_batch(
-            spark, meta["source_index"], batch
+            spark, meta["source_index"], phrase_batch
         )
-        qmap = spark.createDataFrame(
-            sorted({b: 1 << b for b, _ in phrases}.items()),
-            "query_id int, mask long",
+        smap = spark.createDataFrame(
+            [(i, q, m) for i, (q, m) in enumerate(sid_map)],
+            "sid int, query_id int, mask long",
         )
         parts.append(
-            got.join(F.broadcast(qmap), "query_id").select("docid", "mask")
+            got.withColumnRenamed("query_id", "sid")
+            .join(F.broadcast(smap), "sid")
+            .select("query_id", "docid", "mask")
         )
 
-    nears = [(bits[lf], lf) for lf in bits if isinstance(lf, _NearLeaf)]
-    for bit, lf in nears:
-        for f in ([lf.field] if lf.field else fields):
-            got = fmod.fielded_near_match_n(
-                spark, meta["source_index"], f, list(lf.terms), k=lf.slop
-            )
-            parts.append(got.select(
-                "docid", F.lit(1 << bit).cast("long").alias("mask")
-            ))
+    for qid, node, bits in plans:
+        for lf, bit in bits.items():
+            if not isinstance(lf, _NearLeaf):
+                continue
+            for f in ([lf.field] if lf.field else fields):
+                got = fmod.fielded_near_match_n(
+                    spark, meta["source_index"], f, list(lf.terms),
+                    k=lf.slop,
+                )
+                parts.append(got.select(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    "docid",
+                    F.lit(1 << bit).cast("long").alias("mask"),
+                ))
 
-    return _mask_filter(parts, node, bits, empty)
+    if not parts:
+        return empty
+    allbits = reduce(DataFrame.unionByName, parts)
+    masks = allbits.groupBy("query_id", "docid").agg(
+        F.expr("bit_or(mask)").alias("mask")
+    )
+    pred = reduce(
+        lambda a, b: a | b,
+        ((F.col("query_id") == qid) & _mask_pred(node, bits)
+         for qid, node, bits in plans),
+    )
+    return masks.filter(pred).select("query_id", "docid")
 
 
 # ---------------------------------------------------------------------------
@@ -1172,5 +1232,46 @@ def search_fielded(
                                 allow_stale=allow_stale)
     return termindex.bm25f_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], boosts=boosts,
+        k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+    )
+
+
+def search_fielded_batch(
+    spark: SparkSession,
+    layout_dir: str,
+    queries: list[tuple[int, str]],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    fuzzy_dir: str | None = None,
+    round_to: int | None = 4,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """(query_id, rank, docid, score): N fielded ranked front-door
+    queries in ONE job family — the batch filter compile of
+    :func:`match_layout_fielded_batch` plus ONE `bm25f_topk` call whose
+    (query_id, docid) ``filter_by`` restricts each query independently.
+    Per-query semantics identical to :func:`search_fielded` (scopes
+    narrow the filter, full BM25F ranks; term boosts rejected)."""
+    from .index import termindex
+
+    meta = termindex._load_meta(layout_dir)
+    if not meta.get("fielded"):
+        raise ValueError("not a fielded layout — use search_batch")
+    tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    plans, scored_by_qid, weights = _scored_query_terms(
+        spark, meta, fuzzy_dir, queries, tokenize)
+    if weights:
+        raise ValueError(
+            "term boosts (^w) are not supported in fielded search — "
+            "BM25F's per-FIELD boosts rank; scope the leaf instead"
+        )
+    if not plans:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, docid long, score double")
+    filt = match_layout_fielded_batch(
+        spark, layout_dir, plans, fuzzy_dir=fuzzy_dir,
+        allow_stale=allow_stale)
+    return termindex.bm25f_topk(
+        spark, layout_dir, sorted(scored_by_qid.items()), boosts=boosts,
         k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
     )

@@ -130,6 +130,37 @@ def test_plain_layout_rejected_by_fielded_compilers(spark, documents,
         Q.search_fielded(spark, lay, "spark")
 
 
+def test_fielded_batch_equals_singles(spark, served):
+    _, lay, fzd = served
+    qs = list(enumerate(QUERY_TABLE[:6]))
+    batch = {(r["query_id"], r["docid"]) for r in
+             Q.match_layout_fielded_batch(spark, lay, qs,
+                                          fuzzy_dir=fzd).collect()}
+    singles = {(qid, r["docid"]) for qid, q in qs
+               for r in Q.match_layout_fielded(spark, lay, q,
+                                               fuzzy_dir=fzd).collect()}
+    assert batch == singles and batch
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        Q.match_layout_fielded_batch(spark, lay, [(0, "a"), (0, "b")])
+
+
+def test_search_fielded_batch_equals_singles(spark, served):
+    _, lay, _ = served
+    qs = [(0, "spark AND (src:src13 OR src:src8)"),
+          (1, "customer OR lang:en")]
+    got = sorted((r["query_id"], r["rank"], r["docid"], r["score"])
+                 for r in Q.search_fielded_batch(spark, lay, qs,
+                                                 boosts=BOOSTS,
+                                                 k=10).collect())
+    want = sorted((qid, r["rank"], r["docid"], r["score"])
+                  for qid, q in qs
+                  for r in Q.search_fielded(spark, lay, q, boosts=BOOSTS,
+                                            k=10).collect())
+    assert got == want and got
+    with pytest.raises(ValueError, match="boosts"):
+        Q.search_fielded_batch(spark, lay, [(0, "spark^2")], boosts=BOOSTS)
+
+
 def test_filtered_bm25f_matches_bruteforce(spark, served):
     _, lay, _ = served
     queries = [(0, "spark join src13"), (1, "customer filter en")]

@@ -157,27 +157,99 @@ def count_tokens_pdf(tokens: pd.Series) -> pd.Series:
     return tokens.map(one)
 
 
+def _fold_tokens_arrow(positions: bool):
+    """Batch-vectorized (docid, toks) → postings fold for mapInArrow.
+
+    The previous fold (count_tokens_pdf / position_tokens_pdf) ran one
+    Python Counter per DOCUMENT and materialized one Python tuple per
+    POSTING inside an array<struct> return value — tens of millions of
+    small allocations at 100k docs, ~3 s of the build's map stage
+    (measured; guide §4.2: hand whole batches to vectorized native
+    code). This fold never touches per-posting Python objects: tokens
+    flatten zero-copy, Arrow dictionary-encodes them C-side, and the
+    per-(doc, term) counts come from one np.unique over packed
+    ``row_idx * V + code`` keys. Output rows are exactly the old fold's
+    (same tf counts; positions ascending per term) — property-tested
+    against the JVM/pandas twins."""
+    import numpy as np
+
+    def fold(batches):
+        import pyarrow as pa
+
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            docid = b.column("docid")
+            toks = b.column("toks")
+            lengths = pc.fill_null(pc.list_value_length(toks), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = toks.flatten()  # skips null lists; lengths align (0)
+            total = int(lengths.sum())
+            if total == 0:
+                continue
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            d = flat.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            V = len(d.dictionary)
+            packed = row_idx * V + codes
+            if not positions:
+                uniq, counts = np.unique(packed, return_counts=True)
+                yield pa.record_batch(
+                    [
+                        docid.take(pa.array(uniq // V)),
+                        d.dictionary.take(pa.array(uniq % V)),
+                        pa.array(counts.astype(np.int32)),
+                    ],
+                    names=["docid", "term", "tf"],
+                )
+                continue
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            pos = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, lengths))
+            order = np.argsort(packed, kind="stable")  # pos stays ascending
+            sp = packed[order]
+            bounds = np.nonzero(sp[1:] != sp[:-1])[0] + 1
+            g_starts = np.concatenate([[0], bounds]).astype(np.int64)
+            uniq = sp[g_starts]
+            counts = np.diff(np.concatenate([g_starts, [len(sp)]]))
+            offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            pos_list = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pos[order].astype(np.int32))
+            )
+            yield pa.record_batch(
+                [
+                    docid.take(pa.array(uniq // V)),
+                    d.dictionary.take(pa.array(uniq % V)),
+                    pa.array(counts.astype(np.int32)),
+                    pos_list,
+                ],
+                names=["docid", "term", "tf", "pos"],
+            )
+
+    return fold
+
+
 def postings_arrow(df, id_col: str = "docid", content_col: str = "content",
                    tokens_fn=None):
     """(docid, term, tf) — zero-shuffle token counting: JVM tokenizer +
-    Arrow Counter fold (see count_tokens_pdf). ``tokens_fn`` swaps in a
-    registered analyzer's Column tokenizer (default: the frozen chain)."""
+    vectorized Arrow fold (see _fold_tokens_arrow). ``tokens_fn`` swaps
+    in a registered analyzer's Column tokenizer (default: the frozen
+    chain). The toks projection is separate so only (docid, toks) cross
+    the Python boundary (guide §4.1 column control)."""
     tk = tokens_fn or tokens_expr
-    # tokens are materialized in their own projection BEFORE the pandas UDF:
-    # if the analyzer's tokens_expr contains a higher-order function (lambda),
-    # ExtractPythonUDFs cannot pull the UDF out of the Generate when the HOF
-    # is inlined in its argument, and the plan dies at runtime with
-    # "Cannot evaluate expression: count_tokens_pdf(...)" (GenerateExec.eval).
-    # CollapseProject leaves lambda-bearing projections alone, so this split
-    # survives the optimizer; for the default (lambda-free) chain the plan is
-    # unchanged (the expression is re-inlined into ArrowEvalPython).
     toked = df.select(
         F.col(id_col).alias("docid"), tk(F.col(content_col)).alias("toks")
     )
-    exploded = toked.select(
-        "docid", F.explode(count_tokens_pdf(F.col("toks"))).alias("tt")
+    id_type = toked.schema["docid"].dataType.simpleString()
+    return toked.mapInArrow(
+        _fold_tokens_arrow(positions=False),
+        f"docid {id_type}, term string, tf int",
     )
-    return exploded.select("docid", F.col("tt.term").alias("term"), F.col("tt.tf").alias("tf"))
 
 
 # ---------------------------------------------------------------------------
@@ -289,21 +361,16 @@ def position_tokens_pdf(tokens: pd.Series) -> pd.Series:
 
 def postings_positions_arrow(df, id_col: str = "docid", content_col: str = "content",
                              tokens_fn=None):
-    """(docid, term, tf, pos array<int>) — JVM tokenizer + Arrow position
-    fold (see count_tokens_pdf for the hybrid rationale)."""
+    """(docid, term, tf, pos array<int>) — JVM tokenizer + vectorized
+    Arrow position fold (see _fold_tokens_arrow)."""
     tk = tokens_fn or tokens_expr
-    # same pre-projection split as postings_arrow (HOF analyzers + Generate)
     toked = df.select(
         F.col(id_col).alias("docid"), tk(F.col(content_col)).alias("toks")
     )
-    exploded = toked.select(
-        "docid", F.explode(position_tokens_pdf(F.col("toks"))).alias("tt")
-    )
-    return exploded.select(
-        "docid",
-        F.col("tt.term").alias("term"),
-        F.col("tt.tf").alias("tf"),
-        F.col("tt.pos").alias("pos"),
+    id_type = toked.schema["docid"].dataType.simpleString()
+    return toked.mapInArrow(
+        _fold_tokens_arrow(positions=True),
+        f"docid {id_type}, term string, tf int, pos array<int>",
     )
 
 

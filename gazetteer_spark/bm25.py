@@ -94,27 +94,65 @@ def score_queries(
     ]
     if not qterms:
         raise ValueError("no query terms")
-    qdf = spark.createDataFrame(qterms, "query_id int, term string")
+    terms = sorted({t for _, t in qterms})
 
-    cs = corpus_stats(docstats)
-
-    # tiny: Q terms × (df, idf); broadcast both small sides
-    tstats = term_stats(postings.join(F.broadcast(qdf.select("term").distinct()), "term"))
-    idf = tstats.crossJoin(F.broadcast(cs)).select(
-        "term", idf_expr(F.col("df"), F.col("n_docs")).alias("idf")
+    # ONE stats job collects the tiny metadata the plan needs as literals:
+    # per-query-term df and (n_docs, avgdl), two subtrees unioned into a
+    # single collect. The previous shape computed these through a chain of
+    # broadcast subqueries (idf ⨝ cs, qweights, avgdl crossJoin), each a
+    # separate broadcast-exchange job re-running the corpus tokenize — five
+    # to six corpus passes per call; now it is three (this stats job's two
+    # subtrees + the main job's postings/docstats pair). Values stay exact:
+    # df/n_docs are integers, avgdl is Spark's own double, and idf/tfnorm
+    # still evaluate INSIDE the JVM below (identical float semantics).
+    tdf = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .select("term", F.col("df").cast("double").alias("a"),
+                F.lit(0.0).alias("b"))
     )
-    qweights = qdf.join(F.broadcast(idf), "term", "inner")  # drops OOV terms
+    csu = corpus_stats(docstats).select(
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_docs").cast("double").alias("a"),
+        F.col("avgdl").cast("double").alias("b"),
+    )
+    df_by_term: dict[str, int] = {}
+    n_docs, avgdl = 0, None
+    for r in tdf.unionByName(csu).collect():
+        if r["term"] is None:
+            n_docs, avgdl = int(r["a"]), r["b"]
+        else:
+            df_by_term[r["term"]] = int(r["a"])
+
+    qw_rows = [(qid, t, df_by_term[t]) for qid, t in qterms
+               if t in df_by_term]  # drops OOV terms
+    if not qw_rows:
+        from pyspark.sql import types as T
+
+        qw_rows_schema = T.StructType([
+            T.StructField("query_id", T.IntegerType()),
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+        ])
+        qwdf = spark.createDataFrame([], qw_rows_schema)
+    else:
+        qwdf = spark.createDataFrame(qw_rows, "query_id int, term string, df long")
+    # idf as a JVM expression over literal stats — constant-folded per row,
+    # bit-identical to the former broadcast-computed idf column
+    qweights = qwdf.select(
+        "query_id", "term",
+        idf_expr(F.col("df"), F.lit(n_docs).cast("long")).alias("idf"),
+    )
 
     contrib = (
         postings.join(F.broadcast(qweights), "term", "inner")
         .join(docstats, "docid", "inner")
-        .crossJoin(F.broadcast(cs.select("avgdl")))
         .select(
             "query_id",
             "docid",
-            (F.col("idf") * tfnorm_expr(F.col("tf"), F.col("doclen"), F.col("avgdl"))).alias(
-                "part"
-            ),
+            (F.col("idf") * tfnorm_expr(
+                F.col("tf"), F.col("doclen"),
+                F.lit(avgdl).cast("double"))).alias("part"),
         )
     )
     scored = contrib.groupBy("query_id", "docid").agg(F.sum("part").alias("score_raw"))

@@ -312,6 +312,119 @@ def fuzzy_terms_edit(
     return terms_tbl.join(cand, "term_id", "left_semi").filter(verify)
 
 
+def _count_shared_grams_shard_multi(
+    pdf: pd.DataFrame, specs: list[tuple[int, list[str], int]]
+) -> pd.DataFrame:
+    """(word_id, term_id) candidate pairs for MANY q-gram bound lookups
+    over one gram-index shard — the batched twin of
+    _count_shared_grams_shard: segment handles and tombstones are built
+    once, each word's distinct-gram count runs on the shared decode."""
+    empty = pd.DataFrame({"word_id": pd.Series([], dtype="int32"),
+                          "term_id": pd.Series([], dtype="int64")})
+    per_term, _ = _term_handles(pdf)
+    dels = DelIndex.from_pdf(pdf)
+    ids_by_gram: dict[str, np.ndarray] = {}
+    for g in sorted({g for _, grams, _ in specs for g in grams}):
+        parts = []
+        for s in per_term.get(g, []):
+            ids = decode_postings(s.pbuf)[0]
+            if dels:
+                ids = ids[dels.keep_mask(s.gen, ids)]
+            parts.append(ids)
+        if parts:
+            ids_by_gram[g] = np.unique(np.concatenate(parts))
+    frames = []
+    for wid, grams, min_shared in specs:
+        parts = [ids_by_gram[g] for g in sorted(set(grams))
+                 if g in ids_by_gram]
+        if not parts:
+            continue
+        allv, cnt = np.unique(np.concatenate(parts), return_counts=True)
+        hit = allv[cnt >= min_shared]
+        if len(hit):
+            frames.append(pd.DataFrame({
+                "word_id": np.int32(wid),
+                "term_id": hit.astype(np.int64)}))
+    return pd.concat(frames, ignore_index=True) if frames else empty
+
+
+def fuzzy_terms_edit_batch(
+    spark: SparkSession, fuzzy_dir: str,
+    words: list[tuple[int, str, int]],
+) -> dict[int, list[str]]:
+    """{word_id: [vocabulary terms within Levenshtein ≤ max_edits]} for a
+    BATCH of (word_id, word, max_edits) lookups in ONE Spark job — the
+    front door's leaf-expansion path (round-5 verdict item #4: a query
+    batch with N fuzzy leaves used to run N gram-probe jobs).
+
+    Same candidate bound and exact-JVM-levenshtein verify as
+    :func:`fuzzy_terms_edit`; words whose bound is powerless fall back to
+    the dictionary-table scan INSIDE the same job (broadcast word list +
+    one terms-table pass)."""
+    with open(f"{fuzzy_dir}/layout.json") as f:
+        meta = json.load(f)
+    base = get_analyzer(meta["base_analyzer"])
+    specs: list[tuple[int, list[str], int]] = []   # gram-capable
+    fallback: list[tuple[int, str, int]] = []      # dictionary scan
+    norm: dict[int, tuple[str, int]] = {}
+    for wid, word, max_edits in words:
+        toks = base.py_tokenize(word)
+        if len(toks) != 1:
+            raise ValueError(
+                f"edit-distance lookup takes a single-token word; analyze "
+                f"{word!r} → {toks}"
+            )
+        w = toks[0]
+        norm[int(wid)] = (w, int(max_edits))
+        grams = _grams_of(w)
+        min_shared = len(grams) - max_edits * NGRAM_N
+        if min_shared < 1:
+            fallback.append((int(wid), w, int(max_edits)))
+        else:
+            specs.append((int(wid), grams, min_shared))
+    terms_tbl = spark.read.parquet(f"{fuzzy_dir}/terms")
+    wdf = spark.createDataFrame(
+        [(i, w, e) for i, (w, e) in sorted(norm.items())],
+        "word_id int, word string, max_edits int",
+    )
+    verify = F.levenshtein(F.col("term"), F.col("word")) <= F.col("max_edits")
+    parts = []
+    if specs:
+        all_grams = sorted({g for _, grams, _ in specs for g in grams})
+        seg = spimi.committed_segments(spark, f"{fuzzy_dir}/gramidx")
+        relevant = seg.filter(
+            ((F.col("kind") == "post") & F.col("term").isin(all_grams))
+            | (F.col("kind") == "dels")
+        )
+        cand = relevant.groupBy("shard").applyInPandas(
+            lambda p: _count_shared_grams_shard_multi(p, specs),
+            "word_id int, term_id long",
+        )
+        parts.append(
+            cand.join(terms_tbl, "term_id")
+            .join(F.broadcast(wdf), "word_id")
+            .filter(verify).select("word_id", "term")
+        )
+    if fallback:
+        fb = spark.createDataFrame(
+            fallback, "word_id int, word string, max_edits int"
+        )
+        parts.append(
+            terms_tbl.crossJoin(F.broadcast(fb))
+            .filter(verify).select("word_id", "term")
+        )
+    out: dict[int, list[str]] = {int(w): [] for w, _, _ in words}
+    if parts:
+        from functools import reduce
+
+        allparts = reduce(DataFrame.unionByName, parts)
+        for r in allparts.collect():
+            out[int(r["word_id"])].append(r["term"])
+    for wid in out:
+        out[wid].sort()
+    return out
+
+
 def _docs_of_terms_shard(pdf: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     """Primary-index shard rows → distinct docids holding ANY given term."""
     per_term, _ = _term_handles(pdf)
@@ -380,6 +493,62 @@ def prefix_terms(
             "use a longer prefix"
         )
     return spark.createDataFrame(out, "term string, df long")
+
+
+def prefix_terms_batch(
+    spark: SparkSession, index_dir: str, prefixes: list[tuple[int, str]],
+    analyzer: str | None = None, max_terms: int = MAX_FUZZY_TERMS,
+) -> dict[int, list[str]]:
+    """{prefix_id: [vocabulary terms]} for a BATCH of prefix lookups in
+    ONE Spark job — the front door's wildcard-expansion path (round-5
+    verdict item #4: N prefix leaves used to run N range-probe jobs).
+    Each prefix keeps its own pushed-down ``StartsWith`` range scan and
+    its own ``max_terms`` cap (per-subquery LIMIT); the subqueries union
+    into a single job."""
+    from functools import reduce
+
+    with open(f"{index_dir}/build.json") as f:
+        params = json.load(f)
+    an = get_analyzer(analyzer or params.get("analyzer", "default"))
+    norm: list[tuple[int, str]] = []
+    for pid, prefix in prefixes:
+        toks = an.py_tokenize(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix must analyze to one token; {prefix!r} → {toks}"
+            )
+        norm.append((int(pid), toks[0]))
+    ts = spimi.load_termstats(spark, index_dir)
+    fields = params.get("fields")
+    parts = []
+    for pid, p in norm:
+        if fields:
+            sub = (
+                ts.select(
+                    F.split(F.col("term"), spimi.FIELD_SEP, 2).getItem(1)
+                    .alias("term")
+                )
+                .filter(F.col("term").startswith(p))
+                .distinct()
+            )
+        else:
+            sub = ts.filter(F.col("term").startswith(p)).select("term")
+        parts.append(
+            sub.select(F.lit(pid).cast("int").alias("pid"), "term")
+            .limit(max_terms + 1)
+        )
+    out: dict[int, list[str]] = {pid: [] for pid, _ in norm}
+    for r in reduce(DataFrame.unionByName, parts).collect():
+        out[int(r["pid"])].append(r["term"])
+    by_pid = dict(norm)
+    for pid, terms in out.items():
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"prefix {by_pid[pid]!r} matches > {max_terms} vocabulary "
+                "terms; use a longer prefix"
+            )
+        terms.sort()
+    return out
 
 
 def suggest_terms(

@@ -74,9 +74,46 @@ SEGMENT_COLS = [
     "positions", "doclens",
 ]
 
+# on-disk schema of a segment FILE: partitionBy(gen, shard) moved those two
+# columns into the directory structure, so files hold the remaining eight;
+# reads declare this schema EXPLICITLY (partition columns included) so the
+# result never depends on which footer Spark happens to sample — a pre-v3
+# index appended to by v3 code holds mixed 8/9-column files, and inferred
+# schema (mergeSchema off) would nondeterministically drop or keep
+# ``doclens``. Missing columns read as NULL, which every consumer treats
+# as "stream absent" (same as the empty-bytes convention).
+SEGMENT_READ_SCHEMA = (
+    "kind string, term string, df int, cf long, postings binary, "
+    "blockmeta binary, positions binary, doclens binary, "
+    "gen int, shard int"
+)
+
 
 def shard_expr(docid_col, n_shards: int):
     return F.pmod(F.xxhash64(docid_col), F.lit(n_shards)).cast("int")
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def group_parallelism(spark: SparkSession, n_keys: int):
+    """Reduce-stage key-quantization guard for groupBys with FEW distinct
+    keys (shards/buckets). Hashing K keys into P ≈ K partitions leaves
+    some tasks holding 2-3 keys and others empty, so the stage runs at
+    the max task's load — 2-3× the mean (guide §2.5's synthetic-key
+    collision note). Planning the shuffle with P ≥ 4K spreads keys to
+    ~1/task; AQE partition coalescing folds the empties back, so the
+    cost is only planning arithmetic. Scale-adaptive: never below the
+    session's configured parallelism (measured at 5k docs/32 shards:
+    build 1.83 s → 1.60 s)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(max(int(prev), 4 * int(n_keys))))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 # fielded indexes store per-(field, term) postings as composite terms
@@ -708,9 +745,10 @@ def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> dict:
     seg = committed_segments(spark, index_dir)
     out = seg.groupBy("shard").applyInPandas(compact_shard, SEGMENT_SCHEMA)
     out = out.withColumn("gen", F.lit(0))
-    out.write.mode("append").partitionBy("gen", "shard").parquet(
-        f"{out_dir}/segments"
-    )
+    with group_parallelism(spark, params["n_shards"]):
+        out.write.mode("append").partitionBy("gen", "shard").parquet(
+            f"{out_dir}/segments"
+        )
     shards = sorted(
         int(f.split("_")[1].split(".")[0])
         for f in (os.listdir(pending) if os.path.isdir(pending) else [])
@@ -751,9 +789,10 @@ def _write_generation(
                                        with_doclens=with_doclens),
         SEGMENT_SCHEMA,
     ).withColumn("gen", F.lit(generation))
-    segments.write.mode("append").partitionBy("gen", "shard").parquet(
-        f"{out_dir}/segments"
-    )
+    with group_parallelism(spark, len(shards)):
+        segments.write.mode("append").partitionBy("gen", "shard").parquet(
+            f"{out_dir}/segments"
+        )
     # segments land first; the manifest row is the commit point
     _commit_manifest(spark, out_dir, shards, generation, extra=manifest_extra)
 
@@ -850,17 +889,45 @@ def committed_generations(out_dir: str) -> set[int]:
     return set(t["generation"].to_pylist())
 
 
+def committed_pairs(out_dir: str) -> dict[int, list[int]]:
+    """{generation: sorted shards} committed in the manifest — driver-side
+    metadata (pyarrow footer+column read; scales with shard count)."""
+    import pyarrow.parquet as pq
+
+    man_path = f"{out_dir}/manifest"
+    if not os.path.exists(man_path):
+        return {}
+    t = pq.read_table(man_path, columns=["generation", "shard"])
+    out: dict[int, set[int]] = {}
+    for g, s in zip(t["generation"].to_pylist(), t["shard"].to_pylist()):
+        out.setdefault(int(g), set()).add(int(s))
+    return {g: sorted(v) for g, v in out.items()}
+
+
 def committed_segments(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Segment rows visible to queries: left-semi join against the committed
-    (gen, shard) manifest pairs — orphan files from killed runs are never
-    read. The join is a broadcast of pure metadata (scales with shard count,
-    not data)."""
-    seg = spark.read.parquet(f"{out_dir}/segments")
-    pairs = spark.read.parquet(f"{out_dir}/manifest").select(
-        F.col("generation").cast("int").alias("gen"),
-        F.col("shard").cast("int").alias("shard"),
+    """Segment rows visible to queries: a PARTITION-PRUNING filter built
+    from the committed (gen, shard) manifest pairs — orphan files from
+    killed runs are never read. The manifest is tiny driver-side metadata
+    (one pyarrow read; scales with shard count, not data), and because
+    ``gen``/``shard`` are partition columns the predicate prunes orphan
+    directories at PLANNING time: no manifest Spark job, no broadcast
+    exchange, and uncommitted files never even reach the scan's file list.
+    The explicit read schema keeps mixed-version segment dirs
+    deterministic (see SEGMENT_READ_SCHEMA)."""
+    seg = spark.read.schema(SEGMENT_READ_SCHEMA).parquet(
+        f"{out_dir}/segments"
     )
-    return seg.join(F.broadcast(pairs), ["gen", "shard"], "left_semi")
+    pairs = committed_pairs(out_dir)
+    if not pairs:
+        return seg.filter(F.lit(False))
+    from functools import reduce
+
+    pred = reduce(
+        lambda a, b: a | b,
+        ((F.col("gen") == g) & F.col("shard").isin(shards)
+         for g, shards in sorted(pairs.items())),
+    )
+    return seg.filter(pred)
 
 
 def _commit_manifest(

@@ -284,9 +284,12 @@ def build_term_layout(
         lambda pdf: _merge_bucket(pdf, with_doclens, positions),
         TERM_LAYOUT_SCHEMA,
     )
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{out_dir}/terms"
-    )
+    from .spimi import group_parallelism
+
+    with group_parallelism(spark, n_buckets):
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/terms"
+        )
     meta = {"n_buckets": n_buckets, "source_index": os.path.abspath(index_dir),
             "analyzer": params.get("analyzer", "default"),
             "analyzer_version": params["analyzer_version"],
@@ -356,17 +359,19 @@ def _check_stale(meta: dict, allow_stale: bool) -> None:
 
 
 def _buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
-    """Bucket ids of the query terms — one tiny local job (xxhash64 has no
-    Python twin; this is driver-side metadata, never data). Composite
-    ``field\\x1fterm`` inputs hash by their base term (fielded layouts
-    bucket by base; plain terms contain no separator, so the strip is the
-    identity for them)."""
+    """Bucket ids of the query terms — pure driver arithmetic via the
+    Python twin of Spark's xxhash64 (hashing.term_bucket; agreement with
+    the JVM expression is property-tested). This used to run one tiny
+    Spark job per pruned read; now it costs microseconds, which removes a
+    whole job from EVERY layout query path. Composite ``field\\x1fterm``
+    inputs hash by their base term (fielded layouts bucket by base; plain
+    terms contain no separator, so the strip is the identity for them)."""
+    from ..hashing import term_bucket
     from .spimi import FIELD_SEP
 
-    base = [t.split(FIELD_SEP)[-1] for t in terms]
-    df = spark.createDataFrame([(t,) for t in base], "term string")
-    rows = df.select(term_bucket_expr(F.col("term"), n_buckets).alias("b")).collect()
-    return sorted({r["b"] for r in rows})
+    return sorted({
+        term_bucket(t.split(FIELD_SEP)[-1], n_buckets) for t in terms
+    })
 
 
 def _pruned_rows(
@@ -606,9 +611,8 @@ def bm25_topk(
         raise ValueError("no query terms")
     rows = _pruned_rows(spark, layout_dir, meta, all_terms)
 
-    # df per query term: tiny metadata collect against the SAME pruned scan
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
+    # df per query term: one Arrow metadata job against the SAME pruned scan
+    df_by_term, _ = _term_meta(rows)
     _check_qweights(qweights)
     return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
                       expensive_df, filter_by=filter_by, qweights=qweights)
@@ -704,26 +708,24 @@ def _bm25_impl(
                                  weights=wts)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
-        phase1 = phase1_df.collect()
-        by_qid: dict[int, list] = {}
-        for r in phase1:
-            by_qid.setdefault(r["query_id"], []).append(
-                (r["docid"], r["score"])
-            )
+        # Arrow transfer + vectorized per-query partition: at the 2M-row
+        # CANDIDATE_CAP this moves columnar batches instead of building
+        # millions of Python Row objects (round-5 verdict item #1)
+        p1 = phase1_df.toPandas()
+        qids_a = p1["query_id"].to_numpy()
+        docs_a = p1["docid"].to_numpy(dtype=np.int64)
+        scores_a = p1["score"].to_numpy(dtype=np.float64)
         for qid, present, cheap, exp in maybe:
-            got = by_qid.get(qid, [])
+            m = qids_a == qid
+            got_docs, got_scores = docs_a[m], scores_a[m]
             exp_bound = sum(wts.get((qid, t), 1.0)
                             * idf_by_term[t] * (K1 + 1.0) for t in exp)
-            if len(got) >= k:
-                theta0 = np.partition(
-                    np.array([s for _, s in got]), -k
-                )[-k]
+            if len(got_scores) >= k:
+                theta0 = np.partition(got_scores, -k)[-k]
             else:
                 theta0 = -np.inf
             if exp_bound < theta0 - margin:
-                cand_by_qid[qid] = np.sort(
-                    np.array([d for d, _ in got], dtype=np.int64)
-                )
+                cand_by_qid[qid] = np.sort(got_docs)
                 restrict.update((qid, t) for t in exp)
             else:  # bound can't exclude stopword-only docs → full scan
                 to_score.append((qid, present))
@@ -926,9 +928,8 @@ def bm25f_topk(
         spark.read.parquet(f"{layout_dir}/terms")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
     )
-    # per-composite df from the SAME pruned scan
-    comp_df = {r["term"]: int(r["df"])
-               for r in rows.select("term", "df").collect()}
+    # per-composite df from the SAME pruned scan (one Arrow metadata job)
+    comp_df, _ = _term_meta(rows)
     return _bm25f_impl(spark, rows, meta, comp_df, qterms, boosts, k,
                        round_to, expensive_df, filter_by=filter_by)
 
@@ -1003,26 +1004,22 @@ def _bm25f_impl(
                                     n_docs)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
-        phase1 = phase1_df.collect()
-        by_qid: dict[int, list] = {}
-        for r in phase1:
-            by_qid.setdefault(r["query_id"], []).append(
-                (r["docid"], r["score"])
-            )
+        # Arrow transfer + vectorized partition (see _bm25_impl)
+        p1 = phase1_df.toPandas()
+        qids_a = p1["query_id"].to_numpy()
+        docs_a = p1["docid"].to_numpy(dtype=np.int64)
+        scores_a = p1["score"].to_numpy(dtype=np.float64)
         for qid, present, cheap, exp in maybe:
-            got = by_qid.get(qid, [])
+            m = qids_a == qid
+            got_docs, got_scores = docs_a[m], scores_a[m]
             # contrib < idf (tfw/(K1+tfw) < 1); idf(max_f df_f) ≥ idf(df)
             exp_bound = sum(_idf(n_docs, df_lb[t]) for t in exp)
-            if len(got) >= k:
-                theta0 = np.partition(
-                    np.array([s for _, s in got]), -k
-                )[-k]
+            if len(got_scores) >= k:
+                theta0 = np.partition(got_scores, -k)[-k]
             else:
                 theta0 = -np.inf
             if exp_bound < theta0 - margin:
-                cand_by_qid[qid] = np.sort(
-                    np.array([d for d, _ in got], dtype=np.int64)
-                )
+                cand_by_qid[qid] = np.sort(got_docs)
                 restrict.update((qid, t) for t in exp)
             else:  # bound can't exclude stopword-only docs → full scan
                 to_score.append((qid, present))
@@ -1108,16 +1105,19 @@ class TermLayoutReader:
                           k, round_to, expensive_df)
 
     def match(self, queries: list[tuple[int, object]],
-              fuzzy_dir: str | None = None) -> DataFrame:
+              fuzzy_dir: str | None = None,
+              expansions_cache: dict | None = None) -> DataFrame:
         """(query_id, docid): warm `query.match_layout_batch` — term-class
-        leaves decode from the PINNED terms table instead of a fresh
-        pruned scan (positional leaves still read their blocks from
-        disk; positions are not pinned by design — they dwarf postings)."""
+        AND positional leaves decode from the PINNED terms table instead
+        of fresh pruned disk scans (the persisted relation materializes
+        every column, positions included, so warm phrase/NEAR leaves no
+        longer re-read segment files — round-5 verdict item #5)."""
         from ..query import _match_batch_impl
 
         return _match_batch_impl(self.spark, self.meta, self.layout_dir,
                                  queries, fuzzy_dir, True,
-                                 table=self.table)
+                                 table=self.table,
+                                 expansions_cache=expansions_cache)
 
     def search(self, queries: list[tuple[int, str]], k: int = 10,
                fuzzy_dir: str | None = None, round_to: int | None = 4,
@@ -1130,12 +1130,15 @@ class TermLayoutReader:
         from ..query import _scored_query_terms
 
         tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
+        exp_cache: dict = {}
         plans, scored_by_qid, weights = _scored_query_terms(
-            self.spark, self.meta, fuzzy_dir, queries, tokenize)
+            self.spark, self.meta, fuzzy_dir, queries, tokenize,
+            expansions_cache=exp_cache)
         if not plans:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, docid long, score double")
-        filt = self.match(plans, fuzzy_dir=fuzzy_dir)
+        filt = self.match(plans, fuzzy_dir=fuzzy_dir,
+                          expansions_cache=exp_cache)
         qterms = {qid: sorted(set(text.split()))
                   for qid, text in scored_by_qid.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -1257,8 +1260,9 @@ def bm25_and_topk(
     if not all_terms:
         raise ValueError("no query terms")
     rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
+    # ONE Arrow metadata job: dfs + inlined gating blobs (was a Row
+    # collect plus a second decoded-postings collect per batch)
+    df_by_term, blobs = _term_meta(rows, min(gate_cap, INLINE_GATE_DF))
     idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
 
     plans = []  # strict AND: every analyzed term must exist in the corpus
@@ -1270,8 +1274,8 @@ def bm25_and_topk(
             [], "query_id int, rank int, docid long, score double"
         )
 
-    # rarest-term gate (exact under AND): one pruned job collects the
-    # gating terms' postings for the whole batch
+    # rarest-term gate (exact under AND); blobs cover the common case,
+    # rarer-than-inline gating terms pay one follow-up pruned fetch
     gate_terms = {}
     for qid, ts in plans:
         if len(ts) < 2:
@@ -1282,16 +1286,16 @@ def bm25_and_topk(
     cand_by_qid: dict[int, np.ndarray] = {}
     restrict: set[tuple[int, str]] = set()
     if gate_terms:
-        need = sorted(set(gate_terms.values()))
-        by_term: dict[str, list[int]] = {}
-        # staleness already validated above — don't re-read the manifest
-        for r in (term_postings(spark, layout_dir, need, allow_stale=True)
-                  .select("term", "docid").collect()):
-            by_term.setdefault(r["term"], []).append(r["docid"])
+        need = sorted(set(gate_terms.values()) - set(blobs))
+        if need:
+            pdf = (rows.filter(F.col("term").isin(need))
+                   .select("term", "postings").toPandas())
+            blobs.update(zip(pdf["term"], pdf["postings"]))
         for qid, rare in gate_terms.items():
-            cand_by_qid[qid] = np.sort(
-                np.array(by_term.get(rare, []), dtype=np.int64)
-            )
+            blob = blobs.get(rare)
+            cand_by_qid[qid] = (decode_postings(blob)[0]
+                                if blob is not None
+                                else np.zeros(0, np.int64))
             restrict.update(
                 (qid, t) for t in qterms[qid] if t != rare
             )
@@ -1363,15 +1367,46 @@ def _check_positional_layout(meta: dict) -> None:
         )
 
 
+# posting blobs for terms at or below this df ride along with the df
+# metadata probe (one varbyte blob ≈ 1.5 B/posting → ≤ ~200 KB/term), so
+# the rarest-term gate usually needs NO second job; rarer-than-gate_cap
+# terms above it still gate through a follow-up fetch of just those blobs
+INLINE_GATE_DF = 131072
+
+
+def _term_meta(
+    rows: DataFrame, gate_limit: int | None = None,
+) -> tuple[dict[str, int], dict[str, bytes]]:
+    """ONE Arrow-backed metadata job over the pruned rows → ({term: df},
+    {term: posting blob} for terms with df ≤ ``gate_limit``). The inlined
+    blobs feed the rarest-term candidate gates without a second Spark job
+    in the common (selective) case; driver memory stays bounded by
+    n_query_terms × INLINE_GATE_DF postings."""
+    if gate_limit is None:
+        pdf = rows.select("term", "df").toPandas()
+        return ({t: int(d) for t, d in zip(pdf["term"], pdf["df"])}, {})
+    pdf = rows.select(
+        "term", "df",
+        F.when(F.col("df") <= F.lit(int(gate_limit)),
+               F.col("postings")).alias("p"),
+    ).toPandas()
+    dfs = {t: int(d) for t, d in zip(pdf["term"], pdf["df"])}
+    blobs = {t: p for t, p in zip(pdf["term"], pdf["p"]) if p is not None}
+    return dfs, blobs
+
+
 def _gate_candidates(
     rows: DataFrame, df_by_term: dict[str, int],
     plans: list[tuple[int, list[str]]], gate_cap: int,
+    blobs: dict[str, bytes] | None = None,
 ) -> dict[int, np.ndarray | None]:
     """Rarest-term candidate docids per query (exact under AND — a match
-    must appear in its rarest term's postings). ONE pruned job collects the
-    gating terms' compressed posting blobs (≤ gate_cap postings each,
-    decoded driver-side); queries whose rarest df exceeds the cap map to
-    None (full-emission fallback)."""
+    must appear in its rarest term's postings). Gating blobs come from the
+    metadata probe's inlined postings (``blobs``, df ≤ INLINE_GATE_DF)
+    when available; only rarer-than-cap-but-bigger-than-inline terms pay
+    a follow-up pruned fetch. Queries whose rarest df exceeds the cap map
+    to None (full-emission fallback)."""
+    blobs = dict(blobs or {})
     gate_term: dict[int, str] = {}
     for qid, ts in plans:
         rare = min(sorted(set(ts)), key=lambda t: (df_by_term[t], t))
@@ -1381,13 +1416,15 @@ def _gate_candidates(
         qid: None for qid, _ in plans
     }
     if gate_term:
-        need = sorted(set(gate_term.values()))
-        by_term: dict[str, np.ndarray] = {}
-        for r in (rows.filter(F.col("term").isin(need))
-                  .select("term", "postings").collect()):
-            by_term[r["term"]] = decode_postings(r["postings"])[0]
+        need = sorted(set(gate_term.values()) - set(blobs))
+        if need:
+            pdf = (rows.filter(F.col("term").isin(need))
+                   .select("term", "postings").toPandas())
+            blobs.update(zip(pdf["term"], pdf["postings"]))
         for qid, rare in gate_term.items():
-            cand_by_qid[qid] = by_term.get(rare, np.zeros(0, np.int64))
+            blob = blobs.get(rare)
+            cand_by_qid[qid] = (decode_postings(blob)[0] if blob is not None
+                                else np.zeros(0, np.int64))
     return cand_by_qid
 
 
@@ -1484,6 +1521,32 @@ def _default_parts(spark: SparkSession) -> int:
     return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _positional_prologue(
+    spark: SparkSession,
+    layout_dir: str,
+    meta: dict,
+    plans_all: list[tuple[int, list[str]]],
+    gate_cap: int,
+    table: DataFrame | None,
+):
+    """Shared head of the positional serving paths: ONE pruned scan (or a
+    reader's pinned table), ONE Arrow metadata job yielding dfs + inlined
+    gate blobs, strict-AND plan filtering, and the rarest-term candidate
+    gate — (rows, df_by_term, plans, cand_by_qid)."""
+    all_terms = sorted({t for _, ts in plans_all for t in ts})
+    if table is None:
+        rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+    else:
+        rows = table.filter(F.col("term").isin(all_terms))
+    df_by_term, blobs = _term_meta(rows, min(gate_cap, INLINE_GATE_DF))
+    # strict AND: a query with any absent term matches nothing
+    plans = [(qid, ts) for qid, ts in plans_all
+             if all(t in df_by_term for t in ts)]
+    cand_by_qid = (_gate_candidates(rows, df_by_term, plans, gate_cap, blobs)
+                   if plans else {})
+    return rows, df_by_term, plans, cand_by_qid
+
+
 def phrase_match(
     spark: SparkSession,
     layout_dir: str,
@@ -1491,13 +1554,15 @@ def phrase_match(
     gate_cap: int = CANDIDATE_CAP,
     allow_stale: bool = False,
     n_parts: int | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, docid, n_occurrences): exact token-phrase containment
     with occurrence counts, served from a POSITIONAL term layout — the
     layout twin of phrase.phrase_match_batch, row-identical to it on a
     current layout (pinned). See the module-section comment for the scale
     shape (pruned buckets + rarest-term gate + candidate-bounded docid
-    shuffle).
+    shuffle). ``table``: a reader's pinned terms table replaces the disk
+    scan (warm serving; staleness was checked at open).
 
     Reference analog: token-sequence containment as a point query
     (`addresses/impl/NamesMatcherImpl.java:38-46`) over per-key side
@@ -1506,22 +1571,30 @@ def phrase_match(
 
     meta = _load_meta(layout_dir)
     _check_positional_layout(meta)
-    _check_stale(meta, allow_stale)
+    _check_stale(meta, allow_stale or table is not None)
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     plans_all = [(int(qid), tokenize(text)) for qid, text in queries]
     if any(not ts for _, ts in plans_all):
         raise ValueError("empty phrase after analysis")
-    all_terms = sorted({t for _, ts in plans_all for t in ts})
-    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
-    # strict AND: a query with any absent term matches nothing
-    plans = [(qid, ts) for qid, ts in plans_all
-             if all(t in df_by_term for t in ts)]
+    rows, df_by_term, plans, cand_by_qid = _positional_prologue(
+        spark, layout_dir, meta, plans_all, gate_cap, table
+    )
     out_schema = "query_id int, docid long, n_occurrences long"
     if not plans:
         return spark.createDataFrame([], out_schema)
-    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    return _phrase_match_core(spark, rows, plans, cand_by_qid, n_parts)
+
+
+def _phrase_match_core(
+    spark: SparkSession,
+    rows: DataFrame,
+    plans: list[tuple[int, list[str]]],
+    cand_by_qid: dict[int, np.ndarray | None],
+    n_parts: int | None,
+) -> DataFrame:
+    """Verify stage of :func:`phrase_match`, reusable with a prologue
+    already computed (phrase_topk shares one metadata probe + gate)."""
+    out_schema = "query_id int, docid long, n_occurrences long"
     subs_by_term: dict[str, list[tuple[int, int]]] = {}
     for qid, ts in plans:
         for slot, t in enumerate(ts):
@@ -1568,6 +1641,7 @@ def near_match_n(
     gate_cap: int = CANDIDATE_CAP,
     allow_stale: bool = False,
     n_parts: int | None = None,
+    table: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, docid, n_anchors): generalized N-term proximity served
     from a POSITIONAL term layout — the layout twin of
@@ -1575,12 +1649,13 @@ def near_match_n(
     Unordered: anchors (occurrences of the first term) with EVERY other
     term within token distance ≤ k. Ordered: anchors starting a strictly-
     increasing chain through the terms with each gap ≤ k. Same scale
-    shape as :func:`phrase_match` (roles are conjunctive either way)."""
+    shape as :func:`phrase_match` (roles are conjunctive either way);
+    ``table``: a reader's pinned terms table replaces the disk scan."""
     from ..analyzer import get_analyzer
 
     meta = _load_meta(layout_dir)
     _check_positional_layout(meta)
-    _check_stale(meta, allow_stale)
+    _check_stale(meta, allow_stale or table is not None)
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     plans_all = []
     for qid, terms in queries:
@@ -1588,16 +1663,12 @@ def near_match_n(
         if len(analyzed) < 2:
             raise ValueError("NEAR/n needs at least two analyzed terms")
         plans_all.append((int(qid), analyzed))
-    all_terms = sorted({t for _, ts in plans_all for t in ts})
-    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
-    plans = [(qid, ts) for qid, ts in plans_all
-             if all(t in df_by_term for t in ts)]
+    rows, df_by_term, plans, cand_by_qid = _positional_prologue(
+        spark, layout_dir, meta, plans_all, gate_cap, table
+    )
     out_schema = "query_id int, docid long, n_anchors long"
     if not plans:
         return spark.createDataFrame([], out_schema)
-    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
     subs_by_term: dict[str, list[tuple[int, int]]] = {}
     for qid, ts in plans:
         for role, t in enumerate(ts):
@@ -1685,16 +1756,12 @@ def near_match(
                 "NEAR needs two distinct non-empty analyzed terms"
             )
         plans_all.append((int(qid), [ta, tb]))
-    all_terms = sorted({t for _, ts in plans_all for t in ts})
-    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
-    plans = [(qid, ts) for qid, ts in plans_all
-             if all(t in df_by_term for t in ts)]
+    rows, df_by_term, plans, cand_by_qid = _positional_prologue(
+        spark, layout_dir, meta, plans_all, gate_cap, None
+    )
     out_schema = "query_id int, docid long, n_pairs long"
     if not plans:
         return spark.createDataFrame([], out_schema)
-    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
     subs_by_term: dict[str, list[tuple[int, int]]] = {}
     for qid, ts in plans:
         for role, t in enumerate(ts):
@@ -1770,21 +1837,17 @@ def phrase_topk(
     plans_all = [(int(qid), tokenize(text)) for qid, text in queries]
     if any(not ts for _, ts in plans_all):
         raise ValueError("empty phrase after analysis")
-    matched = phrase_match(spark, layout_dir, queries, gate_cap=gate_cap,
-                           allow_stale=True, n_parts=n_parts)
-
-    all_terms = sorted({t for _, ts in plans_all for t in ts})
-    rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    df_by_term = {r["term"]: int(r["df"])
-                  for r in rows.select("term", "df").collect()}
-    idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
-    plans = [(qid, ts) for qid, ts in plans_all
-             if all(t in df_by_term for t in ts)]
+    # ONE prologue (pruned scan + metadata/gate probe) shared by the
+    # phrase verify AND the scoring pass — the verify used to re-probe
+    rows, df_by_term, plans, cand_by_qid = _positional_prologue(
+        spark, layout_dir, meta, plans_all, gate_cap, None
+    )
     if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double"
         )
-    cand_by_qid = _gate_candidates(rows, df_by_term, plans, gate_cap)
+    matched = _phrase_match_core(spark, rows, plans, cand_by_qid, n_parts)
+    idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
     qids_by_term: dict[str, list[int]] = {}
     restrict: set[tuple[int, str]] = set()
     for qid, ts in plans:
@@ -1881,9 +1944,12 @@ def refresh_term_layout(
         lambda pdf: _merge_bucket(pdf, with_doclens, with_positions),
         TERM_LAYOUT_SCHEMA,
     )
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{out_dir}/terms"
-    )
+    from .spimi import group_parallelism
+
+    with group_parallelism(spark, n_buckets):
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/terms"
+        )
     if affected is not None:
         # untouched bucket partitions: verbatim file-level copy
         import shutil

@@ -251,6 +251,25 @@ def _lookup_dfs(termstats: DataFrame, terms: list[str]) -> dict[str, int]:
     return {r["term"]: r["df"] for r in rows}
 
 
+def _lookup_dfs_path(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """df per term straight from the termstats parquet files — a
+    DRIVER-side pyarrow dataset probe (no Spark job). termstats is
+    written term-sorted within partitions, so parquet row-group min/max
+    statistics prune the probe to a handful of row groups: dictionary
+    lookups are metadata-scale work, the same single-node seek a Lucene
+    term dictionary does. The warm path (IndexReader) keeps its pinned
+    DataFrame probe instead."""
+    import pyarrow.dataset as pads
+
+    data = pads.dataset(f"{index_dir}/termstats", format="parquet")
+    t = data.to_table(
+        columns=["term", "df"],
+        filter=pads.field("term").isin(sorted(terms)),
+    )
+    return {term: int(d) for term, d in
+            zip(t["term"].to_pylist(), t["df"].to_pylist())}
+
+
 def _topk_impl(
     spark: SparkSession,
     seg: DataFrame,
@@ -314,12 +333,17 @@ def topk(
     """(query_id, rank, docid, score) — block-max top-k over the index."""
     from .spimi import committed_segments
 
+    stats = load_stats(index_dir)
+    tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
+    terms = sorted({t for _, text in queries for t in tokenize(text)})
     return _topk_impl(
         spark,
         committed_segments(spark, index_dir),
         spark.read.parquet(f"{index_dir}/termstats"),
-        load_stats(index_dir),
+        stats,
         queries, k, round_to, tie_cap,
+        # driver-side dictionary probe — no Spark job (see _lookup_dfs_path)
+        df_by_term=_lookup_dfs_path(index_dir, terms) if terms else {},
     )
 
 
@@ -414,14 +438,14 @@ def topk_and(
 
     stats = load_stats(index_dir)
     seg = committed_segments(spark, index_dir)
-    termstats = spark.read.parquet(f"{index_dir}/termstats")
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     tokenize = get_analyzer(stats.get("analyzer", "default")).py_tokenize
     qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
     all_terms = sorted({t for ts in qterms.values() for t in ts})
     if not all_terms:
         raise ValueError("no query terms")
-    df_by_term = _lookup_dfs(termstats, all_terms)
+    # driver-side dictionary probe — no Spark job (see _lookup_dfs_path)
+    df_by_term = _lookup_dfs_path(index_dir, all_terms)
     qplans = []
     for qid, ts in qterms.items():
         present = [t for t in ts if t in df_by_term]

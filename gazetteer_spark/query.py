@@ -444,37 +444,57 @@ def _mask_pred(node, bits: dict) -> Column:
 # ---------------------------------------------------------------------------
 
 def _expand_leaves(
-    spark: SparkSession, meta: dict, fuzzy_dir: str | None, bits: dict
+    spark: SparkSession, meta: dict, fuzzy_dir: str | None, bits: dict,
+    cache: dict | None = None,
 ) -> dict:
     """{Fuzzy|Prefix leaf: [vocabulary terms]} — the dictionary-expansion
     pass. Fuzzy rides the gram layout (needs ``fuzzy_dir``); Prefix is a
     sorted-termstats range probe on the layout's source index (no extra
-    layout). Both are MAX_FUZZY_TERMS-capped."""
+    layout). Both are MAX_FUZZY_TERMS-capped.
+
+    ``cache`` (leaf → terms, leaves are frozen dataclasses) makes the
+    expansion run ONCE per distinct leaf across a whole batch AND across
+    the filter/scoring phases of search() — each fuzzy leaf used to pay
+    its gram-probe job twice (round-5 advice item). All uncached fuzzy
+    leaves of a call expand in ONE batched gram job
+    (fuzzy.fuzzy_terms_edit_batch); prefix leaves are driver-side
+    dictionary range probes (no job at all)."""
     from . import fuzzy as fz
 
-    out = {}
-    for leaf in bits:
-        if isinstance(leaf, Fuzzy):
-            if fuzzy_dir is None:
-                raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
-            terms = [
-                r["term"] for r in
-                fz.fuzzy_terms_edit(spark, fuzzy_dir, leaf.text,
-                                    leaf.max_edits).collect()
-            ]
+    cache = cache if cache is not None else {}
+    fuzzy_leaves = [lf for lf in bits
+                    if isinstance(lf, Fuzzy) and lf not in cache]
+    # dedup identical (word, edits) across differently-boosted leaves
+    todo: dict[tuple[str, int], list] = {}
+    for lf in fuzzy_leaves:
+        todo.setdefault((lf.text, lf.max_edits), []).append(lf)
+    if todo:
+        if fuzzy_dir is None:
+            raise ValueError("query has fuzzy leaves — pass fuzzy_dir")
+        batch = [(i, w, e) for i, (w, e) in enumerate(sorted(todo))]
+        got = fz.fuzzy_terms_edit_batch(spark, fuzzy_dir, batch)
+        for (i, w, e) in batch:
+            terms = got.get(i, [])
             if len(terms) > fz.MAX_FUZZY_TERMS:
                 raise ValueError(
-                    f"{leaf.text!r}~{leaf.max_edits} expands to "
-                    f"{len(terms)} vocabulary terms (> MAX_FUZZY_TERMS)"
+                    f"{w!r}~{e} expands to {len(terms)} vocabulary terms "
+                    f"(> MAX_FUZZY_TERMS)"
                 )
-            out[leaf] = terms
-        elif isinstance(leaf, Prefix):
-            out[leaf] = [
-                r["term"] for r in
-                fz.prefix_terms(spark, meta["source_index"],
-                                leaf.text).collect()
-            ]
-    return out
+            for lf in todo[(w, e)]:
+                cache[lf] = terms
+    prefix_leaves = sorted(
+        {lf for lf in bits if isinstance(lf, Prefix) and lf not in cache},
+        key=lambda lf: (lf.text, lf.field or ""),
+    )
+    if prefix_leaves:
+        ptodo = sorted({lf.text for lf in prefix_leaves})
+        got = fz.prefix_terms_batch(
+            spark, meta["source_index"], list(enumerate(ptodo))
+        )
+        by_text = {p: got[i] for i, p in enumerate(ptodo)}
+        for lf in prefix_leaves:
+            cache[lf] = by_text[lf.text]
+    return {lf: cache[lf] for lf in bits if lf in cache}
 
 
 def match_layout(
@@ -483,6 +503,7 @@ def match_layout(
     query,
     fuzzy_dir: str | None = None,
     allow_stale: bool = False,
+    expansions_cache: dict | None = None,
 ) -> DataFrame:
     """(docid): documents matching an arbitrary boolean query, served from
     the term-partitioned layout. Scale shape (see module docstring): one
@@ -499,7 +520,7 @@ def match_layout(
         raise ValueError("fielded layout — use match_layout_fielded")
     return match_layout_batch(
         spark, layout_dir, [(0, query)], fuzzy_dir=fuzzy_dir,
-        allow_stale=allow_stale,
+        allow_stale=allow_stale, expansions_cache=expansions_cache,
     ).select("docid")
 
 
@@ -509,6 +530,7 @@ def match_layout_batch(
     queries: list[tuple[int, object]],
     fuzzy_dir: str | None = None,
     allow_stale: bool = False,
+    expansions_cache: dict | None = None,
 ) -> DataFrame:
     """(query_id, docid): N boolean queries served in ONE job family —
     every query's term-class leaves ride the SAME pruned layout scan
@@ -528,7 +550,8 @@ def match_layout_batch(
         raise ValueError("fielded layout — use match_layout_fielded")
     termindex._check_stale(meta, allow_stale)
     return _match_batch_impl(spark, meta, layout_dir, queries, fuzzy_dir,
-                             allow_stale, table=None)
+                             allow_stale, table=None,
+                             expansions_cache=expansions_cache)
 
 
 def _match_batch_impl(
@@ -539,6 +562,7 @@ def _match_batch_impl(
     fuzzy_dir: str | None,
     allow_stale: bool,
     table: DataFrame | None,
+    expansions_cache: dict | None = None,
 ) -> DataFrame:
     """Shared batch mask compiler behind match_layout[_batch] and
     TermLayoutReader.match — ``table`` switches the term-leaf source from
@@ -567,8 +591,16 @@ def _match_batch_impl(
     # a term may serve several leaves/queries → one (term, qid, mask) row
     # per query with the OR of its bits
     tmap_rows: dict[tuple[str, int], int] = {}
+    exp_cache = expansions_cache if expansions_cache is not None else {}
+    # expand ALL queries' fuzzy/prefix leaves in one call (one batched
+    # gram job + driver-side prefix probes), not one call per query
+    all_leaves: dict = {}
+    for _, _, bits in plans:
+        for lf in bits:
+            all_leaves.setdefault(lf, len(all_leaves))
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, all_leaves,
+                                cache=exp_cache)
     for qid, node, bits in plans:
-        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
         for leaf, bit in bits.items():
             terms = ([leaf.text] if isinstance(leaf, Term)
                      else expansions.get(leaf, []))
@@ -622,11 +654,11 @@ def _match_batch_impl(
 
     if phrase_batch:
         got = termindex.phrase_match(spark, layout_dir, phrase_batch,
-                                     allow_stale=allow_stale)
+                                     allow_stale=allow_stale, table=table)
         parts.append(_sid_part(got))
     for slop, grp in sorted(near_by_slop.items()):
         got = termindex.near_match_n(spark, layout_dir, grp, k=slop,
-                                     allow_stale=allow_stale)
+                                     allow_stale=allow_stale, table=table)
         parts.append(_sid_part(got))
 
     if not parts:
@@ -663,6 +695,7 @@ def match_layout_fielded(
     query,
     fuzzy_dir: str | None = None,
     allow_stale: bool = False,
+    expansions_cache: dict | None = None,
 ) -> DataFrame:
     """(docid): boolean retrieval over a FIELDED term-partitioned layout —
     the multi-field twin of :func:`match_layout`, with ``field:`` scoping:
@@ -684,7 +717,7 @@ def match_layout_fielded(
     groupBy(docid) bit_or, whole tree as one expression."""
     return match_layout_fielded_batch(
         spark, layout_dir, [(0, query)], fuzzy_dir=fuzzy_dir,
-        allow_stale=allow_stale,
+        allow_stale=allow_stale, expansions_cache=expansions_cache,
     ).select("docid")
 
 
@@ -694,6 +727,7 @@ def match_layout_fielded_batch(
     queries: list[tuple[int, object]],
     fuzzy_dir: str | None = None,
     allow_stale: bool = False,
+    expansions_cache: dict | None = None,
 ) -> DataFrame:
     """(query_id, docid): N field-scoped boolean trees in ONE job family —
     the fielded twin of :func:`match_layout_batch`. Every query's
@@ -735,10 +769,16 @@ def match_layout_fielded_batch(
     if not plans:
         return empty
 
-    # term-class leaves → composite terms; one row per (composite, qid)
+    # term-class leaves → composite terms; one row per (composite, qid);
+    # ALL queries' fuzzy/prefix leaves expand in one batched call
     tmap_rows: dict[tuple[str, int], int] = {}
+    all_leaves: dict = {}
+    for _, _, bits in plans:
+        for lf in bits:
+            all_leaves.setdefault(lf, len(all_leaves))
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, all_leaves,
+                                cache=expansions_cache)
     for qid, node, bits in plans:
-        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
         for leaf, bit in bits.items():
             base = ([leaf.text] if isinstance(leaf, Term)
                     else expansions.get(leaf, []))
@@ -954,11 +994,15 @@ def match_scan_fielded(
 
 def _positive_terms(node, acc: dict, spark=None, fuzzy_dir=None,
                     expansions=None) -> None:
-    """Term-class leaves under an even number of negations — the scoring
-    subscription of :func:`search` as {term: weight} (phrase/NEAR leaves
-    filter but don't score; a negated term can only EXCLUDE, so it never
-    scores). A term reached through several leaves scores with the MAX
-    of their boosts; dictionary expansions inherit their leaf's boost."""
+    """Term-class leaves NOT under any ``NOT`` — the scoring subscription
+    of :func:`search` as {term: weight} (phrase/NEAR leaves filter but
+    don't score). Leaves anywhere below a ``NOT`` never score, even at
+    even negation parity after nesting (e.g. the ``x`` in
+    ``NOT (y AND NOT x)``): after `_normalize` only directly-nested
+    double negation collapses, and a NOT-subtree's role is exclusion —
+    its terms aren't part of what the user asked to rank by. A term
+    reached through several leaves scores with the MAX of their boosts;
+    dictionary expansions inherit their leaf's boost."""
     if isinstance(node, Term):
         acc[node.text] = max(acc.get(node.text, 0.0), node.boost)
     elif isinstance(node, (Fuzzy, Prefix)) and expansions is not None:
@@ -998,7 +1042,9 @@ def search(
         return spark.createDataFrame([], out_schema)
     bits = _check_tree(node)
     _require_unscoped(bits)
-    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+    exp_cache: dict = {}  # expansion runs once; the filter compile reuses it
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits,
+                                cache=exp_cache)
     scored: dict = {}
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
     if not scored:
@@ -1007,7 +1053,8 @@ def search(
             "unranked boolean retrieval"
         )
     filt = match_layout(spark, layout_dir, node, fuzzy_dir=fuzzy_dir,
-                        allow_stale=allow_stale)
+                        allow_stale=allow_stale,
+                        expansions_cache=exp_cache)
     boosted = {t: w for t, w in scored.items() if w != 1.0}
     return termindex.bm25_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
@@ -1120,21 +1167,31 @@ def more_like_this(
 def _scored_query_terms(
     spark: SparkSession, meta: dict, fuzzy_dir: str | None,
     queries: list[tuple[int, str]], tokenize,
+    expansions_cache: dict | None = None,
 ) -> tuple[list, dict[int, str], dict[int, dict[str, float]]]:
     """Per-query (plans, scoring text, boosts): normalize each query,
     collect its positive term leaves (+ dictionary expansions) with
     their boosts. Raises if any query has nothing to rank by. Returns
     (plans for the filter compile, {qid: scoring text}, {qid: {term: w}}
-    for the non-1.0 boosts)."""
+    for the non-1.0 boosts). All queries' fuzzy leaves expand in ONE
+    batched gram job; ``expansions_cache`` (when provided) carries the
+    results into the filter compile so nothing expands twice."""
     plans: list[tuple[int, object]] = []
     scored_by_qid: dict[int, str] = {}
     weights_by_qid: dict[int, dict[str, float]] = {}
+    normalized: list[tuple[int, object, dict]] = []
+    all_leaves: dict = {}
     for qid, q in queries:
         node = _normalize(parse(q) if isinstance(q, str) else q, tokenize)
         if node is _FALSE:
             continue
         bits = _check_tree(node)
-        expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+        normalized.append((int(qid), node, bits))
+        for lf in bits:
+            all_leaves.setdefault(lf, len(all_leaves))
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, all_leaves,
+                                cache=expansions_cache)
+    for qid, node, bits in normalized:
         scored: dict = {}
         _positive_terms(node, scored, spark, fuzzy_dir, expansions)
         if not scored:
@@ -1142,11 +1199,11 @@ def _scored_query_terms(
                 f"query {qid} has no positive term leaves to rank by — "
                 "use match_layout_batch() for unranked retrieval"
             )
-        plans.append((int(qid), node))
-        scored_by_qid[int(qid)] = " ".join(sorted(scored))
+        plans.append((qid, node))
+        scored_by_qid[qid] = " ".join(sorted(scored))
         boosted = {t: w for t, w in scored.items() if w != 1.0}
         if boosted:
-            weights_by_qid[int(qid)] = boosted
+            weights_by_qid[qid] = boosted
     return plans, scored_by_qid, weights_by_qid
 
 
@@ -1170,13 +1227,16 @@ def search_batch(
     if meta.get("fielded"):
         raise ValueError("fielded layout — use search_fielded")
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    exp_cache: dict = {}
     plans, scored_by_qid, weights = _scored_query_terms(
-        spark, meta, fuzzy_dir, queries, tokenize)
+        spark, meta, fuzzy_dir, queries, tokenize,
+        expansions_cache=exp_cache)
     if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double")
     filt = match_layout_batch(spark, layout_dir, plans,
-                              fuzzy_dir=fuzzy_dir, allow_stale=allow_stale)
+                              fuzzy_dir=fuzzy_dir, allow_stale=allow_stale,
+                              expansions_cache=exp_cache)
     return termindex.bm25_topk(
         spark, layout_dir, sorted(scored_by_qid.items()), k=k,
         round_to=round_to, allow_stale=allow_stale, filter_by=filt,
@@ -1219,7 +1279,9 @@ def search_fielded(
             "term boosts (^w) are not supported in fielded search — "
             "BM25F's per-FIELD boosts rank; scope the leaf instead"
         )
-    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits)
+    exp_cache: dict = {}  # expansion runs once; the filter compile reuses it
+    expansions = _expand_leaves(spark, meta, fuzzy_dir, bits,
+                                cache=exp_cache)
     scored: dict = {}
     _positive_terms(node, scored, spark, fuzzy_dir, expansions)
     if not scored:
@@ -1229,7 +1291,8 @@ def search_fielded(
         )
     filt = match_layout_fielded(spark, layout_dir, node,
                                 fuzzy_dir=fuzzy_dir,
-                                allow_stale=allow_stale)
+                                allow_stale=allow_stale,
+                                expansions_cache=exp_cache)
     return termindex.bm25f_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], boosts=boosts,
         k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
@@ -1258,8 +1321,10 @@ def search_fielded_batch(
     if not meta.get("fielded"):
         raise ValueError("not a fielded layout — use search_batch")
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
+    exp_cache: dict = {}
     plans, scored_by_qid, weights = _scored_query_terms(
-        spark, meta, fuzzy_dir, queries, tokenize)
+        spark, meta, fuzzy_dir, queries, tokenize,
+        expansions_cache=exp_cache)
     if weights:
         raise ValueError(
             "term boosts (^w) are not supported in fielded search — "
@@ -1270,7 +1335,7 @@ def search_fielded_batch(
             [], "query_id int, rank int, docid long, score double")
     filt = match_layout_fielded_batch(
         spark, layout_dir, plans, fuzzy_dir=fuzzy_dir,
-        allow_stale=allow_stale)
+        allow_stale=allow_stale, expansions_cache=exp_cache)
     return termindex.bm25f_topk(
         spark, layout_dir, sorted(scored_by_qid.items()), boosts=boosts,
         k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,

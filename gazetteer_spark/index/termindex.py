@@ -451,24 +451,21 @@ CANDIDATE_CAP = 2_000_000
 _EPS = 1e-9
 
 
-def _scored_rows(
+def _contrib_rows(
     rows: DataFrame,
     qids_by_term: dict[str, list[int]],
     idf_by_term: dict[str, float],
     avgdl: float,
     cand_by_qid: dict[int, np.ndarray] | None = None,
     restrict: set[tuple[int, str]] | None = None,
-    with_count: bool = False,
     weights: dict[tuple[int, str], float] | None = None,
 ) -> DataFrame:
-    """(query_id, docid, score[, nt]): exact BM25 sums for the subscribed
-    (query, term) pairs. ``restrict`` marks (qid, term) pairs whose
-    postings are emitted ONLY for docids in ``cand_by_qid[qid]`` (the
-    MaxScore candidate gate); unrestricted pairs emit everything.
-    ``with_count`` additionally returns the number of contributing terms
-    per (query, doc) — the conjunctive-retrieval predicate. ``weights``:
-    per-(query, term) multiplier on the BM25 contribution (term boosts;
-    missing = 1.0)."""
+    """(query_id, docid, contrib): PRE-aggregation exact BM25 term
+    contributions for the subscribed (query, term) pairs. ``restrict``
+    marks (qid, term) pairs whose postings are emitted ONLY for docids in
+    ``cand_by_qid[qid]`` (the MaxScore candidate gate); unrestricted
+    pairs emit everything. ``weights``: per-(query, term) multiplier on
+    the BM25 contribution (term boosts; missing = 1.0)."""
     cand_by_qid = cand_by_qid or {}
     restrict = restrict or set()
     weights = weights or {}
@@ -514,11 +511,60 @@ def _scored_rows(
                        "docid": pd.Series([], dtype="int64"),
                        "contrib": pd.Series([], dtype="float64")}))
 
-    scored = (
-        rows.select("term", "postings", "doclens")
-        .mapInPandas(score_fn, "query_id int, docid long, contrib double")
-        .groupBy("query_id", "docid")
+    return rows.select("term", "postings", "doclens").mapInPandas(
+        score_fn, "query_id int, docid long, contrib double"
     )
+
+
+def _scored_rows(
+    rows: DataFrame,
+    qids_by_term: dict[str, list[int]],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    cand_by_qid: dict[int, np.ndarray] | None = None,
+    restrict: set[tuple[int, str]] | None = None,
+    with_count: bool = False,
+    weights: dict[tuple[int, str], float] | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
+) -> DataFrame:
+    """(query_id, docid, score[, nt]): exact BM25 sums for the subscribed
+    (query, term) pairs (see :func:`_contrib_rows` for the gate/boost
+    parameters).
+
+    ``mask_parts``/``mask_pred`` (the FUSED front-door tail): boolean-mask
+    bit rows (query_id, docid, mask) union with the contrib rows into the
+    SAME groupBy(query_id, docid), and the tree predicate filters the
+    aggregate directly — one shuffle instead of the old two aggregations
+    plus a semi-join. Exactness: mask rows carry NULL contrib and ``sum``
+    skips NULLs, so scores are bit-identical to the unfused path; docs
+    matching the tree with NO subscribed-term contribution (phrase-only
+    matches) aggregate to a NULL score and are dropped by ``score IS NOT
+    NULL`` — exactly the docs the old semi-join never saw on the scored
+    side."""
+    from functools import reduce as _reduce
+
+    contribs = _contrib_rows(rows, qids_by_term, idf_by_term, avgdl,
+                             cand_by_qid, restrict, weights)
+    if mask_parts:
+        assert not with_count and mask_pred is not None
+        mrows = _reduce(DataFrame.unionByName, mask_parts).select(
+            "query_id", "docid", "mask"
+        )
+        combined = contribs.select(
+            "query_id", "docid", F.lit(0).cast("long").alias("mask"),
+            "contrib",
+        ).unionByName(mrows.select(
+            "query_id", "docid", "mask",
+            F.lit(None).cast("double").alias("contrib"),
+        ))
+        agg = combined.groupBy("query_id", "docid").agg(
+            F.expr("bit_or(mask)").alias("mask"),
+            F.sum("contrib").alias("score"),
+        )
+        return (agg.filter(mask_pred & F.col("score").isNotNull())
+                .select("query_id", "docid", "score"))
+    scored = contribs.groupBy("query_id", "docid")
     if with_count:
         return scored.agg(F.sum("contrib").alias("score"),
                           F.count(F.lit(1)).alias("nt"))
@@ -535,6 +581,8 @@ def bm25_topk(
     expensive_df: int | None = None,
     filter_by: DataFrame | None = None,
     qweights: dict[int, dict[str, float]] | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25 top-k served from the TERM-
     partitioned layout — the low-latency point-query path at corpus scale.
@@ -615,7 +663,8 @@ def bm25_topk(
     df_by_term, _ = _term_meta(rows)
     _check_qweights(qweights)
     return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
-                      expensive_df, filter_by=filter_by, qweights=qweights)
+                      expensive_df, filter_by=filter_by, qweights=qweights,
+                      mask_parts=mask_parts, mask_pred=mask_pred)
 
 
 def _check_qweights(qweights) -> None:
@@ -652,6 +701,8 @@ def _bm25_impl(
     expensive_df: int | None,
     filter_by: DataFrame | None = None,
     qweights: dict[int, dict[str, float]] | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
 ) -> DataFrame:
     """Shared scoring pipeline behind bm25_topk and TermLayoutReader.topk:
     candidate-gate planning + scoring jobs + the group-limited merge.
@@ -659,8 +710,14 @@ def _bm25_impl(
     boosts ({qid: {term: w}}, missing = 1.0) — each term's contribution
     is multiplied by its weight in BOTH gating phases and the final
     score, so the candidate gate's bound argument holds verbatim with
-    weighted idf upper bounds."""
+    weighted idf upper bounds. ``mask_parts``/``mask_pred``: the fused
+    front-door filter (see _scored_rows) — applied in BOTH the gating
+    phase and the final job, so θ₀ is the k-th best partial among
+    tree-matching docs and the gate stays exact, the same argument as
+    filter_by."""
     from .wand import _idf
+
+    assert not (mask_parts and filter_by is not None)
 
     wts = {(int(qid), t): float(w)
            for qid, tw in (qweights or {}).items() for t, w in tw.items()
@@ -705,7 +762,8 @@ def _bm25_impl(
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
         phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl,
-                                 weights=wts)
+                                 weights=wts, mask_parts=mask_parts,
+                                 mask_pred=mask_pred)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
         # Arrow transfer + vectorized per-query partition: at the 2M-row
@@ -742,7 +800,8 @@ def _bm25_impl(
             qids_by_term.setdefault(t, []).append(qid)
 
     scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
-                          cand_by_qid, restrict, weights=wts)
+                          cand_by_qid, restrict, weights=wts,
+                          mask_parts=mask_parts, mask_pred=mask_pred)
     if filter_by is not None:
         scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None
@@ -1129,6 +1188,8 @@ class TermLayoutReader:
         from ..analyzer import get_analyzer
         from ..query import _scored_query_terms
 
+        from ..query import _compile_mask_parts
+
         tokenize = get_analyzer(self.meta["analyzer"]).py_tokenize
         exp_cache: dict = {}
         plans, scored_by_qid, weights = _scored_query_terms(
@@ -1137,8 +1198,11 @@ class TermLayoutReader:
         if not plans:
             return self.spark.createDataFrame(
                 [], "query_id int, rank int, docid long, score double")
-        filt = self.match(plans, fuzzy_dir=fuzzy_dir,
-                          expansions_cache=exp_cache)
+        # FUSED tail: mask rows from the pinned table join the scoring
+        # aggregation — one shuffle, no filter-agg + semi-join pair
+        parts, pred = _compile_mask_parts(
+            self.spark, self.meta, self.layout_dir, plans, fuzzy_dir,
+            True, self.table, exp_cache)
         qterms = {qid: sorted(set(text.split()))
                   for qid, text in scored_by_qid.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -1146,8 +1210,9 @@ class TermLayoutReader:
         rows = self.table.filter(
             F.col("term").isin(sorted(df_by_term) or all_terms))
         return _bm25_impl(self.spark, rows, self.meta, df_by_term, qterms,
-                          k, round_to, expensive_df, filter_by=filt,
-                          qweights=weights or None)
+                          k, round_to, expensive_df,
+                          qweights=weights or None,
+                          mask_parts=parts, mask_pred=pred)
 
     def close(self) -> None:
         self.table.unpersist()

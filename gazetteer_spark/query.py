@@ -567,6 +567,37 @@ def _match_batch_impl(
     """Shared batch mask compiler behind match_layout[_batch] and
     TermLayoutReader.match — ``table`` switches the term-leaf source from
     a fresh pruned scan to a reader's pinned terms table."""
+    empty = spark.createDataFrame([], "query_id int, docid long")
+    compiled = _compile_mask_parts(spark, meta, layout_dir, queries,
+                                   fuzzy_dir, allow_stale, table,
+                                   expansions_cache)
+    if compiled is None:
+        return empty
+    parts, pred = compiled
+    if not parts:
+        return empty
+    allbits = reduce(DataFrame.unionByName, parts)
+    masks = allbits.groupBy("query_id", "docid").agg(
+        F.expr("bit_or(mask)").alias("mask")
+    )
+    return masks.filter(pred).select("query_id", "docid")
+
+
+def _compile_mask_parts(
+    spark: SparkSession,
+    meta: dict,
+    layout_dir: str,
+    queries: list[tuple[int, object]],
+    fuzzy_dir: str | None,
+    allow_stale: bool,
+    table: DataFrame | None,
+    expansions_cache: dict | None = None,
+):
+    """(mask parts, tree predicate) for a batch of boolean queries — the
+    leaf-serving half of the mask compiler, reusable by the FUSED ranked
+    front door (termindex._scored_rows mask_parts) so the filter and the
+    scoring share one aggregation. Returns None when every query
+    normalizes to FALSE."""
     from .index import termindex
 
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
@@ -583,9 +614,8 @@ def _match_batch_impl(
         bits = _check_tree(node)
         _require_unscoped(bits)
         plans.append((qid, node, bits))
-    empty = spark.createDataFrame([], "query_id int, docid long")
     if not plans:
-        return empty
+        return None
 
     # term-class leaves across ALL queries: ONE scan + one broadcast map;
     # a term may serve several leaves/queries → one (term, qid, mask) row
@@ -618,14 +648,7 @@ def _match_batch_impl(
             tp = termindex._decode_posting_rows(
                 table.filter(F.col("term").isin(all_terms))
             )
-        tmap = spark.createDataFrame(
-            sorted((t, q, m) for (t, q), m in tmap_rows.items()),
-            "term string, query_id int, mask long",
-        )
-        parts.append(
-            tp.join(F.broadcast(tmap), "term")
-            .select("query_id", "docid", "mask")
-        )
+        parts.append(_attach_masks(spark, tp, tmap_rows))
 
     # positional leaves: synthetic ids so one phrase_match / near call
     # serves every query in the batch
@@ -644,13 +667,22 @@ def _match_batch_impl(
                 )
 
     def _sid_part(got: DataFrame) -> DataFrame:
-        smap = spark.createDataFrame(
-            [(i, q, m) for i, (q, m) in enumerate(sid_map)],
-            "sid int, query_id int, mask long",
+        # sid → (qid, mask) is 1:1 and tiny: two literal-map lookups
+        # instead of a broadcast join (one fewer broadcast job per shape)
+        qmap = F.create_map(*[
+            x for i, (q, _) in enumerate(sid_map)
+            for x in (F.lit(i), F.lit(q))
+        ])
+        mmap = F.create_map(*[
+            x for i, (_, m) in enumerate(sid_map)
+            for x in (F.lit(i), F.lit(m))
+        ])
+        sid = F.col("query_id")
+        return got.select(
+            qmap[sid].cast("int").alias("query_id"),
+            "docid",
+            mmap[sid].cast("long").alias("mask"),
         )
-        return (got.withColumnRenamed("query_id", "sid")
-                .join(F.broadcast(smap), "sid")
-                .select("query_id", "docid", "mask"))
 
     if phrase_batch:
         got = termindex.phrase_match(spark, layout_dir, phrase_batch,
@@ -661,18 +693,49 @@ def _match_batch_impl(
                                      allow_stale=allow_stale, table=table)
         parts.append(_sid_part(got))
 
-    if not parts:
-        return empty
-    allbits = reduce(DataFrame.unionByName, parts)
-    masks = allbits.groupBy("query_id", "docid").agg(
-        F.expr("bit_or(mask)").alias("mask")
-    )
     pred = reduce(
         lambda a, b: a | b,
         ((F.col("query_id") == qid) & _mask_pred(node, bits)
          for qid, node, bits in plans),
     )
-    return masks.filter(pred).select("query_id", "docid")
+    return parts, pred
+
+
+# above this many distinct terms, mask attachment falls back to a
+# broadcast join: a literal CASE/map over thousands of fuzzy-expansion
+# terms would bloat the plan (guide §3.3 — planning time is real work)
+MAX_LITERAL_TMAP = 256
+
+
+def _attach_masks(spark: SparkSession, tp: DataFrame,
+                  tmap_rows: dict[tuple[str, int], int]) -> DataFrame:
+    """(query_id, docid, mask) from decoded (term, docid) rows. Small term
+    sets (the common case) attach their per-query masks with ONE literal
+    map lookup + explode — no broadcast exchange, no broadcast job; big
+    dictionary expansions keep the broadcast join."""
+    by_term: dict[str, list[tuple[int, int]]] = {}
+    for (t, q), m in tmap_rows.items():
+        by_term.setdefault(t, []).append((q, m))
+    if len(by_term) <= MAX_LITERAL_TMAP:
+        entries = []
+        for t in sorted(by_term):
+            arr = F.array(*[
+                F.struct(F.lit(q).cast("int").alias("query_id"),
+                         F.lit(m).cast("long").alias("mask"))
+                for q, m in sorted(by_term[t])
+            ])
+            entries.extend([F.lit(t), arr])
+        qm_map = F.create_map(*entries)
+        return (
+            tp.select("docid", F.explode(qm_map[F.col("term")]).alias("qm"))
+            .select("qm.query_id", "docid", "qm.mask")
+        )
+    tmap = spark.createDataFrame(
+        sorted((t, q, m) for (t, q), m in tmap_rows.items()),
+        "term string, query_id int, mask long",
+    )
+    return (tp.join(F.broadcast(tmap), "term")
+            .select("query_id", "docid", "mask"))
 
 
 def _mask_filter(parts: list, node, bits: dict, empty: DataFrame) -> DataFrame:
@@ -794,14 +857,7 @@ def match_layout_fielded_batch(
             spark, layout_dir, sorted({c for c, _ in tmap_rows}),
             allow_stale=allow_stale,
         )
-        tmap = spark.createDataFrame(
-            sorted((c, q, m) for (c, q), m in tmap_rows.items()),
-            "term string, query_id int, mask long",
-        )
-        parts.append(
-            tp.join(F.broadcast(tmap), "term")
-            .select("query_id", "docid", "mask")
-        )
+        parts.append(_attach_masks(spark, tp, tmap_rows))
 
     # phrase leaves across the whole batch: ONE fielded positional call
     sid_map: list[tuple[int, int]] = []  # sid → (qid, mask)
@@ -817,15 +873,21 @@ def match_layout_fielded_batch(
         got = fmod.fielded_phrase_match_batch(
             spark, meta["source_index"], phrase_batch
         )
-        smap = spark.createDataFrame(
-            [(i, q, m) for i, (q, m) in enumerate(sid_map)],
-            "sid int, query_id int, mask long",
-        )
-        parts.append(
-            got.withColumnRenamed("query_id", "sid")
-            .join(F.broadcast(smap), "sid")
-            .select("query_id", "docid", "mask")
-        )
+        # 1:1 sid → (qid, mask): literal-map lookups, no broadcast join
+        qmap = F.create_map(*[
+            x for i, (q, _) in enumerate(sid_map)
+            for x in (F.lit(i), F.lit(q))
+        ])
+        mmap = F.create_map(*[
+            x for i, (_, m) in enumerate(sid_map)
+            for x in (F.lit(i), F.lit(m))
+        ])
+        sid = F.col("query_id")
+        parts.append(got.select(
+            qmap[sid].cast("int").alias("query_id"),
+            "docid",
+            mmap[sid].cast("long").alias("mask"),
+        ))
 
     for qid, node, bits in plans:
         for lf, bit in bits.items():
@@ -1052,13 +1114,18 @@ def search(
             "no positive term leaves to rank by — use match_layout() for "
             "unranked boolean retrieval"
         )
-    filt = match_layout(spark, layout_dir, node, fuzzy_dir=fuzzy_dir,
-                        allow_stale=allow_stale,
-                        expansions_cache=exp_cache)
+    # FUSED tail: the boolean filter's mask rows join the scoring
+    # aggregation (termindex._scored_rows mask_parts) — one shuffle, no
+    # separately-aggregated filter + semi-join
+    parts, pred = _compile_mask_parts(
+        spark, meta, layout_dir, [(0, node)], fuzzy_dir, allow_stale,
+        None, exp_cache)
+    assert parts  # a scored query always has ≥1 mask leaf
     boosted = {t: w for t, w in scored.items() if w != 1.0}
     return termindex.bm25_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], k=k,
-        round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        round_to=round_to, allow_stale=allow_stale,
+        mask_parts=parts, mask_pred=pred,
         qweights={0: boosted} if boosted else None,
     )
 
@@ -1234,12 +1301,15 @@ def search_batch(
     if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double")
-    filt = match_layout_batch(spark, layout_dir, plans,
-                              fuzzy_dir=fuzzy_dir, allow_stale=allow_stale,
-                              expansions_cache=exp_cache)
+    # FUSED tail — see search(): mask rows and contribs share one shuffle
+    parts, pred = _compile_mask_parts(
+        spark, meta, layout_dir, plans, fuzzy_dir, allow_stale, None,
+        exp_cache)
+    assert parts  # scored queries always have ≥1 mask leaf
     return termindex.bm25_topk(
         spark, layout_dir, sorted(scored_by_qid.items()), k=k,
-        round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        round_to=round_to, allow_stale=allow_stale,
+        mask_parts=parts, mask_pred=pred,
         qweights=weights or None,
     )
 

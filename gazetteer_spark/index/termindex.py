@@ -826,6 +826,8 @@ def _scored_fielded(
     n_docs: int,
     cand_by_qid: dict[int, np.ndarray] | None = None,
     restrict: set[tuple[int, str]] | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
 ) -> DataFrame:
     """(query_id, docid, score): exact BM25F partial sums for the
     subscribed (query, BASE-term) pairs, computed bucket-locally — all
@@ -899,12 +901,34 @@ def _scored_fielded(
                     "docid": pd.Series([], dtype="int64"),
                     "contrib": pd.Series([], dtype="float64")}))
 
-    return (
+    contribs = (
         rows.select("bucket", "term", "postings", "doclens")
         .groupBy("bucket")
         .applyInPandas(score_bucket, "query_id int, docid long, contrib double")
-        .groupBy("query_id", "docid")
-        .agg(F.sum("contrib").alias("score"))
+    )
+    if mask_parts:
+        # FUSED fielded front-door tail — same construction and exactness
+        # argument as _scored_rows (mask rows carry NULL contrib)
+        from functools import reduce as _reduce
+
+        mrows = _reduce(DataFrame.unionByName, mask_parts).select(
+            "query_id", "docid", "mask"
+        )
+        combined = contribs.select(
+            "query_id", "docid", F.lit(0).cast("long").alias("mask"),
+            "contrib",
+        ).unionByName(mrows.select(
+            "query_id", "docid", "mask",
+            F.lit(None).cast("double").alias("contrib"),
+        ))
+        agg = combined.groupBy("query_id", "docid").agg(
+            F.expr("bit_or(mask)").alias("mask"),
+            F.sum("contrib").alias("score"),
+        )
+        return (agg.filter(mask_pred & F.col("score").isNotNull())
+                .select("query_id", "docid", "score"))
+    return contribs.groupBy("query_id", "docid").agg(
+        F.sum("contrib").alias("score")
     )
 
 
@@ -918,6 +942,8 @@ def bm25f_topk(
     allow_stale: bool = False,
     expensive_df: int | None = None,
     filter_by: DataFrame | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
 ) -> DataFrame:
     """(query_id, rank, docid, score): BM25F top-k served from a FIELDED
     term-partitioned layout — the multi-field twin of :func:`bm25_topk`,
@@ -990,7 +1016,8 @@ def bm25f_topk(
     # per-composite df from the SAME pruned scan (one Arrow metadata job)
     comp_df, _ = _term_meta(rows)
     return _bm25f_impl(spark, rows, meta, comp_df, qterms, boosts, k,
-                       round_to, expensive_df, filter_by=filter_by)
+                       round_to, expensive_df, filter_by=filter_by,
+                       mask_parts=mask_parts, mask_pred=mask_pred)
 
 
 def _bm25f_impl(
@@ -1004,14 +1031,21 @@ def _bm25f_impl(
     round_to: int | None,
     expensive_df: int | None,
     filter_by: DataFrame | None = None,
+    mask_parts: list[DataFrame] | None = None,
+    mask_pred=None,
 ) -> DataFrame:
     """Shared fielded scoring pipeline behind bm25f_topk and
     FieldedLayoutReader.topk: candidate-gate planning over per-composite
     dfs + scoring jobs + the group-limited merge. ``filter_by``
     semantics: see bm25_topk (phase-1 cheap scoring filtered too, so θ₀
-    is the k-th best partial among FILTERED docs — gate stays exact)."""
+    is the k-th best partial among FILTERED docs — gate stays exact).
+    ``mask_parts``/``mask_pred``: the fused front-door filter (see
+    _scored_fielded / _scored_rows) — applied in BOTH phases, same
+    exactness argument."""
     from .spimi import FIELD_SEP
     from .wand import _idf
+
+    assert not (mask_parts and filter_by is not None)
 
     fields = meta["fields"]  # sorted at build — deterministic float sums
     n_docs = meta["n_docs"]
@@ -1060,7 +1094,8 @@ def _bm25f_impl(
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
         phase1_df = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
-                                    n_docs)
+                                    n_docs, mask_parts=mask_parts,
+                                    mask_pred=mask_pred)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
         # Arrow transfer + vectorized partition (see _bm25_impl)
@@ -1093,7 +1128,8 @@ def _bm25f_impl(
             qids_by_term.setdefault(t, []).append(qid)
 
     scored = _scored_fielded(rows, qids_by_term, fields, boosts, avglen,
-                             n_docs, cand_by_qid, restrict)
+                             n_docs, cand_by_qid, restrict,
+                             mask_parts=mask_parts, mask_pred=mask_pred)
     if filter_by is not None:
         scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None

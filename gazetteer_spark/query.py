@@ -542,7 +542,13 @@ def match_layout_batch(
     with per-query work sharing the scans instead of multiplying them.
 
     The result pairs with ``bm25_topk(filter_by=...)``: a (query_id,
-    docid) filter restricts each ranked query independently."""
+    docid) filter restricts each ranked query independently.
+
+    ``allow_stale=True`` serves a MIXED snapshot: term and phrase leaves
+    read the (stale) layout, but fuzzy/prefix expansions probe the
+    CURRENT source index's dictionary — one tree can then combine two
+    index states. Rebuild/refresh the layout when single-snapshot
+    semantics matter."""
     from .index import termindex
 
     meta = termindex._load_meta(layout_dir)
@@ -800,15 +806,50 @@ def match_layout_fielded_batch(
     ids); NEAR leaves run per (leaf, field); one
     groupBy(query_id, docid) bit_or; OR-of-guarded-trees filter. Pairs
     with ``bm25f_topk(filter_by=...)`` for per-query filtered fielded
-    ranking."""
-    from . import fielded as fmod
+    ranking.
+
+    ``allow_stale=True`` serves a MIXED snapshot: term-class leaves read
+    the (stale) layout while phrase/NEAR leaves and prefix expansions
+    read the CURRENT source index — one boolean tree can then combine
+    two index states. Keep the source index un-advanced, or rebuild the
+    layout, when single-snapshot semantics matter."""
     from .index import termindex
-    from .index.spimi import FIELD_SEP
 
     meta = termindex._load_meta(layout_dir)
     if not meta.get("fielded"):
         raise ValueError("not a fielded layout — use match_layout")
     termindex._check_stale(meta, allow_stale)
+    empty = spark.createDataFrame([], "query_id int, docid long")
+    compiled = _compile_fielded_mask_parts(
+        spark, meta, layout_dir, queries, fuzzy_dir, allow_stale,
+        expansions_cache)
+    if compiled is None:
+        return empty
+    parts, pred = compiled
+    if not parts:
+        return empty
+    allbits = reduce(DataFrame.unionByName, parts)
+    masks = allbits.groupBy("query_id", "docid").agg(
+        F.expr("bit_or(mask)").alias("mask")
+    )
+    return masks.filter(pred).select("query_id", "docid")
+
+
+def _compile_fielded_mask_parts(
+    spark: SparkSession,
+    meta: dict,
+    layout_dir: str,
+    queries: list[tuple[int, object]],
+    fuzzy_dir: str | None,
+    allow_stale: bool,
+    expansions_cache: dict | None = None,
+):
+    """Fielded twin of :func:`_compile_mask_parts` — (mask parts, tree
+    predicate), reusable by the fused fielded ranked front door."""
+    from . import fielded as fmod
+    from .index import termindex
+    from .index.spimi import FIELD_SEP
+
     fields = meta["fields"]
     tokenize = get_analyzer(meta["analyzer"]).py_tokenize
     plans = []  # (qid, node, bits)
@@ -828,9 +869,8 @@ def match_layout_fielded_batch(
                 raise ValueError(
                     f"unknown field {f!r} (layout has {fields})")
         plans.append((qid, node, bits))
-    empty = spark.createDataFrame([], "query_id int, docid long")
     if not plans:
-        return empty
+        return None
 
     # term-class leaves → composite terms; one row per (composite, qid);
     # ALL queries' fuzzy/prefix leaves expand in one batched call
@@ -904,18 +944,12 @@ def match_layout_fielded_batch(
                     F.lit(1 << bit).cast("long").alias("mask"),
                 ))
 
-    if not parts:
-        return empty
-    allbits = reduce(DataFrame.unionByName, parts)
-    masks = allbits.groupBy("query_id", "docid").agg(
-        F.expr("bit_or(mask)").alias("mask")
-    )
     pred = reduce(
         lambda a, b: a | b,
         ((F.col("query_id") == qid) & _mask_pred(node, bits)
          for qid, node, bits in plans),
     )
-    return masks.filter(pred).select("query_id", "docid")
+    return parts, pred
 
 
 # ---------------------------------------------------------------------------
@@ -1359,13 +1393,15 @@ def search_fielded(
             "no positive term leaves to rank by — use "
             "match_layout_fielded() for unranked boolean retrieval"
         )
-    filt = match_layout_fielded(spark, layout_dir, node,
-                                fuzzy_dir=fuzzy_dir,
-                                allow_stale=allow_stale,
-                                expansions_cache=exp_cache)
+    # FUSED tail — see search(): mask rows and contribs share one shuffle
+    parts, pred = _compile_fielded_mask_parts(
+        spark, meta, layout_dir, [(0, node)], fuzzy_dir, allow_stale,
+        exp_cache)
+    assert parts
     return termindex.bm25f_topk(
         spark, layout_dir, [(0, " ".join(sorted(scored)))], boosts=boosts,
-        k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        k=k, round_to=round_to, allow_stale=allow_stale,
+        mask_parts=parts, mask_pred=pred,
     )
 
 
@@ -1403,10 +1439,12 @@ def search_fielded_batch(
     if not plans:
         return spark.createDataFrame(
             [], "query_id int, rank int, docid long, score double")
-    filt = match_layout_fielded_batch(
-        spark, layout_dir, plans, fuzzy_dir=fuzzy_dir,
-        allow_stale=allow_stale, expansions_cache=exp_cache)
+    # FUSED tail — see search(): mask rows and contribs share one shuffle
+    parts, pred = _compile_fielded_mask_parts(
+        spark, meta, layout_dir, plans, fuzzy_dir, allow_stale, exp_cache)
+    assert parts
     return termindex.bm25f_topk(
         spark, layout_dir, sorted(scored_by_qid.items()), boosts=boosts,
-        k=k, round_to=round_to, allow_stale=allow_stale, filter_by=filt,
+        k=k, round_to=round_to, allow_stale=allow_stale,
+        mask_parts=parts, mask_pred=pred,
     )

@@ -718,6 +718,10 @@ def _bm25_impl(
     from .wand import _idf
 
     assert not (mask_parts and filter_by is not None)
+    # kwargs passed only when fusing — unfused calls keep the historical
+    # _scored_rows signature (tests spy it)
+    _mask_kw = ({"mask_parts": mask_parts, "mask_pred": mask_pred}
+                if mask_parts else {})
 
     wts = {(int(qid), t): float(w)
            for qid, tw in (qweights or {}).items() for t, w in tw.items()
@@ -762,8 +766,7 @@ def _bm25_impl(
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
         phase1_df = _scored_rows(rows, cheap_sub, idf_by_term, avgdl,
-                                 weights=wts, mask_parts=mask_parts,
-                                 mask_pred=mask_pred)
+                                 weights=wts, **_mask_kw)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
         # Arrow transfer + vectorized per-query partition: at the 2M-row
@@ -800,8 +803,7 @@ def _bm25_impl(
             qids_by_term.setdefault(t, []).append(qid)
 
     scored = _scored_rows(rows, qids_by_term, idf_by_term, avgdl,
-                          cand_by_qid, restrict, weights=wts,
-                          mask_parts=mask_parts, mask_pred=mask_pred)
+                          cand_by_qid, restrict, weights=wts, **_mask_kw)
     if filter_by is not None:
         scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None
@@ -1046,6 +1048,9 @@ def _bm25f_impl(
     from .wand import _idf
 
     assert not (mask_parts and filter_by is not None)
+    # kwargs passed only when fusing (see _bm25_impl — spy-compat)
+    _mask_kw = ({"mask_parts": mask_parts, "mask_pred": mask_pred}
+                if mask_parts else {})
 
     fields = meta["fields"]  # sorted at build — deterministic float sums
     n_docs = meta["n_docs"]
@@ -1094,8 +1099,7 @@ def _bm25f_impl(
             for t in cheap:
                 cheap_sub.setdefault(t, []).append(qid)
         phase1_df = _scored_fielded(rows, cheap_sub, fields, boosts, avglen,
-                                    n_docs, mask_parts=mask_parts,
-                                    mask_pred=mask_pred)
+                                    n_docs, **_mask_kw)
         if filter_by is not None:
             phase1_df = _apply_filter(phase1_df, filter_by)
         # Arrow transfer + vectorized partition (see _bm25_impl)
@@ -1128,8 +1132,7 @@ def _bm25f_impl(
             qids_by_term.setdefault(t, []).append(qid)
 
     scored = _scored_fielded(rows, qids_by_term, fields, boosts, avglen,
-                             n_docs, cand_by_qid, restrict,
-                             mask_parts=mask_parts, mask_pred=mask_pred)
+                             n_docs, cand_by_qid, restrict, **_mask_kw)
     if filter_by is not None:
         scored = _apply_filter(scored, filter_by)
     score = (F.round(F.col("score"), round_to) if round_to is not None

@@ -441,3 +441,58 @@ def test_search_fuzzy_scores_expansions(spark, served):
         spark, lay, [(0, " ".join(sorted(set(exp + ["customer"]))))],
         k=10, filter_by=filt).collect()
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# fused filter+scoring tail (round-6 optimization pin)
+# ---------------------------------------------------------------------------
+
+FUSED_QUERIES = [
+    "spark AND (join OR merge)",
+    '"key order" OR (customer AND -filter)',
+    "customer^2 OR filter",
+    '"key order" OR window',
+]
+
+
+def _ranked(df):
+    return [(r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in df.collect()]
+
+
+def test_fused_search_equals_filter_by_composition(spark, served):
+    """search()/search_batch's fused tail (mask rows union into the
+    scoring aggregation) must be row-identical to the unfused
+    composition: bm25_topk(filter_by=match_layout_batch(...)) — the
+    round-5 serving shape. Covers OR-of-phrase (docs matching only via
+    the phrase leaf must stay excluded → score IS NOT NULL) and boosts."""
+    lay, fzd = served
+    for q in FUSED_QUERIES:
+        fused = Q.search(spark, lay, q, k=10, fuzzy_dir=fzd)
+        node = Q._normalize(
+            Q.parse(q), __import__(
+                "gazetteer_spark.analyzer", fromlist=["py_tokenize"]
+            ).py_tokenize)
+        scored: dict = {}
+        meta = termindex._load_meta(lay)
+        exp = Q._expand_leaves(spark, meta, fzd, Q._check_tree(node))
+        Q._positive_terms(node, scored, expansions=exp)
+        filt = Q.match_layout(spark, lay, node, fuzzy_dir=fzd)
+        boosted = {t: w for t, w in scored.items() if w != 1.0}
+        unfused = termindex.bm25_topk(
+            spark, lay, [(0, " ".join(sorted(scored)))], k=10,
+            filter_by=filt, qweights={0: boosted} if boosted else None,
+        )
+        assert sorted(_ranked(fused)) == sorted(_ranked(unfused)), q
+
+
+def test_fused_batch_search_equals_per_query(spark, served):
+    lay, fzd = served
+    batch = Q.search_batch(
+        spark, lay, list(enumerate(FUSED_QUERIES)), k=5, fuzzy_dir=fzd)
+    got = sorted(_ranked(batch))
+    want = []
+    for i, q in enumerate(FUSED_QUERIES):
+        one = Q.search(spark, lay, q, k=5, fuzzy_dir=fzd)
+        want.extend((i, r, d, s) for (_, r, d, s) in _ranked(one))
+    assert got == sorted(want)

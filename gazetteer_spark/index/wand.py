@@ -273,7 +273,7 @@ def _lookup_dfs_path(index_dir: str, terms: list[str]) -> dict[str, int]:
 def _topk_impl(
     spark: SparkSession,
     seg: DataFrame,
-    termstats: DataFrame,
+    termstats: DataFrame | None,  # unused when df_by_term pre-resolved
     stats: dict,
     queries: list[tuple[int, str]],
     k: int,
@@ -339,7 +339,7 @@ def topk(
     return _topk_impl(
         spark,
         committed_segments(spark, index_dir),
-        spark.read.parquet(f"{index_dir}/termstats"),
+        None,  # dfs always pre-resolved below — no termstats DataFrame
         stats,
         queries, k, round_to, tie_cap,
         # driver-side dictionary probe — no Spark job (see _lookup_dfs_path)

@@ -797,29 +797,110 @@ def _write_generation(
     _commit_manifest(spark, out_dir, shards, generation, extra=manifest_extra)
 
 
+# Gate for the driver-side termstats fold: the manifest's Σ per-shard
+# n_terms is EXACTLY the number of kind='post' rows the term reduce must
+# aggregate (delete generations commit n_terms=0). At or below this many
+# rows the fold runs driver-side in pyarrow (~40 B/row transient → ≤ a few
+# hundred MB, one C++ group-by, no Spark job); above it the distributed
+# groupBy runs — vocabulary at true corpus scale must stay in Spark.
+DRIVER_TERMSTATS_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DRIVER_TERMSTATS_ROWS", "4000000")
+)
+
+
+def _termstats_driver(out_dir: str, pairs: dict[int, list[int]]) -> None:
+    """Driver-side termstats refresh (see DRIVER_TERMSTATS_MAX_ROWS):
+    read (term, df, cf) of kind='post' rows from exactly the committed
+    (gen, shard) segment files with pyarrow (column projection skips the
+    posting blobs), group-sum by term in Arrow C++, write ONE globally
+    term-sorted parquet file. Output is read-equivalent to the Spark
+    fold's (same schema/values; globally sorted is strictly better for
+    the dictionary probes' row-group zone maps, and the 32k-row groups
+    give the In()/StartsWith probes finer pruning than Spark's default)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for g, shards in sorted(pairs.items()):
+        for s in sorted(shards):
+            d = f"{out_dir}/segments/gen={g}/shard={s}"
+            if os.path.isdir(d):  # empty committed delta: no dir, no rows
+                files.extend(
+                    f"{d}/{n}" for n in sorted(os.listdir(d))
+                    if n.endswith(".parquet")
+                )
+    schema = pa.schema(
+        [pa.field("term", pa.string()), pa.field("df", pa.int64()),
+         pa.field("cf", pa.int64())]
+    )
+    if files:
+        ds = pads.dataset(files, format="parquet")
+        t = ds.to_table(columns=["term", "df", "cf"],
+                        filter=pc.field("kind") == "post")
+        agg = pa.TableGroupBy(t, "term").aggregate(
+            [("df", "sum"), ("cf", "sum")]
+        ).sort_by("term")
+        out = pa.table(
+            {
+                "term": agg["term"],
+                "df": pc.cast(agg["df_sum"], pa.int64()),
+                "cf": pc.cast(agg["cf_sum"], pa.int64()),
+            }
+        )
+    else:
+        out = schema.empty_table()
+    tmp = f"{out_dir}/.termstats.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(out, f"{tmp}/part-00000.parquet", row_group_size=32768)
+    dst = f"{out_dir}/termstats"
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+
+
 def _refresh_derived(spark: SparkSession, out_dir: str, params: dict) -> None:
     """Recompute termstats + corpus stats over COMMITTED segments only.
 
     Term stats: salt not needed here — per-shard df/cf are already one row
     per (gen, shard, term), so the groupBy input is pre-reduced; this IS the
-    two-level (salted-by-doc-shard) reduce, with shard as the salt."""
-    seg = committed_segments(spark, out_dir)
-    ts = (
-        seg.filter(F.col("kind") == "post")
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").alias("cf"))
-    )
-    # sorted within each hash partition: parquet row-group min/max zone
-    # maps then prune dictionary RANGE scans (prefix lookup) to a few row
-    # groups per file instead of the whole vocabulary
-    ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
-        f"{out_dir}/termstats"
-    )
-
-    # corpus stats from the committed manifest — driver-side metadata read
+    two-level (salted-by-doc-shard) reduce, with shard as the salt. When the
+    manifest proves the reduce input is metadata-sized (Σ n_terms ≤
+    DRIVER_TERMSTATS_MAX_ROWS) the fold runs driver-side in pyarrow instead
+    of paying a Spark job's fixed cost — same output values, one sorted
+    file (the committed-manifest pattern applied to the derived stats)."""
+    # corpus stats + fold-size gate from the committed manifest — ONE
+    # driver-side metadata read serves both
     import pyarrow.parquet as pq
 
-    mt = pq.read_table(f"{out_dir}/manifest", columns=["n_docs", "sum_doclen"])
+    mt = pq.read_table(
+        f"{out_dir}/manifest",
+        columns=["generation", "shard", "n_terms", "n_docs", "sum_doclen"],
+    )
+    total_terms = sum(mt["n_terms"].to_pylist())
+    if total_terms <= DRIVER_TERMSTATS_MAX_ROWS:
+        psets: dict[int, set[int]] = {}
+        for g, s in zip(mt["generation"].to_pylist(),
+                        mt["shard"].to_pylist()):
+            psets.setdefault(int(g), set()).add(int(s))
+        _termstats_driver(out_dir, {g: sorted(v) for g, v in psets.items()})
+    else:
+        seg = committed_segments(spark, out_dir)
+        ts = (
+            seg.filter(F.col("kind") == "post")
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").alias("cf"))
+        )
+        # sorted within each hash partition: parquet row-group min/max zone
+        # maps then prune dictionary RANGE scans (prefix lookup) to a few
+        # row groups per file instead of the whole vocabulary
+        ts.sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{out_dir}/termstats"
+        )
+
     n = sum(mt["n_docs"].to_pylist())
     total_len = sum(mt["sum_doclen"].to_pylist())
     stats = {

@@ -397,3 +397,42 @@ def test_v3_doclen_stream_matches_doc_table(spark, documents,
     empty = (spark.read.parquet(f"{d2}/segments")
              .select(F.max(F.length("doclens"))).first()[0])
     assert empty == 0
+
+
+def test_termstats_driver_fold_equals_spark(spark, documents,
+                                            tmp_path_factory, monkeypatch):
+    """The driver-side pyarrow termstats fold (DRIVER_TERMSTATS_MAX_ROWS
+    gate) and the distributed Spark groupBy must produce identical
+    (term, df, cf) tables — including across add/delete generations,
+    where dead docs' postings stay counted until compaction."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("tsfold"))
+    spimi.build_index(
+        spark, documents, d, n_shards=8, id_col="doc_id", content_col="text"
+    )
+    with open(f"{d}/build.json") as f:
+        params = json.load(f)
+
+    def read_ts():
+        return sorted(tuple(r) for r in
+                      spimi.load_termstats(spark, d).collect())
+
+    # the build itself took the driver path (gate passes at test scale)
+    drv = read_ts()
+    assert len(drv) > 0
+    monkeypatch.setattr(spimi, "DRIVER_TERMSTATS_MAX_ROWS", -1)
+    spimi._refresh_derived(spark, d, params)
+    assert read_ts() == drv
+
+    # generations: add new docs, tombstone some originals
+    monkeypatch.setattr(spimi, "DRIVER_TERMSTATS_MAX_ROWS", 4_000_000)
+    add = documents.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    spimi.add_documents(spark, add, d, id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, [7, 99, 250], d)
+    drv2 = read_ts()
+    monkeypatch.setattr(spimi, "DRIVER_TERMSTATS_MAX_ROWS", -1)
+    spimi._refresh_derived(spark, d, params)
+    assert read_ts() == drv2

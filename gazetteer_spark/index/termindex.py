@@ -91,6 +91,44 @@ def _base_bucket_expr(term_col, n_buckets: int):
                             n_buckets)
 
 
+# below this many replicated doc-table bytes the bucket shuffle absorbs
+# them for free and skipping the resolve stage is a pure win (one fewer
+# exchange + no per-posting Python resolve pass); env-overridable
+REPLICATE_DOCS_FLOOR = int(
+    os.environ.get("SPARK_GRAFT_REPLICATE_DOCS_FLOOR", str(64 * 1024 * 1024))
+)
+
+
+def _docs_replication_ok(index_dir: str, n_buckets: int,
+                         gens: set[int] | None = None) -> bool:
+    """Cost gate for ``_layout_input_rows(replicate_docs=...)`` — a
+    driver-side manifest read. Replicating every shard's kind='docs'
+    table to all buckets costs ~ n_buckets × 8 B × n_docs extra shuffle
+    bytes (8 B/doc upper-bounds the packed varbyte docid+doclen pair);
+    the shard-group resolve stage instead pays an EXTRA exchange that
+    re-shuffles ALL segment bytes (postings + positions) once, plus a
+    per-posting Python decode pass. Replicate when the replication bytes
+    are at most max(segment bytes, REPLICATE_DOCS_FLOOR): below the
+    floor the resolve stage's fixed stage/exchange cost dominates any
+    byte accounting, above it the byte comparison decides — at typical
+    doc sizes replication holds up to n_buckets ≈ bytes-per-doc/8, and
+    beyond that the resolve stage's proportional shuffle is the cheaper
+    shape. ``gens`` restricts the totals to a refresh's delta
+    generations."""
+    import pyarrow.parquet as pq
+
+    man = f"{index_dir}/manifest"
+    if not os.path.isdir(man):
+        return False
+    t = pq.read_table(man, columns=["generation", "n_docs", "n_bytes"])
+    gl = t["generation"].to_pylist()
+    tot_docs = sum(d for g, d in zip(gl, t["n_docs"].to_pylist())
+                   if gens is None or g in gens)
+    tot_bytes = sum(b for g, b in zip(gl, t["n_bytes"].to_pylist())
+                    if gens is None or g in gens)
+    return n_buckets * 8 * tot_docs <= max(tot_bytes, REPLICATE_DOCS_FLOOR)
+
+
 def _resolve_doclens_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     """One SHARD's committed rows → its post rows with a per-posting doclen
     stream resolved from the shard's own doc tables (latest generation
@@ -125,6 +163,13 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool,
     generation-ordered (a del masks only older generations — see
     codec.DelIndex), so re-added docids keep their newest postings.
 
+    Doclens per posting come from the row's own varbyte stream when
+    present (v3 sources; existing layout rows in a refresh); post rows
+    WITHOUT a stream resolve against the bucket's replicated kind='docs'
+    tables (latest generation wins — see _layout_input_rows
+    ``replicate_docs``), exactly the values the shard-group resolve stage
+    would have attached.
+
     ``with_positions`` additionally merges each segment's positions stream
     (decode → per-posting-run tombstone mask → docid-order gather →
     re-encode): the merged blob stays BLOCK-aligned with the merged
@@ -135,9 +180,15 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool,
         encode_positions_grouped,
         gather_runs,
     )
+    from .wand import _doc_meta
 
     bucket = int(pdf["bucket"].iloc[0])
     dels = DelIndex.from_pdf(pdf)
+    doc_tab = None
+    if with_doclens:
+        docs_rows = pdf[pdf["kind"] == "docs"]
+        if len(docs_rows):
+            doc_tab = _doc_meta(docs_rows)
 
     posts = pdf[pdf["kind"] == "post"]
     out_rows = []
@@ -145,8 +196,19 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool,
         parts = []
         for r in grp.itertuples():  # mask per generation, then merge
             ids, tfs = decode_postings(r.postings)
-            dls = (_varbyte_decode(r.doclens).astype(np.int64)
-                   if with_doclens else np.ones(len(ids), np.int64))
+            if not with_doclens:
+                dls = np.ones(len(ids), np.int64)
+            elif r.doclens is not None and len(r.doclens):
+                dls = _varbyte_decode(r.doclens).astype(np.int64)
+            elif doc_tab is not None:
+                all_ids, all_lens = doc_tab
+                dls = all_lens[np.searchsorted(all_ids, ids)]
+            else:
+                raise ValueError(
+                    "post row carries no doclen stream and the bucket "
+                    "holds no replicated doc tables — doclen source "
+                    "missing (build/refresh wiring bug)"
+                )
             flat = (decode_positions(r.positions, tfs)
                     if with_positions else np.zeros(0, np.int64))
             if dels:
@@ -186,18 +248,29 @@ def _merge_bucket(pdf: pd.DataFrame, with_doclens: bool,
 def _layout_input_rows(
     spark: SparkSession, seg: DataFrame, n_buckets: int, with_doclens: bool,
     source_doclens: bool = False, fielded: bool = False,
-    with_positions: bool = False,
+    with_positions: bool = False, replicate_docs: bool = False,
 ) -> DataFrame:
     """Segment rows → merge-input rows (bucket, kind, term, postings,
-    doclens, positions, gen): the doclen-resolve map stage for post rows
-    plus dels rows replicated across every bucket (dels have term NULL —
-    any term may hold deleted docids). ``fielded`` buckets composite terms
-    by their BASE term (see _base_bucket_expr). ``with_positions`` carries
+    doclens, positions, gen): the doclen source for post rows plus dels
+    rows replicated across every bucket (dels have term NULL — any term
+    may hold deleted docids). ``fielded`` buckets composite terms by
+    their BASE term (see _base_bucket_expr). ``with_positions`` carries
     the segments' positions stream into the merge; otherwise the column is
     emptied BEFORE the shuffle so a positional source never pays the
-    positions bytes for a non-positional layout."""
+    positions bytes for a non-positional layout.
+
+    v2 (stream-less) sources resolve doclens one of two ways, picked by
+    the caller from MANIFEST stats (see _docs_replication_ok):
+    ``replicate_docs=True`` ships the tiny kind='docs' tables to every
+    bucket through the ONE existing shuffle (the dels pattern) and the
+    merge resolves locally — no extra shuffle of posting bytes;
+    ``replicate_docs=False`` keeps the shard-group resolve stage (right
+    when n_buckets × doc-table bytes would exceed the segment bytes the
+    resolve stage re-shuffles). Both attach identical doclens — the
+    layout is byte-identical either way (test-pinned)."""
     pos_col = (F.col("positions") if with_positions
                else F.lit(None).cast("binary")).alias("positions")
+    docs_all = False
     if with_doclens and source_doclens:
         # layout-v3 source (build_index(..., doclens=True)): the posting
         # bytes already travel with their per-posting doclen stream, so
@@ -207,6 +280,19 @@ def _layout_input_rows(
         stage1 = seg.filter(F.col("kind") == "post").select(
             "kind", "term", "gen", "postings", "doclens", pos_col
         )
+    elif with_doclens and replicate_docs:
+        # v2 source, doc tables small per the manifest: posts pass
+        # through unresolved (NULL doclens) and the shard doc tables ride
+        # the SAME bucket shuffle to every bucket — _merge_bucket
+        # resolves locally (latest-gen-wins, same values as the resolve
+        # stage). One shuffle; the posting bytes move once. The docs rows
+        # join the dels' existing replicate-to-every-bucket subtree below
+        # (one scan + one broadcast-range join serves both kinds).
+        stage1 = seg.filter(F.col("kind") == "post").select(
+            "kind", "term", "gen", "postings",
+            F.lit(None).cast("binary").alias("doclens"), pos_col,
+        )
+        docs_all = True
     elif with_doclens:
         pre = seg.filter(F.col("kind").isin(["post", "docs"]))
         if not with_positions:  # don't shuffle positions bytes we drop
@@ -225,16 +311,17 @@ def _layout_input_rows(
         bucket_of(F.col("term"), n_buckets).alias("bucket"),
         "kind", "term", "postings", "doclens", "positions", "gen",
     )
-    dels = seg.filter(F.col("kind") == "dels").select(
+    repl_kinds = ["dels", "docs"] if docs_all else ["dels"]
+    repl = seg.filter(F.col("kind").isin(repl_kinds)).select(
         "kind", "term", "postings",
         F.lit(None).cast("binary").alias("doclens"),
         F.lit(None).cast("binary").alias("positions"), "gen",
     )
-    dels_all = dels.crossJoin(
+    repl_all = repl.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
     return posts.unionByName(
-        dels_all.select("bucket", "kind", "term", "postings", "doclens",
+        repl_all.select("bucket", "kind", "term", "postings", "doclens",
                         "positions", "gen")
     )
 
@@ -277,9 +364,12 @@ def build_term_layout(
     # doclens=True (the per-FIELD stream, layout v3); non-fielded v2
     # sources resolve doclens in the shard-group map stage
     with_doclens = source_doclens if fielded else True
+    replicate = (with_doclens and not source_doclens and not fielded
+                 and _docs_replication_ok(index_dir, n_buckets))
     seg = committed_segments(spark, index_dir)
     allrows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
-                                 source_doclens, fielded, positions)
+                                 source_doclens, fielded, positions,
+                                 replicate_docs=replicate)
     merged = allrows.groupBy("bucket").applyInPandas(
         lambda pdf: _merge_bucket(pdf, with_doclens, positions),
         TERM_LAYOUT_SCHEMA,
@@ -2021,16 +2111,24 @@ def refresh_term_layout(
     seg = committed_segments(spark, index_dir).filter(
         F.col("gen").isin(delta)
     )
+    replicate = (with_doclens and not source_doclens
+                 and not bool(meta.get("fielded"))
+                 and _docs_replication_ok(index_dir, n_buckets,
+                                          gens=set(delta)))
     delta_rows = _layout_input_rows(spark, seg, n_buckets, with_doclens,
                                     source_doclens,
                                     bool(meta.get("fielded")),
-                                    with_positions)
+                                    with_positions,
+                                    replicate_docs=replicate)
     has_dels = not seg.filter(F.col("kind") == "dels").isEmpty()
     affected: list[int] | None = None
     if not has_dels:
-        # adds-only delta: only the delta terms' buckets change
+        # adds-only delta: only the delta POST terms' buckets change
+        # (replicated doc tables land in every bucket — they must not
+        # widen the affected set)
         affected = sorted(
-            r["bucket"] for r in delta_rows.select("bucket")
+            r["bucket"] for r in delta_rows
+            .filter(F.col("kind") == "post").select("bucket")
             .distinct().collect()
         )
     existing = spark.read.parquet(f"{layout_dir}/terms").select(

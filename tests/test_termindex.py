@@ -1096,3 +1096,40 @@ def test_positional_layout_refresh_byte_identical(spark, documents,
         "n_occurrences")
     assert got == want and got
     assert not ({d for _, d, _ in got} & set(victims))
+
+
+def test_v2_docs_replication_equals_resolve_stage(spark, documents,
+                                                  tmp_path_factory,
+                                                  monkeypatch):
+    """A v2 (stream-less) source's layout must be BYTE-identical whether
+    doclens are resolved by the shard-group resolve stage or by doc-table
+    replication through the bucket shuffle (_docs_replication_ok gate) —
+    across generations with adds and tombstones, positions included."""
+    idx = str(tmp_path_factory.mktemp("idx_v2repl"))
+    spimi.build_index(spark, documents.filter(F.col("doc_id") < 300), idx,
+                      n_shards=4, id_col="doc_id", content_col="text",
+                      positions=True)
+    spimi.add_documents(spark, documents.filter(F.col("doc_id") >= 300), idx,
+                        id_col="doc_id", content_col="text")
+    spimi.delete_documents(spark, [7, 99, 250], idx)
+
+    def snap(d):
+        return sorted(
+            (r["term"], r["df"], r["cf"], bytes(r["postings"]),
+             bytes(r["blockmeta"]), bytes(r["doclens"]),
+             bytes(r["positions"]) if r["positions"] is not None else None)
+            for r in spark.read.parquet(f"{d}/terms").collect()
+        )
+
+    lay_r = str(tmp_path_factory.mktemp("lay_repl"))
+    monkeypatch.setattr(termindex, "_docs_replication_ok",
+                        lambda *a, **k: True)
+    termindex.build_term_layout(spark, idx, lay_r, n_buckets=8,
+                                positions=True)
+    lay_s = str(tmp_path_factory.mktemp("lay_resolve"))
+    monkeypatch.setattr(termindex, "_docs_replication_ok",
+                        lambda *a, **k: False)
+    termindex.build_term_layout(spark, idx, lay_s, n_buckets=8,
+                                positions=True)
+    a, b = snap(lay_r), snap(lay_s)
+    assert a == b and a

@@ -749,8 +749,9 @@ def bm25_topk(
         raise ValueError("no query terms")
     rows = _pruned_rows(spark, layout_dir, meta, all_terms)
 
-    # df per query term: one Arrow metadata job against the SAME pruned scan
-    df_by_term, _ = _term_meta(rows)
+    # df per query term: a driver-side pyarrow probe of the same committed
+    # bucket files — no metadata Spark job (see _term_meta_path)
+    df_by_term = _term_meta_path(layout_dir, meta, all_terms)
     _check_qweights(qweights)
     return _bm25_impl(spark, rows, meta, df_by_term, qterms, k, round_to,
                       expensive_df, filter_by=filter_by, qweights=qweights,
@@ -1105,8 +1106,8 @@ def bm25f_topk(
         spark.read.parquet(f"{layout_dir}/terms")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(comp))
     )
-    # per-composite df from the SAME pruned scan (one Arrow metadata job)
-    comp_df, _ = _term_meta(rows)
+    # per-composite df via the driver-side bucket probe — no metadata job
+    comp_df = _term_meta_path(layout_dir, meta, comp)
     return _bm25f_impl(spark, rows, meta, comp_df, qterms, boosts, k,
                        round_to, expensive_df, filter_by=filter_by,
                        mask_parts=mask_parts, mask_pred=mask_pred)
@@ -1566,6 +1567,38 @@ def _check_positional_layout(meta: dict) -> None:
 # the rarest-term gate usually needs NO second job; rarer-than-gate_cap
 # terms above it still gate through a follow-up fetch of just those blobs
 INLINE_GATE_DF = 131072
+
+
+def _term_meta_path(layout_dir: str, meta: dict,
+                    terms: list[str]) -> dict[str, int]:
+    """{term: df} straight from the layout's bucket parquet files — a
+    DRIVER-side pyarrow probe, no Spark job (the cold-wand dictionary-
+    probe pattern applied to the layout). Buckets come from the xxhash64
+    twin and rows are term-sorted within each bucket file
+    (_merge_bucket's sorted groupby), so the In(term) filter prunes to a
+    few row groups per bucket and only the (term, df) columns are read —
+    a dictionary-scale seek at any corpus size. Serves the df-only
+    metadata need of bm25_topk / bm25f_topk; gate-blob probes (phrase /
+    AND prologues) keep the Arrow job, whose inlined postings a driver
+    read could not bound. Reads the same committed files the pruned scan
+    reads (layout.json is the commit point), so values are identical."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    buckets = _buckets_for(None, terms, meta["n_buckets"])
+    files: list[str] = []
+    for b in buckets:
+        d = f"{layout_dir}/terms/bucket={b}"
+        if os.path.isdir(d):
+            files.extend(f"{d}/{n}" for n in sorted(os.listdir(d))
+                         if n.endswith(".parquet"))
+    if not files:
+        return {}
+    t = pads.dataset(files, format="parquet").to_table(
+        columns=["term", "df"], filter=pc.field("term").isin(terms)
+    )
+    return {s: int(d) for s, d in zip(t["term"].to_pylist(),
+                                      t["df"].to_pylist())}
 
 
 def _term_meta(

@@ -1133,3 +1133,17 @@ def test_v2_docs_replication_equals_resolve_stage(spark, documents,
                                 positions=True)
     a, b = snap(lay_r), snap(lay_s)
     assert a == b and a
+
+
+def test_term_meta_path_equals_arrow_job(spark, documents, layout):
+    """The driver-side (term, df) bucket probe must return exactly what
+    the Arrow metadata job over the pruned scan returns — including
+    absent terms being omitted — and composite fielded terms must probe
+    their base term's bucket."""
+    meta = termindex._load_meta(layout)
+    terms = ["spark", "join", "merge", "the", "window", "zzz_missing"]
+    probe = termindex._term_meta_path(layout, meta, terms)
+    rows = termindex._pruned_rows(spark, layout, meta, terms)
+    job, _ = termindex._term_meta(rows)
+    assert probe == job and probe
+    assert "zzz_missing" not in probe

@@ -1455,9 +1455,14 @@ def bm25_and_topk(
     if not all_terms:
         raise ValueError("no query terms")
     rows = _pruned_rows(spark, layout_dir, meta, all_terms)
-    # ONE Arrow metadata job: dfs + inlined gating blobs (was a Row
+    # dfs + inlined gating blobs: driver bucket probe when the footer
+    # stats prove the read small, else ONE Arrow metadata job (was a Row
     # collect plus a second decoded-postings collect per batch)
-    df_by_term, blobs = _term_meta(rows, min(gate_cap, INLINE_GATE_DF))
+    got = _term_meta_path_blobs(layout_dir, meta, all_terms,
+                                min(gate_cap, INLINE_GATE_DF))
+    df_by_term, blobs = (got if got is not None
+                         else _term_meta(rows, min(gate_cap,
+                                                   INLINE_GATE_DF)))
     idf_by_term = {t: _idf(n_docs, d) for t, d in df_by_term.items()}
 
     plans = []  # strict AND: every analyzed term must exist in the corpus
@@ -1599,6 +1604,76 @@ def _term_meta_path(layout_dir: str, meta: dict,
     )
     return {s: int(d) for s, d in zip(t["term"].to_pylist(),
                                       t["df"].to_pylist())}
+
+
+# driver probes may read posting BLOBS only while the parquet metadata
+# proves the matched row groups' postings chunks total at most this many
+# compressed bytes — above it the Arrow job fetches them distributed
+PROBE_BLOB_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_PROBE_BLOB_BUDGET", str(8 * 1024 * 1024))
+)
+
+
+def _term_meta_path_blobs(
+    layout_dir: str, meta: dict, terms: list[str], gate_limit: int,
+) -> tuple[dict[str, int], dict[str, bytes]] | None:
+    """Driver-side twin of ``_term_meta(rows, gate_limit)``: ({term: df},
+    {term: posting blob} for df ≤ gate_limit) probed straight from the
+    layout's bucket files — no Spark job. Unlike the (term, df) probe,
+    posting blobs are only driver-safe when the read is provably small,
+    so row groups are selected by their term min/max stats FIRST and the
+    probe returns None — caller falls back to the Arrow job — as soon as
+    the selected postings column chunks exceed PROBE_BLOB_BUDGET
+    (compressed bytes, from footer metadata, before any data is read).
+    Missing/truncated stats count a row group as matching
+    (conservative)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tset = sorted(set(terms))
+    tarr = pa.array(tset)
+    picked: list[tuple] = []  # (ParquetFile, [row-group idx])
+    total = 0
+    for b in _buckets_for(None, terms, meta["n_buckets"]):
+        d = f"{layout_dir}/terms/bucket={b}"
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(f"{d}/{name}")
+            names = pf.schema_arrow.names
+            ti, pi = names.index("term"), names.index("postings")
+            md = pf.metadata
+            sel = []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ti).statistics
+                if st is not None and st.has_min_max:
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "surrogatepass")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "surrogatepass")
+                    if not any(mn <= t <= mx for t in tset):
+                        continue
+                sel.append(i)
+                total += md.row_group(i).column(pi).total_compressed_size
+                if total > PROBE_BLOB_BUDGET:
+                    return None
+            if sel:
+                picked.append((pf, sel))
+    dfs: dict[str, int] = {}
+    blobs: dict[str, bytes] = {}
+    for pf, sel in picked:
+        t = pf.read_row_groups(sel, columns=["term", "df", "postings"])
+        t = t.filter(pc.is_in(t["term"], value_set=tarr))
+        for s, d_, p in zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                            t["postings"].to_pylist()):
+            dfs[s] = int(d_)
+            if d_ <= gate_limit:
+                blobs[s] = p
+    return dfs, blobs
 
 
 def _term_meta(
@@ -1761,11 +1836,18 @@ def _positional_prologue(
     gate blobs, strict-AND plan filtering, and the rarest-term candidate
     gate — (rows, df_by_term, plans, cand_by_qid)."""
     all_terms = sorted({t for _, ts in plans_all for t in ts})
+    got = None
     if table is None:
         rows = _pruned_rows(spark, layout_dir, meta, all_terms)
+        # cold path: metadata (dfs + gate blobs) via the driver bucket
+        # probe when the footer stats prove the read small — no Spark job
+        got = _term_meta_path_blobs(layout_dir, meta, all_terms,
+                                    min(gate_cap, INLINE_GATE_DF))
     else:
         rows = table.filter(F.col("term").isin(all_terms))
-    df_by_term, blobs = _term_meta(rows, min(gate_cap, INLINE_GATE_DF))
+    df_by_term, blobs = (got if got is not None
+                         else _term_meta(rows, min(gate_cap,
+                                                   INLINE_GATE_DF)))
     # strict AND: a query with any absent term matches nothing
     plans = [(qid, ts) for qid, ts in plans_all
              if all(t in df_by_term for t in ts)]

@@ -1147,3 +1147,24 @@ def test_term_meta_path_equals_arrow_job(spark, documents, layout):
     job, _ = termindex._term_meta(rows)
     assert probe == job and probe
     assert "zzz_missing" not in probe
+
+
+def test_term_meta_path_blobs_equals_arrow_job(spark, documents, layout,
+                                               monkeypatch):
+    """The driver-side (df + gate-blob) bucket probe must return exactly
+    the Arrow metadata job's dicts — byte-equal blobs — and must refuse
+    (return None → job fallback) when the footer metadata exceeds the
+    read budget."""
+    meta = termindex._load_meta(layout)
+    terms = ["spark", "join", "the", "customer", "zzz_missing"]
+    got = termindex._term_meta_path_blobs(layout, meta, terms,
+                                          termindex.INLINE_GATE_DF)
+    assert got is not None
+    rows = termindex._pruned_rows(spark, layout, meta, terms)
+    dfs, blobs = termindex._term_meta(rows, termindex.INLINE_GATE_DF)
+    assert got[0] == dfs and dfs
+    assert set(got[1]) == set(blobs)
+    assert all(bytes(got[1][k]) == bytes(blobs[k]) for k in blobs)
+    monkeypatch.setattr(termindex, "PROBE_BLOB_BUDGET", 0)
+    assert termindex._term_meta_path_blobs(
+        layout, meta, terms, termindex.INLINE_GATE_DF) is None
